@@ -1,0 +1,506 @@
+"""Reference-parity operators (SURVEY.md §2), realized on the driver
+testdata per FIXTURES.md §B's operator↔fixture mapping.
+
+Each query registers a Spark DataFrame implementation and an ANSI-SQL
+DuckDB oracle with identical column aliases. Floats are ROUNDed the same
+on both sides (Spark/DuckDB summation order differs in the last ulp).
+
+Scale notes (100 TB design):
+- Dimension joins (`nation`, `region`, `customer` vs `orders`/`lineitem`)
+  are broadcast — no shuffle of the fact side.
+- Group-stat operators (impute/z-score) use window aggregates over the
+  grouping key: ONE shuffle, reused by the windowed fill — instead of a
+  groupBy + self-join (two shuffles of the fact table).
+- All filters/projections are Catalyst-pushable expressions (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY §7 minimum slice): scan → filter → multi-join → agg.
+# Reference ops exercised: S3/S4 scans, P1 projection, J1/J2 joins,
+# A1 grouped aggregate with avg/stddev (transform_load.sql:27-38,50-70).
+# ---------------------------------------------------------------------------
+FLAGSHIP_ORACLE = """
+SELECT
+  r.r_name AS region,
+  n.n_name AS nation,
+  l.l_returnflag AS returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  ROUND(AVG(l.l_quantity), 4) AS avg_qty,
+  ROUND(STDDEV(l.l_extendedprice), 4) AS std_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3
+"""
+
+
+@register("flagship_revenue", FLAGSHIP_ORACLE)
+def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation/returnflag across the full star join.
+
+    Scale: lineitem⋈orders is the only big-big join (shuffle on orderkey);
+    customer/nation/region are broadcast so the fact side shuffles once.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev("l_extendedprice"), 4).alias("std_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 + P5 + M2: dedup via row_number window, deterministic tiebreak.
+# Reference: transform_load.sql:9-16 (ORDER BY (SELECT NULL) is
+# nondeterministic there; the new engine uses a deterministic ordering —
+# divergence documented in SURVEY §2.5).
+# ---------------------------------------------------------------------------
+DEDUP_ORACLE = """
+WITH dupes AS (
+  SELECT * FROM lineitem
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_linenumber = 1
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey, l_linenumber
+           ORDER BY l_extendedprice DESC, l_shipdate
+         ) AS rn
+  FROM dupes
+)
+SELECT l_orderkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice, 2) AS extendedprice
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_row_number", DEDUP_ORACLE)
+def dedup_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep exactly one row per (l_orderkey, l_linenumber) among planted dups.
+
+    Scale: single shuffle on the dedup key; at 100 TB this is the canonical
+    hash-partitioned window — AQE handles key skew.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dupes = lineitem.unionAll(lineitem.filter(F.col("l_linenumber") == 1))
+    w = W.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_shipdate")
+    )
+    return (
+        dupes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round("l_extendedprice", 2).alias("extendedprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 + M1: group-mean imputation of planted NULLs.
+# Reference: transform_load.sql:20-24 (correlated AVG per city+month,
+# decorrelated here to a window aggregate — what Catalyst's
+# RewriteCorrelatedScalarSubquery would produce).
+# ---------------------------------------------------------------------------
+IMPUTE_ORACLE = """
+WITH masked AS (
+  SELECT o_orderkey, o_custkey, MONTH(o_orderdate) AS o_month,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END AS price
+  FROM orders
+), cents AS (
+  SELECT *, CAST(ROUND(price * 100) AS BIGINT) AS price_cents FROM masked
+), stats AS (
+  -- integer-cents mean, rounded at the cents level: exact order-insensitive
+  -- sum, and ROUND's half-way input (sum/n) is exactly representable, so
+  -- Spark and DuckDB round identically; /100.0 then yields the same double
+  SELECT o_custkey, o_month,
+         ROUND(CAST(SUM(price_cents) AS DOUBLE) / COUNT(price_cents)) / 100.0 AS grp_mean
+  FROM cents GROUP BY 1, 2
+)
+SELECT m.o_orderkey,
+       COALESCE(m.price, s.grp_mean) AS price_imputed,
+       m.price IS NULL AS was_imputed
+FROM masked m
+LEFT JOIN stats s ON m.o_custkey = s.o_custkey AND m.o_month = s.o_month
+"""
+
+
+@register("impute_group_mean", IMPUTE_ORACLE)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill NULL o_totalprice with the (o_custkey, month) group mean.
+
+    Scale: window-aggregate form — one shuffle on the group key; AVG
+    ignores NULLs on both engines, so all-NULL groups stay NULL.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    masked = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.month("o_orderdate").alias("o_month"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    ).withColumn("price_cents", F.round(F.col("price") * 100, 0).cast("bigint"))
+    w = W.partitionBy("o_custkey", "o_month")
+    # Mean via exact integer-cents sum (order-insensitive → bit-identical to
+    # the oracle), rounded at the cents level where half-way inputs are
+    # exactly representable doubles (both engines round half away from zero).
+    grp_mean = (
+        F.round(
+            F.sum("price_cents").over(w).cast("double")
+            / F.count("price_cents").over(w),
+            0,
+        )
+        / 100.0
+    )
+    return masked.select(
+        "o_orderkey",
+        F.coalesce(F.col("price"), grp_mean).alias("price_imputed"),
+        F.col("price").isNull().alias("was_imputed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 + J1 + M3: z-score outlier capping.
+# Reference: transform_load.sql:26-38 — per-group mean/sample-stddev, cap
+# |x-mean|/stddev > 3 to the mean. stddev NULL (single-row group) or 0 →
+# NULL predicate → value kept (Spark/DuckDB agree; SQL Server would error
+# on 0 — documented divergence, SURVEY §2.6 M3).
+# ---------------------------------------------------------------------------
+ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT *,
+         AVG(l_extendedprice) OVER (PARTITION BY l_returnflag) AS grp_mean,
+         STDDEV(l_extendedprice) OVER (PARTITION BY l_returnflag) AS grp_std
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(CASE WHEN ABS(l_extendedprice - grp_mean) / grp_std > 3
+                  THEN grp_mean ELSE l_extendedprice END, 2) AS price_capped,
+       COALESCE(ABS(l_extendedprice - grp_mean) / grp_std > 3, FALSE) AS was_capped
+FROM stats
+"""
+
+
+@register("zscore_cap", ZSCORE_ORACLE)
+def zscore_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag")
+    stats = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.avg("l_extendedprice").over(w).alias("grp_mean"),
+        F.stddev("l_extendedprice").over(w).alias("grp_std"),
+    )
+    z_exceeds = (F.abs(F.col("l_extendedprice") - F.col("grp_mean")) / F.col("grp_std")) > 3
+    return stats.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.when(z_exceeds, F.col("grp_mean")).otherwise(F.col("l_extendedprice")), 2
+        ).alias("price_capped"),
+        F.coalesce(z_exceeds, F.lit(False)).alias("was_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: surrogate-key lookup join (natural key → dim keys).
+# Reference: transform_load.sql:58-59 (stg ⋈ dim_city on city_name).
+# ---------------------------------------------------------------------------
+SURROGATE_ORACLE = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+       ROUND(c.c_acctbal, 2) AS acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register("surrogate_key_join", SURROGATE_ORACLE)
+def surrogate_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast both dim sides: zero shuffle of the probe side at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: insert-only MERGE = left-anti join + append.
+# Reference: transform_load.sql:43-47 (new cities into dim_city).
+# ---------------------------------------------------------------------------
+MERGE_INSERT_ORACLE = """
+WITH target AS (
+  SELECT c_custkey FROM customer WHERE c_custkey <= 100
+), source AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+)
+SELECT c_custkey, FALSE AS inserted FROM target
+UNION ALL
+SELECT s.c_custkey, TRUE AS inserted
+FROM source s
+WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.c_custkey = s.c_custkey)
+"""
+
+
+@register("merge_insert_only", MERGE_INSERT_ORACLE)
+def merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    target = customer.filter(F.col("c_custkey") <= 100).select("c_custkey")
+    source = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    new_keys = source.join(F.broadcast(target), "c_custkey", "left_anti")
+    return target.withColumn("inserted", F.lit(False)).unionAll(
+        new_keys.withColumn("inserted", F.lit(True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: full upsert MERGE on a key = full-outer join + coalesce.
+# Reference: transform_load.sql:50-70 (fact_weather upsert on (city_id,date)).
+# ---------------------------------------------------------------------------
+MERGE_UPSERT_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), source AS (
+  -- exact double addition (no new decimals): no ROUND needed, so no
+  -- cross-engine round-half divergence
+  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS totalprice,
+       CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'update'
+            WHEN s.o_orderkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS merge_action
+FROM target t
+FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+@register("merge_upsert_full_outer", MERGE_UPSERT_ORACLE)
+def merge_upsert_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    joined = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+    return joined.select(
+        F.coalesce("s.o_orderkey", "t.o_orderkey").alias("o_orderkey"),
+        F.coalesce("s.o_custkey", "t.o_custkey").alias("o_custkey"),
+        F.coalesce("s.o_totalprice", "t.o_totalprice").alias("totalprice"),
+        F.when(
+            F.col("s.o_orderkey").isNotNull() & F.col("t.o_orderkey").isNotNull(),
+            F.lit("update"),
+        )
+        .when(F.col("s.o_orderkey").isNotNull(), F.lit("insert"))
+        .otherwise(F.lit("keep"))
+        .alias("merge_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: incremental high-watermark with fallback.
+# Reference: extract_weather.py:27-32 (MAX(date) per city, NULL → 2000-01-01).
+# Computed for ALL keys in one grouped aggregate (the scale form) instead of
+# the reference's per-city loop.
+# ---------------------------------------------------------------------------
+WATERMARK_ORACLE = """
+SELECT c.c_custkey,
+       COALESCE(MAX(o.o_orderdate), TIMESTAMP '2000-01-01') AS watermark,
+       MAX(o.o_orderdate) IS NULL AS used_fallback
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
+@register("watermark_max_date", WATERMARK_ORACLE)
+def watermark_max_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("max_date"))
+    return (
+        customer.join(per_key, customer.c_custkey == per_key.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(
+                F.col("max_date"), F.lit("2000-01-01").cast("timestamp_ntz")
+            ).alias("watermark"),
+            F.col("max_date").isNull().alias("used_fallback"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: distinct aggregate. Reference: transform_load.sql:44.
+# ---------------------------------------------------------------------------
+@register("distinct_dimension", "SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# J3: correlated scalar subquery (Catalyst decorrelates it — the SQL-API
+# path exercises RewriteCorrelatedScalarSubquery directly).
+# Reference: extract_weather.py:27; transform_load.sql:21-22.
+# ---------------------------------------------------------------------------
+CORRELATED_ORACLE = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT AVG(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("correlated_subquery", CORRELATED_ORACLE)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders_corr o
+        WHERE o_totalprice > (
+          SELECT AVG(o_totalprice) FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F9: scalar function surface (month/abs/case/arithmetic/date-add).
+# Reference: transform_load.sql:21-35; extract_weather.py:31-32.
+# ---------------------------------------------------------------------------
+SCALARS_ORACLE = """
+SELECT o_orderkey,
+       CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       ROUND(ABS(o_totalprice - 100000.0), 2) AS abs_dev,
+       CASE WHEN o_totalprice > 100000.0 THEN 'high' ELSE 'low' END AS price_band,
+       o_orderdate + INTERVAL 1 DAY AS next_day,
+       o_totalprice > 100000.0 AS is_high
+FROM orders
+"""
+
+
+@register("scalar_expressions", SCALARS_ORACLE)
+def scalar_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.month("o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_dev"),
+        F.when(F.col("o_totalprice") > 100000.0, "high").otherwise("low").alias("price_band"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("next_day"),
+        (F.col("o_totalprice") > 100000.0).alias("is_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date enrichment (planned in reference README.md:232-234 / date-dim at :49):
+# season, quarter, ISO week — shipped as a first-class operator here.
+# ---------------------------------------------------------------------------
+ENRICH_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN MONTH(o_orderdate) IN (12, 1, 2) THEN 'winter'
+            WHEN MONTH(o_orderdate) IN (3, 4, 5) THEN 'spring'
+            WHEN MONTH(o_orderdate) IN (6, 7, 8) THEN 'summer'
+            ELSE 'autumn' END AS season,
+       CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+       CAST(WEEK(o_orderdate) AS INT) AS iso_week
+FROM orders
+"""
+
+
+@register("date_enrichment", ENRICH_ORACLE)
+def date_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.month("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.when(m.isin(12, 1, 2), "winter")
+        .when(m.isin(3, 4, 5), "spring")
+        .when(m.isin(6, 7, 8), "summer")
+        .otherwise("autumn")
+        .alias("season"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2: JSON payload decode. Reference: extract_weather.py:45-47 parses the
+# API JSON in Python; here it's engine-side `get_json_object` (Catalyst
+# expression, codegen'd) over the events.props JSON column.
+# ---------------------------------------------------------------------------
+JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+@register("json_extract_events", JSON_ORACLE)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_events"))
+    )

@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from designing_data_warehouse_in_sql_server_spark.session import get_spark
+
+    s = get_spark("ddw-tests", cpus=8)
+    yield s
+    s.stop()
