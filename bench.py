@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-format write (full computation, no
+driver-side collect) after a warm-up of the session on a trivial job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "flagship_revenue",
+    "dedup_row_number",
+    "impute_group_mean",
+    "zscore_cap",
+    "merge_upsert_full_outer",
+    "window_running_sum",
+    "sessionize_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from designing_data_warehouse_in_sql_server_spark.session import get_spark
+
+    spark = get_spark("ddw-bench")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm up JVM / codegen paths
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in qs]
+    # any registered query not in HEADLINE still gets timed (full coverage)
+    names += [n for n in sorted(qs) if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

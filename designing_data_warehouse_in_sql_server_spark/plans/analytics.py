@@ -1,0 +1,419 @@
+"""Analytical query surface beyond strict reference parity (SURVEY.md
+§2.11 lists these as explicit absences in the reference — they ship here
+as labeled extensions, since a warehouse engine needs them):
+sorts/top-k, set operators, rollup/grouping sets, pivot (conditional
+aggregation), analytic windows (lag/running frames), sessionization,
+tumbling-window aggregation (the batch equivalent of the streaming path),
+and TPC-H-style star-join headliners used by bench.py.
+
+Determinism notes (cross-engine value-hash safety):
+- Running sums order rows deterministically inside the frame, so Spark and
+  DuckDB add in the same sequence → bit-identical doubles.
+- Session gaps compare MICROSECOND diffs (exact integers at the storage
+  precision) — second-level date_diff semantics differ between engines.
+- Top-k orderings always carry a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (bench headliner #1): scan-heavy grouped
+# aggregate with six aggregates — exercises map-side partial aggregation.
+# ---------------------------------------------------------------------------
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority (bench headliner #2): selective filters
+# on both join sides + top-k. Deterministic top-k via unique tiebreak.
+# ---------------------------------------------------------------------------
+Q3_ORACLE = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style local-supplier volume (bench headliner #3): 6-way star
+# join with an extra equi-condition (c_nationkey = s_nationkey).
+# ---------------------------------------------------------------------------
+Q5_ORACLE = """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+@register("q5_local_supplier_volume", Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with deterministic ordering (extension: reference has no ORDER
+# BY/LIMIT on outputs, SURVEY §2.11).
+# ---------------------------------------------------------------------------
+TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("topk_orders", TOPK_ORACLE)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver, no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window frame: running sum + lag delta per customer (extension:
+# reference's only window is row_number, SURVEY §2.5).
+# Deterministic: frame ordering fixes the double-summation order.
+# ---------------------------------------------------------------------------
+RUNNING_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       ROUND(o_totalprice - LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta_prev,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
+@register("window_running_sum", RUNNING_ORACLE)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_spend"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization over the events stream table (gap > 30 min ⇒ new session).
+# Batch form of the stateful-streaming operator (SURVEY §2.9 / §7 phase 5).
+# ---------------------------------------------------------------------------
+SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+              WHEN DATE_DIFF('microsecond', LAG(ts) OVER w, ts) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@register("sessionize_events", SESSION_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id feeds both windows and the final
+    groupBy (same key) — Catalyst reuses the partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
+    seq = events.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (batch equivalent of the Structured
+# Streaming path; F.window on the Spark side, epoch bucketing in the
+# oracle — both align buckets to the epoch).
+# ---------------------------------------------------------------------------
+TUMBLING_ORACLE = """
+SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300)::TIMESTAMP AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_window", TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot via conditional aggregation (extension; exact integer counts are
+# hash-stable).
+# ---------------------------------------------------------------------------
+PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_event_counts", PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return events.groupBy("user_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Set operators (extension, SURVEY §2.11): INTERSECT / EXCEPT with tags.
+# ---------------------------------------------------------------------------
+SETOPS_ORACLE = """
+SELECT c_custkey, 'with_orders' AS tag
+FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS tag
+FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
+@register("set_operations", SETOPS_ORACLE)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+    order_keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = customer_keys.intersect(order_keys).withColumn("tag", F.lit("with_orders"))
+    only = customer_keys.exceptAll(order_keys).distinct().withColumn("tag", F.lit("no_orders"))
+    return both.unionAll(only)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with GROUPING flags (extension, SURVEY §2.11). Quantities are
+# integral doubles → exact sums, hash-stable.
+# ---------------------------------------------------------------------------
+ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_aggregate", ROLLUP_ORACLE)
+def rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts per group (extension; approximate variant lives in
+# extensions with a rows-only check since HLL sketches differ by engine).
+# ---------------------------------------------------------------------------
+DISTINCT_COUNT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("distinct_count", DISTINCT_COUNT_ORACLE)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (rows-only: HLL implementations differ by engine,
+# so no value oracle — the driver records the weaker check by design).
+# ---------------------------------------------------------------------------
+@register("approx_distinct")
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
