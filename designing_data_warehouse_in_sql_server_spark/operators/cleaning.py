@@ -1,0 +1,87 @@
+"""Cleaning operators: pure ``DataFrame -> DataFrame`` functions
+parameterized by key/measure columns (SURVEY.md §7 design shape), so the
+same operator runs on the weather-domain tables and the driver testdata.
+
+Reference parity:
+- dedupe            -> W1+P5+M2 (transform_load.sql:9-16). The reference's
+  ``ORDER BY (SELECT NULL)`` tiebreak is nondeterministic; this engine
+  requires an explicit deterministic ordering (documented divergence,
+  SURVEY §2.5).
+- impute_group_mean -> A2+M1 (transform_load.sql:20-24), preserving the
+  reference's asymmetry: statistics from ALL rows, updates only to rows
+  matching ``update_filter`` (the is_processed=0 predicate at :24 vs the
+  unfiltered inner query at :21-22).
+- cap_outliers_zscore -> A1+J1+M3 (transform_load.sql:26-38) with the
+  documented stddev NULL/0 edge: the value is kept (SQL Server would
+  error on 0; Spark yields NULL -> otherwise-branch).
+
+Scale: all three are single-shuffle window-aggregate plans on the group
+key — no groupBy + self-join back (which would shuffle the fact twice).
+No UDFs: everything stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dedupe(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Keep exactly one row per key, first under ``order_by``."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def impute_group_mean(
+    df: DataFrame,
+    group_keys: Sequence[Column | str],
+    cols: Sequence[str],
+    update_filter: Column | None = None,
+) -> DataFrame:
+    """Fill NULLs in ``cols`` with the per-group mean.
+
+    The mean is computed over ALL rows of the group (including rows the
+    ``update_filter`` excludes from being updated) — the reference's
+    filter asymmetry, preserved for parity.
+    """
+    w = W.partitionBy(*group_keys)
+    out = df
+    for c in cols:
+        mean = F.avg(c).over(w)
+        should_fill = F.col(c).isNull()
+        if update_filter is not None:
+            should_fill = should_fill & update_filter
+        out = out.withColumn(c, F.when(should_fill, mean).otherwise(F.col(c)))
+    return out
+
+
+def cap_outliers_zscore(
+    df: DataFrame,
+    group_keys: Sequence[Column | str],
+    cols: Sequence[str],
+    z: float = 3.0,
+    update_filter: Column | None = None,
+) -> DataFrame:
+    """Replace values more than ``z`` sample-stddevs from the group mean
+    with the group mean. Stats come from ALL rows; only rows matching
+    ``update_filter`` are modified (reference asymmetry, as above)."""
+    w = W.partitionBy(*group_keys)
+    out = df
+    for c in cols:
+        mean = F.avg(c).over(w)
+        std = F.stddev(c).over(w)  # sample stddev = T-SQL STDEV
+        exceeds = (F.abs(F.col(c) - mean) / std) > z
+        if update_filter is not None:
+            exceeds = exceeds & update_filter
+        out = out.withColumn(c, F.when(exceeds, mean).otherwise(F.col(c)))
+    return out

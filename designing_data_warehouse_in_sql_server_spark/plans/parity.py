@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.scd2 import scd2_apply
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -484,6 +485,61 @@ def date_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # API JSON in Python; here it's engine-side `get_json_object` (Catalyst
 # expression, codegen'd) over the events.props JSON column.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# M5: SCD Type 2 maintenance, run through the engine's scd2_apply operator
+# (reference: system-versioned dim_city, README.md:88-91). The customer
+# table plays the dimension; every c_custkey % 7 == 0 gets a changed
+# acctbal effective 2024-06-01. The oracle reconstructs the three output
+# classes (unchanged / expired / new-version) with plain SQL.
+# ---------------------------------------------------------------------------
+SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         TIMESTAMP '2020-01-01' AS valid_from,
+         TIMESTAMP '2100-01-01' AS valid_to,
+         TRUE AS is_current
+  FROM customer
+), updates AS (
+  SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from, d.valid_to, d.is_current
+FROM dim d WHERE d.c_custkey NOT IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+       TIMESTAMP '2024-06-01', FALSE
+FROM dim d JOIN updates u ON d.c_custkey = u.c_custkey
+UNION ALL
+SELECT u.c_custkey, d.c_name, u.c_acctbal, TIMESTAMP '2024-06-01',
+       TIMESTAMP '2100-01-01', TRUE
+FROM dim d JOIN updates u ON d.c_custkey = u.c_custkey
+"""
+
+
+@register("scd2_dimension", SCD2_ORACLE)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("2100-01-01").cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 500.0).alias("c_acctbal")
+    )
+    return scd2_apply(
+        dim,
+        updates,
+        key=["c_custkey"],
+        tracked=["c_acctbal"],
+        effective_ts="2024-06-01 00:00:00",
+        open_end="2100-01-01 00:00:00",  # pandas datetime64[ns] cannot hold 9999-12-31
+    )
+
+
 JSON_ORACLE = """
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

@@ -1,0 +1,168 @@
+"""The nightly ELT pipeline: the run_etl.bat analog (SURVEY.md §3).
+
+Composes extract (S1/S2) -> clean (W1/M2, A2/M1, A1/J1/M3) -> dim upsert
+(J4) -> fact merge (J2/J5) -> mark processed (M4), with statement order
+preserved from transform_load.sql (cleaning before merges, dim before
+fact, flag last — SURVEY §3 entry point 3).
+
+Stage gating is exceptions (the bat file's errorlevel gates, O3);
+scheduling is external (cron/Airflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.cleaning import cap_outliers_zscore, dedupe, impute_group_mean
+from ..operators.watermark import high_watermarks
+from ..sources.http_api import Fetcher, extract_incremental
+from ..sources.table_store import TableStore
+
+STG = "stg_weather_raw"
+DIM = "dim_city"
+FACT = "fact_weather"
+
+
+def extract(
+    spark: SparkSession,
+    store: TableStore,
+    fetcher: Fetcher,
+    today: str,
+    load_ts: str,
+) -> int:
+    """Entry point 2 analog: per-city incremental windows from the fact
+    watermarks (ONE aggregate, not a per-city query loop), fetch, append
+    to staging."""
+    dim = store.read(DIM).filter(F.col("is_current"))
+    fact = store.read(FACT)
+    wm = high_watermarks(
+        fact.join(dim.select("city_id", "city_name"), "city_id"),
+        dim.select("city_name"),
+        fact_key="city_name",
+        key_col="city_name",
+        ts_col="date",
+        fallback="2000-01-01",
+    )
+    # next window = watermark + 1 day .. today; P7 guard drops empty windows
+    windows_df = wm.select(
+        "city_name",
+        F.date_format(F.date_add(F.to_date("watermark"), 1), "yyyy-MM-dd").alias("start"),
+        F.lit(today).alias("end"),
+    ).filter(F.col("start") <= F.col("end"))
+    windows = [(r.city_name, r.start, r.end) for r in windows_df.collect()]  # 5 cities
+    new_rows = extract_incremental(spark, fetcher, windows, load_ts)
+    return store.append(STG, new_rows)
+
+
+def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None:
+    """Entry point 3 analog: the six statements of transform_load.sql as
+    one immutable DataFrame chain + two merges.
+
+    All statistics (imputation means, outlier stats) are computed from the
+    PRE-update staging snapshot — immutability gives the reference's
+    statement-snapshot semantics for free (SURVEY §7 risk 2).
+    """
+    stg = store.read(STG)
+    unprocessed = F.col("is_processed") == False  # noqa: E712  (P3)
+
+    # 1. dedup unprocessed rows on (city_name, date); deterministic
+    #    tiebreak by load_timestamp DESC (divergence from the reference's
+    #    ORDER BY (SELECT NULL), documented in SURVEY §2.5)
+    deduped = dedupe(
+        stg.filter(unprocessed),
+        keys=["city_name", "date"],
+        order_by=[F.col("load_timestamp").desc(), F.col("temp_max").desc_nulls_last()],
+    ).unionByName(stg.filter(~unprocessed))
+
+    # 2. impute NULL temps with the (city, calendar-month) mean —
+    #    stats over ALL staging rows, updates to unprocessed only (A2 asymmetry)
+    imputed = impute_group_mean(
+        deduped,
+        group_keys=["city_name", F.month("date")],
+        cols=["temp_max", "temp_min"],
+        update_filter=unprocessed,
+    )
+
+    # 3. cap >3σ outliers to the city mean (stats from all rows)
+    cleaned = cap_outliers_zscore(
+        imputed,
+        group_keys=["city_name"],
+        cols=["temp_max"],
+        z=3.0,
+        update_filter=unprocessed,
+    )
+
+    # 4. dim upsert, insert-only (J4): unseen cities get a surrogate key;
+    #    other attributes stay NULL exactly like the reference MERGE
+    #    (transform_load.sql:47, commentary README.md:285-293)
+    dim = store.read(DIM)
+    new_cities = (
+        cleaned.filter(unprocessed)
+        .select("city_name")
+        .distinct()
+        .join(dim.filter(F.col("is_current")).select("city_name"), "city_name", "left_anti")
+    )
+    if new_cities.take(1):
+        max_id = dim.agg(F.max("city_id")).first()[0] or 0
+        w = W.orderBy("city_name")  # few new keys; single-partition window is fine
+        inserts = new_cities.select(
+            (F.row_number().over(w) + F.lit(max_id)).alias("city_id"),
+            "city_name",
+            F.lit(None).cast("string").alias("country"),
+            F.lit(None).cast("decimal(9,6)").alias("latitude"),
+            F.lit(None).cast("decimal(9,6)").alias("longitude"),
+            F.lit(None).cast("string").alias("timezone"),
+            F.lit(load_ts).cast("timestamp_ntz").alias("valid_from"),
+            F.lit("9999-12-31").cast("timestamp_ntz").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        store.merge(DIM, inserts, on=["city_name"], insert_only=True, capture_cdc=False)
+        dim = store.read(DIM)
+
+    # 5. fact merge on (city_id, date) (J2 surrogate lookup + J5 upsert)
+    fact = store.read(FACT)
+    max_wid = fact.agg(F.max("weather_id")).first()[0] or 0
+    src = (
+        cleaned.filter(unprocessed)
+        .join(
+            F.broadcast(
+                dim.filter(F.col("is_current")).select("city_id", "city_name")
+            ),
+            "city_name",
+        )
+        .select(
+            "city_id",
+            "date",
+            # imputation/capping widen the decimals (avg -> decimal(9,6));
+            # cast back so the fact schema stays DECIMAL(5,2) like the DDL
+            F.col("temp_max").cast("decimal(5,2)").alias("temp_max"),
+            F.col("temp_min").cast("decimal(5,2)").alias("temp_min"),
+            F.col("precipitation").cast("decimal(5,2)").alias("precipitation"),
+            F.lit(load_ts).cast("timestamp_ntz").alias("load_timestamp"),
+        )
+    )
+    w = W.orderBy("city_id", "date")
+    src = src.withColumn("weather_id", F.row_number().over(w) + F.lit(max_wid))
+    # keep existing surrogate ids for matched rows: weather_id not updated
+    store.merge(
+        FACT,
+        src,
+        on=["city_id", "date"],
+        update_cols=["temp_max", "temp_min", "precipitation", "load_timestamp"],
+    )
+
+    # 6. mark ALL staging rows processed (M4 — no WHERE in the reference)
+    store.update(STG, {"is_processed": F.lit(True)})
+
+
+def run_pipeline(
+    spark: SparkSession,
+    store: TableStore,
+    fetcher: Fetcher,
+    today: str,
+    load_ts: str,
+) -> None:
+    """O3: extract -> transform/load, exceptions gate the stages."""
+    extract(spark, store, fetcher, today, load_ts)
+    transform_load(spark, store, load_ts)

@@ -1,0 +1,130 @@
+"""Incremental HTTP API extract (S1/S2 + O1/O2).
+
+The reference (extract_weather.py:24-68) loops cities on the driver,
+fetches the Open-Meteo archive JSON, and inserts rows one at a time.
+Engine design:
+
+- Fetch happens through an injectable ``fetcher(city, start, end) ->
+  payload-JSON-string`` with retry (O2: 3 attempts). Tests inject a
+  deterministic fake; production wires ``requests`` here. The container
+  has no network, so no live fetcher ships.
+- JSON decoding is ENGINE-side, not driver-side Python: the payload
+  string goes through ``from_json`` with an explicit schema, then
+  ``arrays_zip`` + ``explode`` turns the parallel arrays into rows
+  (SURVEY §2.1 S2 mapping) — all Catalyst expressions.
+- At 5 cities the fetch is a driver loop; at scale the same fetcher runs
+  per-partition via ``mapInPandas`` over a city DataFrame (same payload
+  column contract, see ``fetch_distributed``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import OPEN_METEO_DAILY
+
+Fetcher = Callable[[str, str, str], str]  # (city_name, start_date, end_date) -> JSON
+
+
+def fetch_with_retry(
+    fetcher: Fetcher,
+    city: str,
+    start: str,
+    end: str,
+    attempts: int = 3,
+    delay_s: float = 0.0,
+) -> str | None:
+    """O2: retry wrapper (reference: 3 attempts, 60 s delay,
+    extract_weather.py:37-54); returns None when all attempts fail so the
+    pipeline can skip the city like the reference's for-else does."""
+    for i in range(attempts):
+        try:
+            return fetcher(city, start, end)
+        except Exception:
+            if i == attempts - 1:
+                return None
+            time.sleep(delay_s)
+    return None
+
+
+def payloads_to_rows(spark: SparkSession, payloads: Iterable[tuple[str, str]]) -> DataFrame:
+    """(city_name, payload_json) pairs -> one row per day.
+
+    from_json + arrays_zip + explode: the parallel-array payload
+    (time[], temperature_2m_max[], ...) is reassembled by index exactly as
+    the reference's zip loop (extract_weather.py:57-65), but as Catalyst
+    expressions that run distributed."""
+    raw = spark.createDataFrame(list(payloads), "city_name string, payload string")
+    parsed = raw.select(
+        "city_name", F.from_json("payload", OPEN_METEO_DAILY).alias("p")
+    )
+    zipped = parsed.select(
+        "city_name",
+        F.explode(
+            F.arrays_zip(
+                F.col("p.daily.time").alias("date"),
+                F.col("p.daily.temperature_2m_max").alias("temp_max"),
+                F.col("p.daily.temperature_2m_min").alias("temp_min"),
+                F.col("p.daily.precipitation_sum").alias("precipitation"),
+            )
+        ).alias("d"),
+    )
+    return zipped.select(
+        "city_name",
+        F.to_date("d.date").alias("date"),
+        F.col("d.temp_max").cast("decimal(5,2)").alias("temp_max"),
+        F.col("d.temp_min").cast("decimal(5,2)").alias("temp_min"),
+        F.col("d.precipitation").cast("decimal(5,2)").alias("precipitation"),
+        F.lit(False).alias("is_processed"),
+        F.lit(None).cast("timestamp_ntz").alias("load_timestamp"),
+    )
+
+
+def extract_incremental(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    windows: list[tuple[str, str, str]],
+    load_ts: str,
+) -> DataFrame:
+    """O1 driver loop over (city, start, end) fetch windows -> staging rows.
+
+    ``windows`` comes from the watermark operator (A3); cities whose
+    window is empty (start > end, P7 guard) must be filtered by the
+    caller. Failed cities are skipped (reference behavior on exhausted
+    retries)."""
+    payloads = []
+    for city, start, end in windows:
+        payload = fetch_with_retry(fetcher, city, start, end)
+        if payload is not None:
+            payloads.append((city, payload))
+    if not payloads:
+        return spark.createDataFrame([], payloads_to_rows(spark, [("x", "{}")]).schema)
+    rows = payloads_to_rows(spark, payloads)
+    return rows.withColumn("load_timestamp", F.lit(load_ts).cast("timestamp_ntz"))
+
+
+def fetch_distributed(cities: DataFrame, fetcher: Fetcher) -> DataFrame:
+    """Scale path: run the fetcher per-partition over a city DataFrame with
+    mapInPandas (one HTTP call per city row, executed on executors).
+
+    Input columns: city_name, start_date, end_date (strings).
+    Output: (city_name string, payload string).
+    """
+    import pandas as pd
+
+    def fetch_batch(batches):
+        for pdf in batches:
+            out = []
+            for city, start, end in zip(
+                pdf["city_name"], pdf["start_date"], pdf["end_date"]
+            ):
+                payload = fetch_with_retry(fetcher, city, start, end)
+                if payload is not None:
+                    out.append({"city_name": city, "payload": payload})
+            yield pd.DataFrame(out, columns=["city_name", "payload"])
+
+    return cities.mapInPandas(fetch_batch, "city_name string, payload string")

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from designing_data_warehouse_in_sql_server_spark.operators import (
+    cap_outliers_zscore,
+    dedupe,
+    high_watermarks,
+    impute_group_mean,
+    scd2_apply,
+)
+
+
+def test_dedupe_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 20), (2, "b", 5)], "k int, g string, v int"
+    )
+    out = dedupe(df, keys=["k"], order_by=[F.col("v").desc()]).collect()
+    got = {r.k: r.v for r in out}
+    assert got == {1: 20, 2: 5}
+
+
+def test_impute_asymmetry(spark):
+    # processed NULL row stays NULL; unprocessed NULL row gets the mean of
+    # ALL rows (including processed values)
+    df = spark.createDataFrame(
+        [
+            ("g", 10.0, False),
+            ("g", 20.0, True),
+            ("g", None, False),
+            ("g", None, True),
+        ],
+        "g string, v double, done boolean",
+    )
+    out = impute_group_mean(
+        df, group_keys=["g"], cols=["v"], update_filter=F.col("done") == False  # noqa: E712
+    ).collect()
+    vals = {(r.done, r.v) for r in out}
+    assert (False, 15.0) in vals  # filled with mean(10, 20)
+    assert (True, None) in vals  # processed NULL untouched
+
+
+def test_zscore_single_row_group_kept(spark):
+    df = spark.createDataFrame([("g", 1000.0)], "g string, v double")
+    out = cap_outliers_zscore(df, group_keys=["g"], cols=["v"]).collect()
+    assert out[0].v == 1000.0  # stddev NULL -> kept (M3 edge)
+
+
+def test_scd2_apply(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "London", "UK", dt.datetime(2020, 1, 1), dt.datetime(9999, 12, 31), True),
+            (2, "Paris", "FR", dt.datetime(2020, 1, 1), dt.datetime(9999, 12, 31), True),
+        ],
+        "city_id long, city_name string, country string, "
+        "valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [("London", "United Kingdom")], "city_name string, country string"
+    )
+    out = scd2_apply(
+        dim, updates, key=["city_name"], tracked=["country"], effective_ts="2024-06-01 00:00:00"
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.city_name, r.valid_from))
+    london = [r for r in rows if r.city_name == "London"]
+    assert len(london) == 2
+    expired, current = sorted(london, key=lambda r: r.is_current)
+    assert not expired.is_current and expired.country == "UK"
+    assert expired.valid_to == dt.datetime(2024, 6, 1)
+    assert current.is_current and current.country == "United Kingdom"
+    assert current.city_id == 1  # untracked attribute carried over
+    paris = [r for r in rows if r.city_name == "Paris"]
+    assert len(paris) == 1 and paris[0].is_current
+
+    # idempotency: same update again changes nothing
+    again = scd2_apply(
+        out, updates, key=["city_name"], tracked=["country"], effective_ts="2024-07-01 00:00:00"
+    )
+    assert again.count() == out.count()
+
+
+def test_high_watermarks_fallback(spark):
+    fact = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 5))], "k string, ts timestamp_ntz"
+    )
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    out = {r.k: (r.watermark, r.used_fallback) for r in
+           high_watermarks(fact, keys, "k", "k", "ts", "2000-01-01").collect()}
+    assert out["a"] == (dt.datetime(2024, 1, 5), False)
+    assert out["b"] == (dt.datetime(2000, 1, 1), True)

@@ -1,0 +1,131 @@
+"""End-to-end pipeline goldens (SURVEY.md §5 strategy #2 and #3):
+planted edge cases flow through dedup → impute → outlier-cap → dim/fact
+merges; a second run is a no-op (idempotency)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from designing_data_warehouse_in_sql_server_spark.plans.pipeline import (
+    run_pipeline,
+    transform_load,
+)
+from designing_data_warehouse_in_sql_server_spark.sources.table_store import TableStore
+from tests.weather_fixtures import SYDNEY_NORMALS, seed_store
+
+LOAD_TS = "2024-02-01 02:00:00"
+
+
+def fake_fetcher(city: str, start: str, end: str) -> str:
+    """Deterministic Open-Meteo-shaped payload: one row per day in range."""
+    if city == "Dubai":
+        raise RuntimeError("Minutely API request limit exceeded")  # the notebook's real failure
+    d0 = dt.date.fromisoformat(start)
+    d1 = dt.date.fromisoformat(end)
+    days = [(d0 + dt.timedelta(days=i)).isoformat() for i in range((d1 - d0).days + 1)]
+    basis = float(sum(ord(c) for c in city) % 20)
+    return json.dumps(
+        {
+            "daily": {
+                "time": days,
+                "temperature_2m_max": [basis + 10.0 + i % 3 for i in range(len(days))],
+                "temperature_2m_min": [basis + i % 3 for i in range(len(days))],
+                "precipitation_sum": [0.5 * (i % 4) for i in range(len(days))],
+            }
+        }
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = TableStore(spark, str(tmp_path / "wh"))
+    seed_store(spark, s)
+    return s
+
+
+def fact_map(store):
+    return {
+        (r.city_id, r.date.isoformat()): r for r in store.read("fact_weather").collect()
+    }
+
+
+def test_transform_load_goldens(spark, store):
+    transform_load(spark, store, LOAD_TS)
+    fact = fact_map(store)
+    dim = {r.city_name: r for r in store.read("dim_city").filter("is_current").collect()}
+
+    # dedup: London 2024-01-10 kept the later load_timestamp (12.00) row
+    assert fact[(1, "2024-01-10")].temp_max == Decimal("12.00")
+
+    # imputation: London 2024-01-11 temp_max = mean(12, 9, 8) = 9.67
+    # (stats include the already-processed 8.00 row AND the matched-update
+    # 9.00 row — the reference's filter asymmetry)
+    assert fact[(1, "2024-01-11")].temp_max == Decimal("9.67")
+
+    # matched-update branch: existing fact row updated, surrogate key kept
+    row = fact[(1, "2024-01-05")]
+    assert row.temp_max == Decimal("9.00") and row.weather_id == 1
+
+    # outlier cap: Sydney 100.00 replaced by the city mean
+    vals = SYDNEY_NORMALS + [100]
+    expected_mean = Decimal(str(round(sum(vals) / len(vals), 2)))
+    assert fact[(3, "2024-01-20")].temp_max == expected_mean
+    # non-outlier Sydney rows untouched
+    assert fact[(3, "2024-01-01")].temp_max == Decimal("20.00")
+
+    # single-row city: stddev NULL -> kept
+    assert fact[(4, "2024-01-10")].temp_max == Decimal("30.00")
+
+    # unseen city: insert-only dim merge, NULL attrs, fresh surrogate key
+    assert "Karachi" in dim
+    assert dim["Karachi"].city_id == 6 and dim["Karachi"].country is None
+    karachi_id = dim["Karachi"].city_id
+    assert fact[(karachi_id, "2024-01-10")].temp_max == Decimal("28.00")
+
+    # processed staging row NOT reloaded: fact (1, 2024-01-05) came from the
+    # unprocessed 9.00 row, and no duplicate key exists
+    keys = [(r.city_id, r.date) for r in store.read("fact_weather").collect()]
+    assert len(keys) == len(set(keys))
+
+    # all staging rows flagged processed (M4: no WHERE)
+    assert store.read("stg_weather_raw").filter("NOT is_processed").count() == 0
+
+
+def test_transform_load_idempotent(spark, store):
+    transform_load(spark, store, LOAD_TS)
+    before = {k: (v.temp_max, v.weather_id) for k, v in fact_map(store).items()}
+    transform_load(spark, store, "2024-02-02 02:00:00")
+    after = {k: (v.temp_max, v.weather_id) for k, v in fact_map(store).items()}
+    assert before == after  # second run is a no-op on fact
+
+
+def test_full_pipeline_with_extract(spark, store):
+    run_pipeline(spark, store, fake_fetcher, today="2024-02-05", load_ts=LOAD_TS)
+    fact = store.read("fact_weather")
+    dim = store.read("dim_city").filter("is_current")
+
+    # London watermark was 2024-01-05 pre-run... extract ran after seeding,
+    # so windows start at watermark+1; every current city except the failed
+    # fetch (Dubai) got new rows through today
+    ny_rows = (
+        fact.join(dim.filter("city_name = 'New York'"), "city_id").orderBy("date").collect()
+    )
+    assert len(ny_rows) > 0
+    assert max(r.date for r in ny_rows) == dt.date(2024, 2, 5)
+
+    # Dubai fetch failed (retries exhausted) -> skipped, like the reference
+    dubai = fact.join(dim.filter("city_name = 'Dubai'"), "city_id")
+    assert dubai.count() == 0
+
+    # watermark advance: re-running with the same 'today' extracts nothing
+    # new for already-backfilled cities; only Karachi (added to the dim by
+    # run 1's transform, so fetched for the first time in run 2) backfills
+    # its 2024-01-11..2024-02-05 window = 26 rows
+    n_before = fact.count()
+    run_pipeline(spark, store, fake_fetcher, today="2024-02-05", load_ts="2024-02-06 02:00:00")
+    assert store.read("fact_weather").count() == n_before + 26
