@@ -18,6 +18,7 @@ from designing_data_warehouse_in_sql_server_spark.plans.parity import flagship_r
 # Importing these modules populates the registry.
 import designing_data_warehouse_in_sql_server_spark.plans.parity  # noqa: F401
 import designing_data_warehouse_in_sql_server_spark.plans.analytics  # noqa: F401
+import designing_data_warehouse_in_sql_server_spark.plans.extensions  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,140 @@
+"""Embedding similarity search (task-brief first-class extension).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+sign-bit LSH bucketing (candidates = vectors sharing the query's sign
+sketch) — same answers on the candidate set, a fraction of the distance
+computations.
+
+Cross-engine determinism: embeddings are float32; every arithmetic path
+quantizes to integer fixed-point (round(x * 10000) as bigint) so dot
+products are exact order-insensitive integer sums — bit-identical
+between Spark and DuckDB — and the final cosine is a deterministic
+double division. No UDFs: `transform`/`zip_with`/`aggregate` higher-order
+expressions run inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10000
+
+
+def quantized(vec: Column) -> Column:
+    """array<float> -> array<bigint> fixed-point (exact, deterministic)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * SCALE, 0).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: integer dots, one double division."""
+    return dot_q(a, b).cast("double") / F.sqrt(
+        dot_q(a, a).cast("double") * dot_q(b, b).cast("double")
+    )
+
+
+def sign_bucket(vec: Column, bits: int) -> Column:
+    """Sign-bit sketch of the first `bits` dims: '1'/'0' per dim > 0.
+    A deterministic coarse LSH — vectors in the same bucket are the
+    candidate set for the scale path."""
+    return F.array_join(
+        F.transform(
+            F.slice(vec, 1, bits),
+            lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine to the query vector.
+
+    Scale: the query vector is a broadcast one-row build side; ranking is
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge), so
+    nothing but k rows ever leaves the executors."""
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        quantized(F.col(vec_col)).alias("__qv")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine_q(quantized(F.col(vec_col)), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign bucket, then
+    exact cosine on candidates only. At 100 TB the bucket column is
+    precomputed and the table bucketed/partitioned by it, so a query
+    touches one partition instead of the full corpus."""
+    with_bucket = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        quantized(F.col(vec_col)).alias("__qv"), F.col("__bucket").alias("__qb")
+    )
+    return (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("__bucket") == F.col("__qb"))
+        .select(
+            id_col,
+            F.round(cosine_q(quantized(F.col(vec_col)), F.col("__qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above `threshold`, restricted
+    to sign-bucket collisions (the LSH prefilter bounds the pair space —
+    never the full n^2)."""
+    e = embeddings.select(
+        F.col(id_col),
+        quantized(F.col(vec_col)).alias("__v"),
+        sign_bucket(F.col(vec_col), bits).alias("__bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_q(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )

@@ -1,0 +1,348 @@
+"""Scale-extension queries (training-data pipeline operators) with DuckDB
+oracles, over the documents/embeddings testdata.
+
+Near-dup scenarios plant synthetic duplicates deterministically inside
+the query (testdata texts are all distinct): exact copies at
+doc_id+100000, and near-copies with the last word dropped — so the
+operators have real positives to find at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup_text import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_fingerprint,
+)
+from ..operators.similarity import cosine_topk, lsh_topk, neardup_pairs
+from ..operators.text_analysis import (
+    fingerprints,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from ..sources.parquet import load_table
+from .registry import register
+
+ID_OFFSET = 100000
+
+
+def _with_exact_copies(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + ID_OFFSET).alias("doc_id"), "text")
+    )
+
+
+def _with_near_copies(docs: DataFrame) -> DataFrame:
+    """Originals plus near-duplicates (last word dropped)."""
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(w, 1, F.size(w) - 1), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionAll(mutated)
+
+
+# SQL fragments mirrored by the Spark builders above.
+SQL_EXACT_COPIES = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id, text FROM documents
+"""
+
+SQL_NEAR_COPIES = rf"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id,
+         array_to_string(words[1:len(words)-1], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM documents)
+"""
+
+# k=3 word shingles, distinct; empty when < 3 words
+SQL_SHINGLES = r"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words) - 1),
+                                      i -> array_to_string(words[i:i+2], ' '))) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM all_docs)
+  WHERE len(words) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on md5(text).
+# ---------------------------------------------------------------------------
+EXACT_ORACLE = f"""
+WITH all_docs AS ({SQL_EXACT_COPIES})
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM all_docs GROUP BY 1
+"""
+
+
+@register("dedup_exact_hash", EXACT_ORACLE)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (4 bands x 2 rows, k=3 shingles).
+# ---------------------------------------------------------------------------
+BANDS, ROWS_PER_BAND = 4, 2
+
+
+def _sql_band_bucket(band: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{band * ROWS_PER_BAND + r}|' || s)))"
+        for r in range(ROWS_PER_BAND)
+    )
+    return f"SELECT doc_id, {band} AS band, md5(concat_ws('|', {mins})) AS bucket FROM sh"
+
+
+MINHASH_ORACLE = f"""
+WITH all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sigs a JOIN sigs b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification of the LSH candidates.
+# ---------------------------------------------------------------------------
+JACCARD_ORACLE = f"""
+WITH all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INT) AS n_common,
+       CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS INT) AS n_total,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM pairs p
+JOIN sh sa ON p.id_a = sa.doc_id
+JOIN sh sb ON p.id_b = sb.doc_id
+"""
+
+
+@register("dedup_ngram_jaccard", JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    return ngram_jaccard(pairs, docs, "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (16-bit, majority vote over shingle md5 high bits).
+# ---------------------------------------------------------------------------
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    chars = " || ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(bits))
+    return f"""
+WITH all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+exploded AS (
+  SELECT doc_id, md5(unnest(shingles)) AS h FROM sh
+),
+votes AS (
+  SELECT doc_id, {votes}, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM exploded GROUP BY doc_id
+)
+SELECT doc_id, {chars} AS simhash, n_shingles FROM votes
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    return simhash_fingerprint(docs, "doc_id", "text", k=3, bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings. Quantized integer dot products
+# (round(x*10000) as bigint) are order-insensitive exact sums -> identical
+# cosines on both engines.
+# ---------------------------------------------------------------------------
+SQL_QUANT = "list_transform({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+SQL_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> ({a})[i] * ({b})[i]))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    qa, qb = SQL_QUANT.format(v=a), SQL_QUANT.format(v=b)
+    dot_ab = SQL_DOT.format(a=qa, b=qb)
+    dot_aa = SQL_DOT.format(a=qa, b=qa)
+    dot_bb = SQL_DOT.format(a=qb, b=qb)
+    return (
+        f"ROUND(CAST({dot_ab} AS DOUBLE) / "
+        f"SQRT(CAST({dot_aa} AS DOUBLE) * CAST({dot_bb} AS DOUBLE)), 6)"
+    )
+
+
+TOPK_COSINE_ORACLE = f"""
+SELECT e.vec_id, {_sql_cosine('e.embedding', 'q.embedding')} AS cosine
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id != 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 20
+"""
+
+
+@register("similarity_topk_cosine", TOPK_COSINE_ORACLE)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_id=0, k=20)
+
+
+SQL_BUCKET = (
+    "array_to_string(list_transform({v}[1:8], "
+    "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+)
+
+LSH_TOPK_ORACLE = f"""
+SELECT e.vec_id, {_sql_cosine('e.embedding', 'q.embedding')} AS cosine
+FROM embeddings e,
+     (SELECT embedding, {SQL_BUCKET.format(v='embedding')} AS bucket
+      FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id != 0
+  AND {SQL_BUCKET.format(v='e.embedding')} = q.bucket
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_lsh_topk", LSH_TOPK_ORACLE)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, query_id=0, k=10, bits=8)
+
+
+NEARDUP_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {SQL_BUCKET.format(v='embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       {_sql_cosine('a.embedding', 'c.embedding')} AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_sql_cosine('a.embedding', 'c.embedding')} > 0.8
+"""
+
+
+@register("embedding_neardup_pairs", NEARDUP_ORACLE)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.8, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+LANGID_ORACLE = r"""
+WITH v AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS INT) AS votes_en,
+         CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS INT) AS votes_es,
+         CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS INT) AS votes_de,
+         CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des)\b')) AS INT) AS votes_fr
+  FROM documents
+)
+SELECT doc_id, votes_en, votes_es, votes_de, votes_fr,
+       CASE WHEN votes_en > 0 AND votes_en = GREATEST(votes_en, votes_es, votes_de, votes_fr) THEN 'en'
+            WHEN votes_es > 0 AND votes_es = GREATEST(votes_en, votes_es, votes_de, votes_fr) THEN 'es'
+            WHEN votes_de > 0 AND votes_de = GREATEST(votes_en, votes_es, votes_de, votes_fr) THEN 'de'
+            WHEN votes_fr > 0 AND votes_fr = GREATEST(votes_en, votes_es, votes_de, votes_fr) THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM v
+"""
+
+
+@register("lang_id_ngram", LANGID_ORACLE)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+QUALITY_ORACLE = r"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS INT) AS n_stopwords,
+       ROUND(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+       ROUND(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in)\b')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(lower(text)), '\s+')), 6) AS stopword_ratio,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / len(regexp_split_to_array(trim(lower(text)), '\s+')), 6) AS chars_per_token
+FROM documents
+"""
+
+
+@register("text_quality_score", QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TOKEN_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+@register("token_count", TOKEN_ORACLE)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+FINGERPRINT_ORACLE = r"""
+WITH all_docs AS (SELECT doc_id, text FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words) - 1),
+                                      i -> array_to_string(words[i:i+2], ' '))) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM all_docs)
+  WHERE len(words) >= 3
+)
+SELECT d.doc_id,
+       md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS content_md5,
+       list_min(list_transform(s.shingles, x -> md5(x))) AS min_shingle_hash
+FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+"""
+
+
+@register("doc_fingerprint", FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)

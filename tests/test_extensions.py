@@ -1,0 +1,103 @@
+"""Semantic checks for the training-data extension operators: the oracle
+tests prove cross-engine equivalence; these prove the operators find what
+they're supposed to find."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_fingerprint,
+    simhash_near_pairs,
+)
+from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from designing_data_warehouse_in_sql_server_spark.operators.text_analysis import lang_id
+from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+    ID_OFFSET,
+    _with_near_copies,
+)
+from tests.conftest import SF_DIR
+
+
+def _documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    docs = _documents(spark).select("doc_id", "text")
+    dupes = docs.unionAll(docs.select((F.col("doc_id") + ID_OFFSET).alias("doc_id"), "text"))
+    out = exact_dedup(dupes, "doc_id", "text")
+    rows = out.collect()
+    assert all(r.n_copies == 2 for r in rows)  # every doc has exactly one copy
+    assert all(r.keep_id < ID_OFFSET for r in rows)  # min id kept
+
+
+def test_minhash_lsh_recall_on_near_dups(spark):
+    docs = _with_near_copies(_documents(spark))
+    sigs = minhash_signatures(docs, "doc_id", "text", k=3, bands=4, rows_per_band=2)
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + ID_OFFSET) for r in _documents(spark).select("doc_id").collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall > 0.9  # dropping one word rarely breaks all 4 bands
+    # verification stage: planted pairs score near-1 Jaccard
+    verified = ngram_jaccard(pairs, docs, "doc_id", "text", k=3)
+    planted_scores = [
+        r.jaccard for r in verified.collect() if (r.id_a, r.id_b) in planted
+    ]
+    assert planted_scores and min(planted_scores) > 0.8
+
+
+def test_simhash_near_pairs_on_identical_docs(spark):
+    docs = _documents(spark).limit(20).select("doc_id", "text")
+    dupes = docs.unionAll(docs.select((F.col("doc_id") + ID_OFFSET).alias("doc_id"), "text"))
+    fp = simhash_fingerprint(dupes, "doc_id", "text")
+    pairs = simhash_near_pairs(fp, "doc_id", max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + ID_OFFSET) for r in docs.select("doc_id").collect()}
+    assert planted <= got  # identical text -> identical simhash
+
+
+def test_cosine_topk_sane(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    top = cosine_topk(emb, query_id=0, k=5).collect()
+    assert len(top) == 5
+    assert all(-1.0 <= r.cosine <= 1.0 for r in top)
+    sims = [r.cosine for r in top]
+    assert sims == sorted(sims, reverse=True)
+    # self-similarity: adding the query itself would score ~1; its nearest
+    # neighbor scores below 1 but above the kth
+    assert top[0].cosine >= top[-1].cosine
+
+
+def test_lsh_topk_is_subset_quality(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {r.vec_id: r.cosine for r in cosine_topk(emb, 0, 50).collect()}
+    approx = lsh_topk(emb, 0, 10, bits=8).collect()
+    # every LSH hit must carry the exact brute-force score
+    for r in approx:
+        if r.vec_id in brute:
+            assert abs(brute[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_lang_id_on_crafted_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of to in the house"),
+            (2, "el perro la casa de que los gatos"),
+            (3, "der hund die katze und das ist gut"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
