@@ -1,0 +1,105 @@
+"""Multimodal column plumbing (task-brief extension): image/audio/video
+as opaque ``binary`` columns with typed metadata, processed through
+Arrow-batched ``mapInPandas`` — the UDF shape a real decode/feature
+pipeline uses at 100 TB (one Python worker per partition, columnar
+batches over Arrow, no per-row overhead).
+
+The decode step itself is STUBBED (the container ships no image/audio
+libraries): ``decode_image`` raises NotImplementedError by design, and
+``extract_features`` defaults to a deterministic fake extractor so the
+Spark-side plumbing — schema, batch iteration, partitioning — is real
+and fully tested. Swapping in Pillow/torchaudio means replacing ONE
+function; nothing in the plan changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MULTIMODAL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),  # opaque payload
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "asset_id long, n_bytes int, first_byte int, last_byte int, feature_sum long"
+
+
+def decode_image(content: bytes) -> "object":
+    """STUB — real implementation needs an image library (Pillow/cv2)
+    which this environment does not ship. The mapInPandas pipeline around
+    it is real; swap this function to go live."""
+    raise NotImplementedError(
+        "image decode requires an image library not present in this environment"
+    )
+
+
+def fake_features(content: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a feature extractor: byte-level stats.
+    Exists so the distributed plumbing is testable end-to-end."""
+    if content is None or len(content) == 0:
+        return (0, -1, -1, 0)
+    return (len(content), content[0], content[-1], int(sum(content[:64])))
+
+
+def extract_features(
+    df: DataFrame,
+    extractor: Callable[[bytes], tuple[int, int, int, int]] = fake_features,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    Scale: mapInPandas processes whole Arrow record batches per Python
+    worker; with N input partitions there are N parallel extractors and
+    zero driver involvement. Repartition upstream to size batches to
+    worker memory (binary payloads are large — fewer rows per batch)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [extractor(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "last_byte": [f[2] for f in feats],
+                    "feature_sum": [f[3] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests/bench: treat document text bytes as opaque
+    binary assets (the testdata ships no real media)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )

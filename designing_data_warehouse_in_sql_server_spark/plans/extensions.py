@@ -19,6 +19,7 @@ from ..operators.dedup_text import (
     ngram_jaccard,
     simhash_fingerprint,
 )
+from ..operators.multimodal import documents_as_assets, extract_features
 from ..operators.similarity import cosine_topk, lsh_topk, neardup_pairs
 from ..operators.text_analysis import (
     fingerprints,
@@ -346,3 +347,25 @@ FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
 @register("doc_fingerprint", FINGERPRINT_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary assets -> Arrow-batched mapInPandas feature
+# extraction (deterministic fake extractor; decode itself is stubbed —
+# operators/multimodal.py). The oracle recomputes the byte-level features
+# in SQL (testdata text is ASCII, so codepoints == bytes).
+# ---------------------------------------------------------------------------
+MULTIMODAL_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+       CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte,
+       CAST(list_sum(list_transform(range(1, 65), i -> ascii(substr(text, i, 1)))) AS BIGINT) AS feature_sum
+FROM documents
+"""
+
+
+@register("multimodal_features", MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    return extract_features(assets)

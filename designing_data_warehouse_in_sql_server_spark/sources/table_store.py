@@ -218,6 +218,12 @@ class TableStore:
         if self.exists(cdc):
             changes = self.read(cdc).unionByName(changes)
         self._write_version(cdc, changes)
+        # append-only copy for streaming consumers (file source sees only
+        # new files; see streaming/cdc.py)
+        stream_dir = os.path.join(self.root, "_cdc_stream", name)
+        changes.filter(F.col("_commit_version") == next_v).write.mode("append").parquet(
+            stream_dir
+        )
 
     def read_changes(self, name: str, starting_version: int = 0) -> DataFrame:
         """Batch read of the change feed (Delta's

@@ -1,0 +1,107 @@
+"""Structured Streaming realization of the reference's streaming surface
+(SURVEY.md §2.9): the reference ships only CDC enablement (CDC.sql:1-2)
+and lists Kafka ingestion as a future enhancement (reference
+README.md:390). This module is the idiomatic-Spark version of that plan:
+
+    readStream -> withWatermark -> dropDuplicates / windowed agg
+               -> foreachBatch MERGE into the warehouse (streaming J5)
+
+The batch equivalents (events_tumbling_window, sessionize_events in
+plans/analytics.py) are the oracle-checkable versions of these
+aggregations; streaming itself is exercised by tests with the
+availableNow trigger (bounded backfill run, same engine code paths a
+24/7 stream uses).
+
+At scale: swap the file source for format('kafka'); everything after the
+source line is unchanged. Watermarks bound state; shuffle partitioning
+on the aggregate keys is identical to the batch plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (nanos epoch -> TIMESTAMP,
+    matching sources/parquet._load_events)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # a glob (not an exact file path) keeps the source's basePath a
+    # directory, which the file streaming source requires
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parq*")
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def streaming_dedupe(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: the streaming
+    analog of the reference's staging dedup (W1/M2) and the idiomatic
+    pre-step of the Kafka ingestion plan."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (late data beyond the
+    watermark is dropped; state is bounded by the horizon)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session-window aggregation with a dynamic gap — the built-in
+    stateful session operator (batch analog: sessionize_events)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    merge_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """writeStream.foreachBatch upsert — the streaming analog of the
+    reference's fact MERGE (J5, transform_load.sql:50-70). Each micro-batch
+    is handed to ``merge_fn(batch_df, batch_id)`` (typically
+    ``TableStore.merge``), giving transactional per-batch upserts.
+
+    Returns the started StreamingQuery; with available_now the query
+    drains all available input then stops (bounded backfill semantics).
+    """
+    writer = (
+        stream.writeStream.foreachBatch(merge_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,111 @@
+"""Structured Streaming tests (SURVEY.md §7 phase 5): the availableNow
+trigger drains the bounded testdata through the same code paths a live
+stream uses; results are compared to the batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+from designing_data_warehouse_in_sql_server_spark.sources.table_store import TableStore
+from designing_data_warehouse_in_sql_server_spark.streaming import (
+    stream_changes,
+    stream_events,
+    streaming_dedupe,
+    streaming_session_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+def _run_to_memory(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_tumbling_counts_matches_batch(spark):
+    from designing_data_warehouse_in_sql_server_spark.plans.analytics import (
+        events_tumbling_window,
+    )
+
+    _run_to_memory(tumbling_counts(stream_events(spark, SF_DIR)), "t_tumbling", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_tumbling").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in events_tumbling_window(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedupe(spark):
+    events = stream_events(spark, SF_DIR)
+    _run_to_memory(streaming_dedupe(events.unionByName(events)), "t_dedupe", "append")
+    n_distinct = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    assert spark.table("t_dedupe").count() == n_distinct
+
+
+def test_session_window_matches_batch_sessionization(spark):
+    from designing_data_warehouse_in_sql_server_spark.plans.analytics import (
+        sessionize_events,
+    )
+
+    _run_to_memory(
+        streaming_session_counts(stream_events(spark, SF_DIR)), "t_sessions", "complete"
+    )
+    got = {
+        (r.user_id, r.session_start): r.n_events for r in spark.table("t_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessionize_events(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    from designing_data_warehouse_in_sql_server_spark.streaming import foreach_batch_upsert
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    events = load_table(spark, SF_DIR, "events")
+    store.overwrite(
+        "event_latest", events.limit(0).select("event_id", "event_type", "value")
+    )
+
+    def merge_batch(batch, batch_id):
+        store.merge(
+            "event_latest",
+            batch.select("event_id", "event_type", "value").dropDuplicates(["event_id"]),
+            on=["event_id"],
+            capture_cdc=False,
+        )
+
+    q = foreach_batch_upsert(
+        stream_events(spark, SF_DIR), merge_batch, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert store.read("event_latest").count() == events.count()
+
+
+def test_cdc_stream_matches_batch_feed(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    store.overwrite("t", t)
+    store.merge("t", spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), on=["k"])
+    store.merge("t", spark.createDataFrame([(4, "d")], "k int, v string"), on=["k"])
+
+    _run_to_memory(stream_changes(spark, store, "t"), "t_cdc", "append")
+    got = {(r.k, r._change_type, r._commit_version) for r in spark.table("t_cdc").collect()}
+    want = {
+        (r.k, r._change_type, r._commit_version) for r in store.read_changes("t").collect()
+    }
+    assert got == want and len(got) > 0
