@@ -1,32 +1,80 @@
 """Document deduplication operators for training-data pipelines
 (task-brief first-class extensions; no reference counterpart — the
-reference's only dedup is the row-level window W1/M2).
+reference's only dedup is the row-level window W1/M2,
+transform_load.sql:9-16).
 
-All operators are pure Catalyst expression pipelines (higher-order array
-functions, no Python UDFs), so they scale: signatures are computed in a
-single scan without exploding shingles, and the only shuffles are the
-hash-partitioned groupBys/joins on doc or bucket keys.
+All operators are pure Catalyst expression pipelines (no Python UDFs).
+The execution shape is chosen for 100 TB, not just correctness:
 
-Design notes:
-- Hashes are md5 hex strings: identical in Spark and DuckDB, and
-  lexicographic MIN over fixed-length lowercase hex equals numeric MIN —
-  so MinHash signatures are cross-engine deterministic without any
+- **Pre-partition, then compute.** Each pipeline starts with one
+  explicit ``repartition(N, id)`` of the raw (id, text) pairs. That
+  single shuffle of the *smallest* representation (raw text, not
+  exploded shingles or hash arrays) buys three things: (1) every
+  downstream stage runs at full cluster parallelism even when the scan
+  yields few splits (small files / few row groups); (2) it is a
+  materialization barrier, so the tokenize+shingle expression is never
+  inlined and recomputed by projection collapse; (3) the later
+  ``groupBy(id)`` reuses the hash partitioning — no second shuffle.
+- **Explode + aggregate, not nested arrays.** Signatures are computed
+  as ``explode(shingles) -> groupBy(id).agg(min(...))``. Plain
+  (non-higher-order) expressions stay inside WholeStageCodegen where
+  Spark's subexpression elimination evaluates each md5 exactly once per
+  shingle; higher-order ``transform`` lambdas are interpreted and
+  re-evaluate shared subtrees.
+- **4 permutations per md5.** One md5 yields 32 hex chars = four
+  8-hex-char slices, each an independent uniform hash. H permutations
+  cost ceil(H/4) md5 calls per shingle. Lexicographic MIN over
+  fixed-length lowercase hex equals numeric MIN, and is identical in
+  Spark and DuckDB — signatures are cross-engine deterministic with no
   integer conversion.
-- MinHash-LSH: k-word shingles → H=bands*rows md5 "permutations" (md5 of
-  seed||shingle) → per-band bucket = md5 of the band's row minima →
-  candidate pairs = docs sharing any band bucket. One scan for
-  signatures, one explode(bands), one shuffle join on (band, bucket).
-- SimHash: 16-bit fingerprint from the high bit of each md5 nibble,
-  majority-voted across shingles; near-dups = fingerprints within
-  Hamming distance d.
-- n-gram Jaccard: exact verification on candidate pairs via
-  array_intersect/array_union sizes (integer division → deterministic).
+- **LSH join, never n^2.** Candidate generation is a shuffle self-join
+  on (band, bucket); bucket sizes are the LSH-bounded collision groups.
+  Identical subplans under the two join sides are deduplicated by
+  Spark's exchange reuse, so signatures are computed once. Skewed
+  mega-buckets (boilerplate text) are split by AQE skew-join handling.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# One md5 (32 lowercase hex chars) provides four independent 8-char hash
+# slices; permutation j uses slice j%4 of md5('<j//4>|' || shingle).
+SLICES_PER_MD5 = 4
+SLICE_LEN = 8
+
+
+_INFER_FILTERS_FROM_GENERATE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def _disable_generate_filter_inference(df: DataFrame) -> None:
+    """InferFiltersFromGenerate puts ``size(e) > 0 AND isnotnull(e)``
+    under every explode. When the generator input is a computed
+    higher-order expression, predicate pushdown substitutes the FULL
+    expression into that filter and re-evaluates it (twice) per scan row
+    in interpreted mode — measured 20x slower on the shingle pipelines
+    (21.8s -> 1.1s at sf0.1 with the rule excluded). Our shingle arrays
+    are non-empty by construction (word-count pre-filter), so the
+    inferred filter prunes nothing. Runtime-settable, idempotent."""
+    spark = df.sparkSession
+    key = "spark.sql.optimizer.excludedRules"
+    current = spark.conf.get(key, None)
+    if not current:
+        spark.conf.set(key, _INFER_FILTERS_FROM_GENERATE)
+    elif _INFER_FILTERS_FROM_GENERATE not in current:
+        spark.conf.set(key, current + "," + _INFER_FILTERS_FROM_GENERATE)
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to full parallelism with an explicit partition count
+    (an explicit N is exempt from AQE coalescing, which would otherwise
+    shrink a small input back to one partition and serialize the heavy
+    per-row compute that follows)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
 
 
 def words_col(text: Column) -> Column:
@@ -48,11 +96,31 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_docs(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, __sh: array<string>) with the shingle array computed exactly
+    once per doc at full parallelism. Docs with < k words drop out (no
+    signature).
+
+    The short-doc filter is expressed on the word count, NOT on
+    ``size(shingles) > 0``: a predicate over the shingle array gets
+    pushed below the repartition exchange by Catalyst and re-evaluates
+    the whole (interpreted, higher-order) shingle expression per row on
+    the narrow scan side — measured 10-20x slower on this corpus. The
+    word-count form is a cheap scan-side predicate and is equivalent
+    (>= k words <=> >= 1 shingle), leaving exactly one shingle
+    evaluation, post-exchange, at full parallelism."""
+    _disable_generate_filter_inference(df)
+    filtered = df.filter(F.size(words_col(F.col(text_col))) >= k)
+    return spread(filtered, id_col).select(
+        F.col(id_col), shingles_col(F.col(text_col), k).alias("__sh")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup by content hash: keep the minimum id per md5(text).
 
-    Scale: one hash-partitioned groupBy on a 32-char key; no text
-    comparison after the hash."""
+    Scale: one hash-partitioned groupBy on a 32-char key with map-side
+    partial aggregation; no text comparison after the hash."""
     return (
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
         .groupBy("content_hash")
@@ -63,6 +131,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _perm_hash(j: int, shingle: Column) -> Column:
+    """Permutation j's hash of a shingle: an 8-hex slice of a seeded md5.
+    Slices j%4 of the same md5 share one evaluation via codegen
+    subexpression elimination."""
+    group, slot = divmod(j, SLICES_PER_MD5)
+    seeded = F.md5(F.concat(F.lit(f"{group}|"), shingle))
+    return F.substring(seeded, slot * SLICE_LEN + 1, SLICE_LEN)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -71,33 +148,44 @@ def minhash_signatures(
     bands: int = 4,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """Per-doc LSH band buckets: (id, band, bucket).
+    """Per-doc LSH band buckets: (id, band, bucket) from raw documents."""
+    return minhash_from_shingles(
+        shingle_docs(df, id_col, text_col, k), id_col, bands, rows_per_band
+    )
 
-    The j-th "permutation" is min over shingles of md5('<j>|'||shingle);
-    a band bucket is md5 of its rows_per_band minima joined. Documents
+
+def minhash_from_shingles(
+    shingled: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Per-doc LSH band buckets from a (id, __sh) shingle table.
+
+    Shape: explode -> groupBy(id) with H = bands*rows_per_band MIN
+    aggregates (each an 8-hex md5 slice, ceil(H/4) md5s per shingle
+    after subexpression elimination) -> band bucket = md5 of its
+    rows_per_band minima. The groupBy reuses shingle_docs' hash
+    partitioning on id, so the explode never shuffles. Documents
     sharing >= 1 band bucket are near-dup candidates.
     """
-    docs = df.select(F.col(id_col), shingles_col(F.col(text_col), k).alias("__sh")).filter(
-        F.size("__sh") > 0  # docs with < k words have no signature
+    tokens = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    n_perms = bands * rows_per_band
+    mins = tokens.groupBy(id_col).agg(
+        *[F.min(_perm_hash(j, F.col("__s"))).alias(f"__m{j}") for j in range(n_perms)]
     )
-    sh = F.col("__sh")
-
-    def seeded_hash(seed: int):
-        # NB: a two-arg lambda would be treated by F.transform as
-        # (element, index) — the seed must be captured in a closure.
-        prefix = f"{seed}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    band_cols = []
-    for b in range(bands):
-        mins = [
-            F.array_min(F.transform(sh, seeded_hash(b * rows_per_band + r)))
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *mins)).alias("bucket"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bucket"),
         )
-    return docs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        for b in range(bands)
+    ]
+    return mins.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -107,8 +195,17 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
 
     Scale: shuffle join keyed on (band, bucket); bucket sizes are the
     LSH-bounded collision groups, so the join never materializes the
-    full n^2 pair space. Skewed mega-buckets (boilerplate text) are
-    handled by AQE skew-join splitting."""
+    full n^2 pair space. Skewed mega-buckets are handled by AQE
+    skew-join splitting.
+
+    The signature subtree is materialized once via a lazy local
+    checkpoint before the self-join (exchange reuse does not fire across
+    the two aliased sides, so without it the whole shingle+hash pipeline
+    runs twice — measured 4x slower). At cluster scale the same
+    materialize-once-join-twice shape holds; swap the local checkpoint
+    for a reliable checkpoint or an explicit table write when executor
+    loss must be survivable."""
+    signatures = signatures.localCheckpoint(eager=False)
     a = signatures.alias("a")
     b = signatures.alias("b")
     return (
@@ -132,14 +229,19 @@ def ngram_jaccard(
     id_col: str,
     text_col: str,
     k: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (verification stage).
 
     Jaccard = |A ∩ B| / |A ∪ B| over distinct k-shingles; integer sizes
-    divide to a deterministic double on both engines."""
-    sh = docs.select(
-        F.col(id_col).alias("__id"), shingles_col(F.col(text_col), k).alias("__sh")
-    )
+    divide to a deterministic double on both engines. The shingle table
+    feeds both join sides, so it is checkpointed once (pass `shingled`
+    to share one materialization with the candidate-generation stage);
+    the candidate `pairs` input is LSH-bounded, so the array intersect /
+    union work is proportional to candidates, not n^2."""
+    if shingled is None:
+        shingled = shingle_docs(docs, id_col, text_col, k).localCheckpoint(eager=False)
+    sh = shingled.withColumnRenamed(id_col, "__id")
     a = sh.alias("sa")
     b = sh.alias("sb")
     return (
@@ -165,13 +267,17 @@ def simhash_fingerprint(
     high bit of md5 nibble i (hex char >= '8' — lexicographic compare is
     exact for lowercase hex). Returns (id, simhash string, n_shingles).
 
-    Scale: explode(shingles) then ONE groupBy(id) with `bits` conditional
-    sums — a single shuffle; the fingerprint is a plain string column
-    ready for banding or Hamming joins."""
+    Scale: repartition(id) -> explode(shingles) -> ONE groupBy(id) with
+    `bits` conditional sums over substrings of a single md5 (codegen
+    subexpression elimination: one md5 per shingle); the groupBy reuses
+    the repartitioning, so nothing shuffles twice. The fingerprint is a
+    plain string column ready for banding or Hamming joins."""
     assert bits <= 32  # md5 has 32 hex chars
-    sh = df.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("__sh")
-    ).withColumn("__h", F.md5("__sh"))
+    sh = (
+        shingle_docs(df, id_col, text_col, k)
+        .select(F.col(id_col), F.explode("__sh").alias("__s"))
+        .select(F.col(id_col), F.md5("__s").alias("__h"))
+    )
     votes = [
         F.sum(
             F.when(F.substring("__h", i + 1, 1) >= "8", 1).otherwise(-1)

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup_text import shingles_col, words_col
+from .dedup_text import shingles_col, spread, words_col
 
 # Stopword alternations per language — deliberately regex-dialect-neutral
 # (word boundaries + literal ASCII words work identically in Java regex
@@ -77,7 +77,13 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Document fingerprints: full-content md5 of the normalized text plus
     a winnowing-style rolling fingerprint (min shingle hash — the anchor
-    a rolling-hash winnower would select)."""
+    a rolling-hash winnower would select).
+
+    Scale: shingling + per-shingle md5 is the heavy row-local step, so
+    the input is spread to full parallelism first (small scans produce
+    few splits; at cluster scale the repartition is one cheap shuffle of
+    raw text that unlocks N-way compute)."""
+    df = spread(df, id_col)
     t = F.col(text_col)
     normalized = F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")
     return df.select(

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 from ..operators.dedup_text import (
     exact_dedup,
     lsh_candidate_pairs,
+    minhash_from_shingles,
     minhash_signatures,
     ngram_jaccard,
+    shingle_docs,
     simhash_fingerprint,
 )
 from ..operators.multimodal import documents_as_assets, extract_features
@@ -100,9 +102,16 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 BANDS, ROWS_PER_BAND = 4, 2
 
 
+def _sql_perm_hash(j: int) -> str:
+    """Mirrors operators/dedup_text._perm_hash: permutation j = 8-hex
+    slice j%4 of md5('<j//4>|' || shingle)."""
+    group, slot = divmod(j, 4)
+    return f"substr(md5('{group}|' || s), {slot * 8 + 1}, 8)"
+
+
 def _sql_band_bucket(band: int) -> str:
     mins = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{band * ROWS_PER_BAND + r}|' || s)))"
+        f"list_min(list_transform(shingles, s -> {_sql_perm_hash(band * ROWS_PER_BAND + r)}))"
         for r in range(ROWS_PER_BAND)
     )
     return f"SELECT doc_id, {band} AS band, md5(concat_ws('|', {mins})) AS bucket FROM sh"
@@ -153,11 +162,12 @@ JOIN sh sb ON p.id_b = sb.doc_id
 @register("dedup_ngram_jaccard", JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(
-        docs, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
-    )
+    # one materialized shingle table feeds signature generation AND
+    # Jaccard verification (three consumers, one computation)
+    shingled = shingle_docs(docs, "doc_id", "text", k=3).localCheckpoint(eager=False)
+    sigs = minhash_from_shingles(shingled, "doc_id", bands=BANDS, rows_per_band=ROWS_PER_BAND)
     pairs = lsh_candidate_pairs(sigs, "doc_id")
-    return ngram_jaccard(pairs, docs, "doc_id", "text", k=3)
+    return ngram_jaccard(pairs, docs, "doc_id", "text", k=3, shingled=shingled)
 
 
 # ---------------------------------------------------------------------------
