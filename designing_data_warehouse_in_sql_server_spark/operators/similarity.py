@@ -15,7 +15,7 @@ expressions run inside codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 SCALE = 10000
@@ -100,6 +100,73 @@ def lsh_topk(
     return (
         with_bucket.filter(F.col(id_col) != query_id)
         .join(F.broadcast(q), F.col("__bucket") == F.col("__qb"))
+        .select(
+            id_col,
+            F.round(cosine_q(quantized(F.col(vec_col)), F.col("__qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest centroid, search only the `n_probe` cells nearest the query.
+
+    Centroid selection here is deterministic (the first `n_centroids`
+    vectors by id) so the oracle can replay it; production would plug in
+    k-means-trained centroids — the plumbing (assignment, probe
+    selection, cell-restricted search) is identical and is the part
+    that matters at scale.
+
+    Scale: centroids are a broadcast build side (assignment is one
+    narrow pass over the corpus — at 100 TB it is precomputed once and
+    the table is partitioned/bucketed by cell id, so a query reads only
+    n_probe cells instead of the full corpus). Probe selection is a
+    n_centroids-row sort; candidate scoring touches ~n_probe/n_centroids
+    of the data; ranking is TakeOrderedAndProject (k rows to the
+    driver)."""
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"), quantized(F.col(vec_col)).alias("__cvec")
+    )
+    scored = (
+        embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            "__cid",
+            F.round(cosine_q(F.col("__v"), F.col("__cvec")), 6).alias("__ccos"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("__cid"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__cid")
+    )
+    probes = (
+        scored.filter(F.col(id_col) == query_id)
+        .orderBy(F.col("__ccos").desc(), F.col("__cid"))
+        .limit(n_probe)
+        .select("__cid")
+    )
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        quantized(F.col(vec_col)).alias("__qv")
+    )
+    candidates = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .join(assigned.join(F.broadcast(probes), "__cid").select(id_col), id_col)
+    )
+    return (
+        candidates.crossJoin(F.broadcast(q))
         .select(
             id_col,
             F.round(cosine_q(quantized(F.col(vec_col)), F.col("__qv")), 6).alias("cosine"),

@@ -417,3 +417,150 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style order priority check (extension: semi join — SURVEY
+# §2.11 lists semi joins as a reference absence). The testdata lineitem
+# has no commit/receipt dates, so "late" = shipped after the order date.
+# ---------------------------------------------------------------------------
+Q4_ORACLE = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_order_priority", Q4_ORACLE)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: EXISTS compiles to a LEFT SEMI shuffle join on
+    l_orderkey — probe side never duplicates order rows, and the extra
+    l_shipdate > o_orderdate predicate rides the join (no post-filter
+    blowup). Date filter prunes the orders side before the shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        filtered.join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-style returned-item revenue: 4-way join, grouped revenue,
+# deterministic top-k (bench-relevant: big fact joins two dims).
+# ---------------------------------------------------------------------------
+Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: lineitem filter (returnflag) is pushed to the parquet
+    scan; customer and nation are broadcast; the only shuffle is the
+    lineitem⋈orders equi-join plus the final grouped aggregate. Top-20
+    is TakeOrderedAndProject (no global sort)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-style large-volume orders: aggregate-filtered join (HAVING
+# pushed into a pre-aggregated build side).
+# ---------------------------------------------------------------------------
+Q18_QTY = 150
+
+Q18_ORACLE = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS totalprice,
+       ROUND(agg.sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY}
+) agg
+JOIN orders o ON o.o_orderkey = agg.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice DESC, o.o_orderkey
+LIMIT 50
+"""
+
+
+@register("q18_large_orders", Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: the quantity rollup happens FIRST (map-side partial
+    agg over lineitem, one shuffle on l_orderkey), and only qualifying
+    orderkeys join onward — the join input shrinks from |lineitem| to
+    |qualifying orders|. Customer is broadcast."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qualifying = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > Q18_QTY)
+    )
+    return (
+        qualifying.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("__sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )

@@ -22,7 +22,8 @@ from ..operators.dedup_text import (
     simhash_fingerprint,
 )
 from ..operators.multimodal import documents_as_assets, extract_features
-from ..operators.similarity import cosine_topk, lsh_topk, neardup_pairs
+from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, neardup_pairs
+from ..operators.skew import salted_sum_count
 from ..operators.text_analysis import (
     fingerprints,
     lang_id,
@@ -259,6 +260,43 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, query_id=0, k=10, bits=8)
 
 
+IVF_CENTROIDS, IVF_PROBE = 16, 4
+
+IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id, c.cid, {_sql_cosine('e.embedding', 'c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM scored WHERE vec_id = 0 ORDER BY ccos DESC, cid LIMIT {IVF_PROBE}
+)
+SELECT e.vec_id, {_sql_cosine('e.embedding', 'q.embedding')} AS cosine
+FROM embeddings e
+JOIN assigned a ON e.vec_id = a.vec_id
+JOIN probes p ON a.cid = p.cid
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id != 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_ivf_topk", IVF_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_id=0, k=10, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
+
+
 NEARDUP_ORACLE = f"""
 WITH b AS (
   SELECT vec_id, embedding, {SQL_BUCKET.format(v='embedding')} AS bucket
@@ -275,6 +313,30 @@ WHERE {_sql_cosine('a.embedding', 'c.embedding')} > 0.8
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs(emb, threshold=0.8, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation: salted two-phase aggregation. The oracle is the PLAIN
+# single-phase aggregate — salting must be invisible in the result.
+# ---------------------------------------------------------------------------
+SALTED_ORACLE = """
+SELECT event_type,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("salted_aggregation", SALTED_ORACLE)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.event_type is pathologically low-cardinality (a handful of
+    values over the whole table) — exactly the shape where one hot key
+    pins a reducer. The salted two-phase plan splits each key 8 ways."""
+    events = load_table(spark, sf_dir, "events")
+    return salted_sum_count(
+        events, keys=["event_type"], value_col="value", salt_from="event_id", n_salt=8
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,45 @@ def test_lang_id_on_crafted_text(spark):
     )
     out = {r.doc_id: r.lang_pred for r in lang_id(df, "doc_id", "text").collect()}
     assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_ivf_topk_exhaustive_probe_equals_brute_force(spark):
+    """With n_probe == n_centroids every cell is searched, so IVF must
+    reduce exactly to the brute-force top-k."""
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = cosine_topk(emb, query_id=0, k=10).collect()
+    ivf = ivf_topk(emb, query_id=0, k=10, n_centroids=8, n_probe=8).collect()
+    assert [(r.vec_id, r.cosine) for r in ivf] == [(r.vec_id, r.cosine) for r in exact]
+
+
+def test_ivf_topk_pruned_probe_is_subset_of_corpus_ranking(spark):
+    """With pruning, IVF returns k results drawn from the probed cells,
+    ranked by true cosine (approximate recall, exact scoring)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivf_topk(emb, query_id=0, k=10, n_centroids=16, n_probe=4).collect()
+    assert len(out) == 10
+    cosines = [r.cosine for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(r.vec_id != 0 for r in out)
+
+
+def test_salted_aggregation_matches_plain(spark):
+    """Salting must be invisible in the result, for any salt width."""
+    from designing_data_warehouse_in_sql_server_spark.operators.skew import salted_sum_count
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    plain = (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    for n_salt in (1, 8, 64):
+        salted = salted_sum_count(events, ["event_type"], "value", "event_id", n_salt)
+        assert sorted(salted.collect()) == sorted(plain.collect())
