@@ -6,6 +6,7 @@ from .events import (
     tumbling_counts,
 )
 from .cdc import append_only_cdc_dir, stream_changes
+from .stateful import running_user_stats
 
 __all__ = [
     "foreach_batch_upsert",
@@ -15,4 +16,5 @@ __all__ = [
     "tumbling_counts",
     "append_only_cdc_dir",
     "stream_changes",
+    "running_user_stats",
 ]

@@ -109,3 +109,33 @@ def test_cdc_stream_matches_batch_feed(spark, tmp_path):
         (r.k, r._change_type, r._commit_version) for r in store.read_changes("t").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_running_user_stats(spark):
+    """applyInPandasWithState accumulates across micro-batches; the final
+    state per user must equal the batch aggregate (integer cents make
+    the comparison exact)."""
+    from designing_data_warehouse_in_sql_server_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    _run_to_memory(running_user_stats(stream_events(spark, SF_DIR)), "t_state", "update")
+    # last emitted row per user = final running totals
+    out = spark.table("t_state")
+    latest = (
+        out.withColumn("__rn", F.monotonically_increasing_id())
+        .orderBy(F.col("__rn").desc())
+        .dropDuplicates(["user_id"])
+    )
+    got = {(r.user_id): (r.n_events, r.sum_cents) for r in latest.collect()}
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
