@@ -1,0 +1,128 @@
+"""Physical-plan shape tests: the oracle tests prove results are right;
+these prove the PLANS are the ones that survive a 100x scale-up —
+filters reach the parquet scan, small sides broadcast, top-k never
+global-sorts, nothing falls back to a cartesian product.
+
+Plans are inspected via explain(formatted) text. AQE is on (session
+fixture), so assertions target the initial physical plan, which is what
+static planning guarantees; AQE only improves on it at runtime.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _registry():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+QS = _registry()
+
+
+# every registered query must avoid cartesian products and row-at-a-time
+# Python UDFs in its plan — the two classic scale killers
+@pytest.mark.parametrize("name", sorted(QS))
+def test_no_cartesian_no_python_udf(spark, name):
+    plan = _plan(QS[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q1's shipdate filter must appear in the parquet scan's
+    PushedFilters, not as a post-scan Filter only."""
+    plan = _plan(QS["q1_pricing_summary"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1), plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """topk_orders projects 3 of 6 order columns; ReadSchema must not
+    include the unused ones."""
+    plan = _plan(QS["topk_orders"](spark, SF_DIR))
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m
+    schema = m.group(1)
+    assert "o_orderkey" in schema and "o_totalprice" in schema
+    assert "o_orderpriority" not in schema and "o_orderstatus" not in schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items", "flagship_revenue"],
+)
+def test_dimension_joins_broadcast(spark, name):
+    """Star joins against small dimensions must be broadcast hash joins;
+    at most one shuffle join (the fact-fact edge) is acceptable."""
+    plan = _plan(QS[name](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_smj <= 1, f"{name}: {n_smj} shuffle joins"
+
+
+@pytest.mark.parametrize("name", ["topk_orders", "q3_shipping_priority", "q10_returned_items"])
+def test_topk_is_take_ordered(spark, name):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject —
+    per-partition top-k and a k-row driver merge, never a global Sort."""
+    plan = _plan(QS[name](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, f"{name}: top-k fell back to global sort"
+
+
+def test_q4_semi_join(spark):
+    """EXISTS must plan as a semi join (probe rows never duplicate)."""
+    plan = _plan(QS["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes via their detail entries (the tree
+    section and the detail section each mention a node once)."""
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_whole_stage_codegen_on_aggregates(spark):
+    """The scan-heavy q1 aggregate must run inside WholeStageCodegen
+    (simple-mode explain marks codegen stages with '*('); AQE is
+    disabled for the check because adaptive plans defer codegen ids."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QS["q1_pricing_summary"](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in plan, plan[:1500]
+
+
+def test_minhash_single_shuffle_to_signatures(spark):
+    """The signature pipeline must shuffle exactly once before the
+    aggregate: the explicit repartition(id), whose partitioning the
+    groupBy(id) reuses (no second exchange)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        minhash_signatures,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(minhash_signatures(docs, "doc_id", "text"))
+    assert _n_exchanges(plan) == 1, plan[:3000]
+
+
+def test_salted_agg_two_exchanges(spark):
+    """Salted aggregation is exactly two shuffles: (key, salt) then key."""
+    plan = _plan(QS["salted_aggregation"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 2, plan[:3000]

@@ -75,3 +75,62 @@ def test_cdc_feed(spark, store):
     pre = changes.filter((F.col("k") == 2) & (F.col("_change_type") == "update_preimage"))
     post = changes.filter((F.col("k") == 2) & (F.col("_change_type") == "update_postimage"))
     assert pre.first().v == "b" and post.first().v == "B"
+
+
+# -- partitioned tables / pruned merge ---------------------------------------
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k int, yr int, v string")
+
+
+def test_partitioned_roundtrip_and_pruning(spark, store):
+    store.overwrite(
+        "p",
+        _pdf(spark, [(1, 1996, "a"), (2, 1997, "b"), (3, 1998, "c")]),
+        partition_by=["yr"],
+    )
+    assert store.partition_spec("p") == ["yr"]
+    got = {(r.k, r.yr, r.v) for r in store.read("p").collect()}
+    assert got == {(1, 1996, "a"), (2, 1997, "b"), (3, 1998, "c")}
+    # a filter on the partition column must prune at the scan
+    df = store.read("p").filter(F.col("yr") == 1997)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [" in plan and "yr" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_pruned_merge_matches_full_merge_and_links_untouched(spark, store):
+    import os
+
+    rows = [(1, 1996, "a"), (2, 1997, "b"), (3, 1998, "c"), (4, 1997, "d")]
+    store.overwrite("p", _pdf(spark, rows), partition_by=["yr"])
+    store.overwrite("flat", _pdf(spark, rows))
+
+    src = _pdf(spark, [(2, 1997, "B"), (9, 1997, "new")])
+    store.merge("p", src, on=["k", "yr"])
+    store.merge("flat", src, on=["k", "yr"])
+
+    want = {r.k: (r.yr, r.v) for r in store.read("flat").collect()}
+    got = {r.k: (r.yr, r.v) for r in store.read("p").collect()}
+    assert got == want == {
+        1: (1996, "a"), 2: (1997, "B"), 3: (1998, "c"), 4: (1997, "d"), 9: (1997, "new")
+    }
+
+    # untouched partitions (1996, 1998) must be hard links of v1's files
+    v1 = os.path.join(store.root, "p", "v1")
+    v2 = os.path.join(store.root, "p", "v2")
+
+    def inodes(vdir, part):
+        d = os.path.join(vdir, part)
+        return {os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
+
+    assert inodes(v2, "yr=1996") == inodes(v1, "yr=1996")
+    assert inodes(v2, "yr=1998") == inodes(v1, "yr=1998")
+    # the touched partition was rewritten (fresh files)
+    assert inodes(v2, "yr=1997").isdisjoint(inodes(v1, "yr=1997"))
+
+
+def test_pruned_merge_cdc_covers_only_touched(spark, store):
+    rows = [(1, 1996, "a"), (2, 1997, "b")]
+    store.overwrite("p", _pdf(spark, rows), partition_by=["yr"])
+    store.merge("p", _pdf(spark, [(2, 1997, "B")]), on=["k", "yr"])
+    types = {(r.k, r._change_type) for r in store.read_changes("p").collect()}
+    assert types == {(2, "update_preimage"), (2, "update_postimage")}
