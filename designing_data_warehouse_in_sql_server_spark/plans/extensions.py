@@ -24,6 +24,7 @@ from ..operators.dedup_text import (
 from ..operators.multimodal import documents_as_assets, extract_features
 from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, neardup_pairs
 from ..operators.skew import salted_sum_count
+from ..operators.temporal import asof_join, range_join_pairs
 from ..operators.text_analysis import (
     fingerprints,
     lang_id,
@@ -313,6 +314,52 @@ WHERE {_sql_cosine('a.embedding', 'c.embedding')} > 0.8
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs(emb, threshold=0.8, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (extensions; DuckDB verifies with its native ASOF JOIN
+# and a plain theta self-join — both fine at oracle scale, neither shape
+# survives 100 TB, which is why operators/temporal.py exists).
+# ---------------------------------------------------------------------------
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS asof_ts, v.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("asof_join_attribution", ASOF_ORACLE)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-to-last-view attribution: for every purchase event, the
+    user's most recent view at or before the purchase timestamp."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(purchases, views, on=["user_id"], ts="ts", values=["value"])
+
+
+RANGE_GAP_S = 3600
+
+RANGE_ORACLE = f"""
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       DATE_DIFF('microsecond', a.ts, b.ts) / 1000000.0 AS gap_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND ABS(DATE_DIFF('microsecond', a.ts, b.ts)) <= CAST({RANGE_GAP_S} AS BIGINT) * 1000000
+"""
+
+
+@register("range_join_event_pairs", RANGE_ORACLE)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within an hour of each other, via the
+    bucketed equi-join prefilter (never a cartesian range join)."""
+    events = load_table(spark, sf_dir, "events")
+    return range_join_pairs(events, key="user_id", ts="ts", id_col="event_id",
+                            max_gap_s=RANGE_GAP_S)
 
 
 # ---------------------------------------------------------------------------

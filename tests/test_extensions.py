@@ -143,3 +143,43 @@ def test_salted_aggregation_matches_plain(spark):
     for n_salt in (1, 8, 64):
         salted = salted_sum_count(events, ["event_type"], "value", "event_id", n_salt)
         assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built case: exact-ts match included, no-prior-row -> NULL,
+    latest-prior wins."""
+    from designing_data_warehouse_in_sql_server_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"), (3, "2024-01-01 08:00:00")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"), F.lit(7).alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:00:00", 1.0), ("2024-01-01 10:00:00", 2.0), ("2024-01-01 11:30:00", 3.0)],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp_ntz").alias("ts"), "value", F.lit(7).alias("k"))
+    out = {r.id: r.asof_value for r in asof_join(left, right, ["k"], "ts", ["value"]).collect()}
+    assert out == {1: 2.0, 2: 3.0, 3: None}  # exact match, latest prior, none
+
+
+def test_range_join_pairs_matches_naive(spark):
+    """Bucketed range join must equal the naive theta join on small data."""
+    from designing_data_warehouse_in_sql_server_spark.operators.temporal import (
+        range_join_pairs,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "event_id", "ts")
+    got = {
+        (r.user_id, r.id_a, r.id_b)
+        for r in range_join_pairs(events, "user_id", "ts", "event_id", 3600).collect()
+    }
+    a, b = events.alias("a"), events.alias("b")
+    us = "timestampdiff(MICROSECOND, a.ts, b.ts)"
+    naive = (
+        a.join(b, F.expr("a.user_id = b.user_id and a.event_id < b.event_id"))
+        .filter(F.expr(f"abs({us}) <= 3600000000"))
+        .select(F.col("a.user_id"), F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"))
+    )
+    want = {(r.user_id, r.id_a, r.id_b) for r in naive.collect()}
+    assert got == want and len(got) > 0
