@@ -40,8 +40,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warm up JVM / codegen paths
+    # Warm-up: run every query once at the smallest scale factor so the
+    # timed phase measures steady-state execution, not first-call JIT /
+    # codegen compilation / Python-worker startup (worth seconds on the
+    # first higher-order-function, join, and mapInPandas queries).
+    # Standard benchmark hygiene — warm-up excluded from all timings.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in sorted(qs):
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warm-up must never fail the bench
 
     names = [n for n in HEADLINE if n in qs]
     # any registered query not in HEADLINE still gets timed (full coverage)

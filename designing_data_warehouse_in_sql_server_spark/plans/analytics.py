@@ -564,3 +564,35 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (extension, completes the grouping-sets family with
+# rollup_aggregate): all 2^2 grouping combinations in one pass —
+# map-side partial aggregation expands grouping sets before the single
+# shuffle, so the cost is one scan regardless of the set count.
+# ---------------------------------------------------------------------------
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_aggregate", CUBE_ORACLE)
+def cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows")
+    )

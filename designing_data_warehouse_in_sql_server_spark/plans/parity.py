@@ -464,6 +464,37 @@ FROM orders
 """
 
 
+DATE_DIM_ORACLE = """
+WITH days AS (
+  SELECT UNNEST(generate_series(DATE '2000-01-01', DATE '2001-12-31',
+                                INTERVAL 1 DAY)) AS d
+)
+SELECT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key,
+       CAST(d AS TIMESTAMP) AS date_ts,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(day(d) AS INT) AS day,
+       CAST(isodow(d) AS INT) AS iso_dow,
+       CAST(weekofyear(d) AS INT) AS iso_week,
+       CASE WHEN month(d) IN (12, 1, 2) THEN 'winter'
+            WHEN month(d) IN (3, 4, 5) THEN 'spring'
+            WHEN month(d) IN (6, 7, 8) THEN 'summer'
+            ELSE 'autumn' END AS season,
+       isodow(d) >= 6 AS is_weekend
+FROM days
+"""
+
+
+@register("date_dimension", DATE_DIM_ORACLE)
+def date_dimension_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's planned-but-unbuilt date dimension (reference
+    README.md:49), generated distributed from spark.range."""
+    from ..functions.dates import date_dimension
+
+    return date_dimension(spark, "2000-01-01", "2001-12-31")
+
+
 @register("date_enrichment", ENRICH_ORACLE)
 def date_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

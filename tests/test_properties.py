@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — dedup key-uniqueness, salted-aggregation
+invisibility, as-of join equivalence with pandas merge_asof, and
+LSH's identical-text collision guarantee.
+
+Each example runs real Spark jobs, so example counts are kept small; the
+properties are about structure, not volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from designing_data_warehouse_in_sql_server_spark.operators.cleaning import dedupe
+from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from designing_data_warehouse_in_sql_server_spark.operators.skew import salted_sum_count
+from designing_data_warehouse_in_sql_server_spark.operators.temporal import asof_join
+
+PROP = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.integers(min_value=-1000, max_value=1000)
+
+
+@PROP
+@given(rows=st.lists(st.tuples(keys, keys, vals), min_size=1, max_size=30))
+def test_dedupe_unique_keys_and_rows_from_input(spark, rows):
+    df = spark.createDataFrame(rows, "k1 int, k2 int, v int")
+    out = dedupe(df, keys=["k1", "k2"], order_by=[F.col("v").desc(), F.col("v")])
+    got = out.collect()
+    # exactly one row per distinct key pair
+    assert len(got) == len({(r[0], r[1]) for r in rows})
+    assert len({(r.k1, r.k2) for r in got}) == len(got)
+    # every kept row is an input row (dedupe never invents data)
+    assert {(r.k1, r.k2, r.v) for r in got} <= set(rows)
+    # deterministic winner: max v per key
+    best = {}
+    for k1, k2, v in rows:
+        best[(k1, k2)] = max(best.get((k1, k2), v), v)
+    assert {(r.k1, r.k2): r.v for r in got} == best
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),
+            st.integers(0, 10**6),
+            vals.map(float),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salt=st.sampled_from([1, 3, 16]),
+)
+def test_salted_agg_invisible(spark, rows, n_salt):
+    df = spark.createDataFrame(rows, "grp string, rid long, value double")
+    salted = salted_sum_count(df, ["grp"], "value", "rid", n_salt)
+    plain = df.groupBy("grp").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@PROP
+@given(
+    left_ts=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
+    right_ts=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    lpdf = pd.DataFrame(
+        {"id": range(len(left_ts)), "ts": pd.to_datetime(left_ts, unit="m"), "k": 1}
+    )
+    rpdf = pd.DataFrame(
+        {"ts": pd.to_datetime(right_ts, unit="m"), "value": [float(t) for t in right_ts], "k": 1}
+    )
+    left = spark.createDataFrame(lpdf).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(rpdf).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = asof_join(left, right, ["k"], "ts", ["value"])
+    got = {r.id: r.asof_value for r in out.collect()}
+    want_df = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf.sort_values("ts"), on="ts", by="k"
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.value) else float(r.value))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_lsh_identical_texts_always_collide(spark, texts):
+    """MinHash of identical shingle sets is identical, so exact duplicates
+    can never be missed by the LSH candidate stage (recall=1 on exact
+    dups, for any band/row split)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    n = len(rows)
+    dup = rows + [(i + n, t) for i, t in rows]  # plant exact copies
+    df = spark.createDataFrame(dup, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", k=3, bands=2, rows_per_band=2)
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    for i, t in rows:
+        if len(t.split()) >= 3:  # docs with < k words have no signature
+            assert (i, i + n) in pairs
