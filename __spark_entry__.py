@@ -19,6 +19,7 @@ from designing_data_warehouse_in_sql_server_spark.plans.parity import flagship_r
 import designing_data_warehouse_in_sql_server_spark.plans.parity  # noqa: F401
 import designing_data_warehouse_in_sql_server_spark.plans.analytics  # noqa: F401
 import designing_data_warehouse_in_sql_server_spark.plans.extensions  # noqa: F401
+import designing_data_warehouse_in_sql_server_spark.plans.training  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

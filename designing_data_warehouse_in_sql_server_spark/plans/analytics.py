@@ -596,3 +596,246 @@ def cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS via the Spark SQL API (extension): arbitrary set lists the
+# rollup/cube shorthands can't express. Expands before the single shuffle,
+# same one-scan cost profile as cube_aggregate.
+# ---------------------------------------------------------------------------
+GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("grouping_sets_aggregate", GROUPING_SETS_ORACLE)
+def grouping_sets_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic lag/lead deltas (extension): customer order-value deltas in
+# integer cents (order-insensitive, cross-engine exact — see registry
+# docstring). One shuffle on o_custkey serves both lag and lead.
+# ---------------------------------------------------------------------------
+LAG_LEAD_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       cents - LAG(cents) OVER w AS delta_prev_cents,
+       LEAD(cents) OVER w - cents AS delta_next_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_lag_lead_delta", LAG_LEAD_ORACLE)
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    o = orders.select("o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta_prev_cents"),
+        (F.lead("cents").over(w) - F.col("cents")).alias("delta_next_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete quantiles (extension): percentile_disc semantics built
+# from rank arithmetic — selects actual data values (no interpolation),
+# so the result is FP-exact on any engine. One window shuffle per group
+# key; the tiny quantile list is broadcast.
+# ---------------------------------------------------------------------------
+QUANTILE_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+), ps AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS p)
+SELECT o_orderpriority, p, o_totalprice AS quantile_value
+FROM ranked, ps
+WHERE rn = CEIL(p * n)
+"""
+
+
+@register("quantile_disc", QUANTILE_ORACLE)
+def quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    ps = F.broadcast(
+        orders.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    )
+    return (
+        ranked.join(ps, F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+        .select("o_orderpriority", "p", F.col("o_totalprice").alias("quantile_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (extension): the reference declares FK
+# constraints SQL Server enforces (README.md:97); Spark doesn't enforce
+# FKs, so the engine ships the anti-join audit SURVEY §1.2 prescribes.
+# Scale: each check is a shuffle anti-join on the key (broadcast when the
+# referenced side is dimension-sized).
+# ---------------------------------------------------------------------------
+FK_AUDIT_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+@register("fk_integrity_audit", FK_AUDIT_ORACLE)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str,
+                broadcast_parent: bool = False) -> DataFrame:
+        p = F.broadcast(parent) if broadcast_parent else parent
+        return (
+            child.join(p.select(pk), F.col(ck) == F.col(pk), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(lineitem, orders, "l_orderkey", "o_orderkey",
+                "lineitem.l_orderkey->orders")
+        .unionAll(orphans(orders, customer, "o_custkey", "c_custkey",
+                          "orders.o_custkey->customer", broadcast_parent=True))
+        .unionAll(orphans(customer, nation, "c_nationkey", "n_nationkey",
+                          "customer.c_nationkey->nation", broadcast_parent=True))
+    )
+
+
+# ---------------------------------------------------------------------------
+# String/regex function suite (extension; SURVEY §2.11 lists string
+# functions as a reference absence). All JVM-side Catalyst expressions —
+# no UDFs — and each picked for identical cross-engine semantics.
+# ---------------------------------------------------------------------------
+STRING_FUNCS_ORACLE = """
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS head_upper,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       CAST(length(text) - length(replace(text, 'e', '')) AS INT) AS n_e,
+       CAST(len(string_split(trim(text), ' ')) AS INT) AS n_words,
+       concat(lang, '-', source) AS lang_source,
+       CAST(levenshtein(lang, source) AS INT) AS lang_source_dist
+FROM documents
+"""
+
+
+@register("string_functions", STRING_FUNCS_ORACLE)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring(text, 1, 12)).alias("head_upper"),
+        F.regexp_extract(text, "([a-z]+)", 1).alias("first_word"),
+        (F.length(text) - F.length(F.replace(text, F.lit("e"), F.lit("")))).cast("int").alias("n_e"),
+        F.size(F.split(F.trim(text), " ")).alias("n_words"),
+        F.concat(F.col("lang"), F.lit("-"), F.col("source")).alias("lang_source"),
+        F.levenshtein(F.col("lang"), F.col("source")).cast("int").alias("lang_source_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregation (extension; batch equivalent of the
+# streaming sliding window): 10-minute windows every 5 minutes — each
+# event lands in exactly 2 windows, starts epoch-aligned to the slide.
+# ---------------------------------------------------------------------------
+SLIDING_ORACLE = """
+WITH offs AS (SELECT UNNEST([0, 300]) AS off)
+SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300 - off)::TIMESTAMP AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events, offs
+GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_window", SLIDING_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (extension): integer bin arithmetic, partial
+# aggregation map-side — the standard distribution-profiling pass a
+# warehouse runs before choosing partition boundaries.
+# ---------------------------------------------------------------------------
+HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("histogram_totalprice", HISTOGRAM_ORACLE)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_cents"),
+        )
+    )
