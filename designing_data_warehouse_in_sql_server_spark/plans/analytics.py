@@ -839,3 +839,99 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles (extension): deterministic via a total order (value +
+# unique key tiebreak); same rank arithmetic on both engines.
+# ---------------------------------------------------------------------------
+NTILE_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+FROM orders
+"""
+
+
+@register("ntile_quartiles", NTILE_ORACLE)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (extension): wide per-user event counts back to long
+# form — Spark's unpivot is a zero-shuffle generator over the aggregated
+# rows (the single shuffle is the groupBy that builds the wide table).
+# ---------------------------------------------------------------------------
+UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind, CAST(n AS BIGINT) AS n
+FROM wide
+UNPIVOT (n FOR kind IN (n_click, n_view, n_purchase))
+"""
+
+
+@register("unpivot_event_counts", UNPIVOT_ORACLE)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wide = events.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in ("click", "view", "purchase")
+        ]
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_click", "n_view", "n_purchase"],
+        variableColumnName="kind",
+        valueColumnName="n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted set aggregation (extension): collect_set is order-nondeterministic,
+# so the deterministic form is sort-then-join — emitted as a string so the
+# cross-engine value hash is byte-stable.
+# ---------------------------------------------------------------------------
+COLLECT_SET_ORACLE = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("collect_set_sorted", COLLECT_SET_ORACLE)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (extension; rows-only check — sketch outputs are
+# engine-specific by design, like approx_distinct). The scale rationale:
+# one pass, fixed memory, no full sort — the 100 TB path for quantiles.
+# ---------------------------------------------------------------------------
+@register("approx_percentiles")
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
+    return orders.groupBy("o_orderpriority").agg(
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p90"),
+        pct.getItem(2).alias("p99"),
+    )
