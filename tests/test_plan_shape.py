@@ -126,3 +126,47 @@ def test_salted_agg_two_exchanges(spark):
     """Salted aggregation is exactly two shuffles: (key, salt) then key."""
     plan = _plan(QS["salted_aggregation"](spark, SF_DIR))
     assert _n_exchanges(plan) == 2, plan[:3000]
+
+
+@pytest.mark.parametrize("name", ["train_val_test_split", "stratified_sample", "string_functions"])
+def test_per_row_ops_shuffle_free(spark, name):
+    """Split / sample / string suites are pure per-row projections and
+    predicates — zero exchanges, embarrassingly parallel at any scale."""
+    plan = _plan(QS[name](spark, SF_DIR))
+    assert _n_exchanges(plan) == 0, plan[:3000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pack_sequences",
+        "window_lag_lead_delta",
+        "ntile_quartiles",
+        "histogram_totalprice",
+        "events_sliding_window",
+        "grouping_sets_aggregate",
+        "unpivot_event_counts",
+    ],
+)
+def test_single_shuffle_ops(spark, name):
+    """Window / grouped ops that need exactly one hash exchange; a second
+    exchange would double the shuffle volume at scale."""
+    plan = _plan(QS[name](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan[:3000]
+
+
+def test_quantile_broadcasts_percentile_list(spark):
+    """The 3-row quantile list must join via broadcast (nested-loop on a
+    broadcast side is fine; a shuffle join on rn=ceil(p*n) would shuffle
+    the ranked fact table a second time)."""
+    plan = _plan(QS["quantile_disc"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:3000]
+    assert _n_exchanges(plan) == 1, plan[:3000]
+
+
+def test_fk_audit_anti_joins_broadcast_dims(spark):
+    """FK audits are anti joins; the dimension-sized parents (customer,
+    nation) must broadcast — only the orders parent may shuffle."""
+    plan = _plan(QS["fk_integrity_audit"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
