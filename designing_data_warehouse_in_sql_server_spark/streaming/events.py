@@ -105,3 +105,47 @@ def foreach_batch_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedupe_within(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` variant: deduplicates events whose
+    timestamps fall within the watermark delay of each other even when the
+    event-time column itself differs between duplicates — state is evicted
+    by watermark age rather than kept per-key forever, which is the right
+    state-size story for an unbounded 100 TB/day stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_stream_interval_join(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    horizon: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each `first_type` event joined to the
+    same user's `then_type` events within ``horizon`` afterwards — the
+    streaming form of funnel attribution (batch analog: the as-of /
+    range joins in operators/temporal.py).
+
+    Both sides are watermarked so the join state for a click can be
+    dropped once the watermark passes click.ts + horizon; without the
+    time-range predicate the state would be unbounded. Shuffle is keyed
+    on user_id on both sides — same exchange shape as the batch join.
+    """
+    first = events.filter(F.col("event_type") == first_type).select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id").alias("first_user"),
+        F.col("ts").alias("first_ts"),
+    ).withWatermark("first_ts", watermark)
+    then = events.filter(F.col("event_type") == then_type).select(
+        F.col("event_id").alias("then_id"),
+        F.col("user_id").alias("then_user"),
+        F.col("ts").alias("then_ts"),
+    ).withWatermark("then_ts", watermark)
+    return first.join(
+        then,
+        (F.col("first_user") == F.col("then_user"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("first_id", "then_id", "first_user", "first_ts", "then_ts")

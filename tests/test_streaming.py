@@ -139,3 +139,57 @@ def test_stateful_running_user_stats(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedupe_within_watermark(spark):
+    from designing_data_warehouse_in_sql_server_spark.streaming import (
+        streaming_dedupe_within,
+    )
+
+    _run_to_memory(
+        streaming_dedupe_within(stream_events(spark, SF_DIR)), "t_dedupe_within", "append"
+    )
+    got = spark.table("t_dedupe_within")
+    n_distinct = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    # testdata event_ids are unique, so the stream must pass through 1:1
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from designing_data_warehouse_in_sql_server_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    _run_to_memory(
+        stream_stream_interval_join(stream_events(spark, SF_DIR)),
+        "t_ss_join",
+        "append",
+    )
+    got = {
+        (r.first_id, r.then_id) for r in spark.table("t_ss_join").collect()
+    }
+
+    events = load_table(spark, SF_DIR, "events")
+    first = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id").alias("first_user"),
+        F.col("ts").alias("first_ts"),
+    )
+    then = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("then_id"),
+        F.col("user_id").alias("then_user"),
+        F.col("ts").alias("then_ts"),
+    )
+    want = {
+        (r.first_id, r.then_id)
+        for r in first.join(
+            then,
+            (F.col("first_user") == F.col("then_user"))
+            & (F.col("then_ts") > F.col("first_ts"))
+            & (F.col("then_ts") <= F.col("first_ts") + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert want, "batch join produced no pairs — fixture assumption broken"
+    # availableNow drains everything, so the stream must find every batch pair
+    assert got == want
