@@ -103,3 +103,106 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, content binary, width int, height int, n_bytes int"
+)
+
+
+def real_resize(content: bytes, width: int, height: int) -> bytes:
+    """STUB — a real implementation decodes, resamples, and re-encodes
+    (Pillow/cv2); neither library ships in this environment."""
+    raise NotImplementedError(
+        "image resize requires an image library not present in this environment"
+    )
+
+
+def fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: tile/truncate the payload to exactly
+    width*height bytes — same output length contract as a real w x h
+    single-channel re-encode, so downstream batch-shape logic is real."""
+    need = width * height
+    if not content:
+        return bytes(need)
+    reps = -(-need // len(content))
+    return (content * reps)[:need]
+
+
+def resize_assets(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Arrow-batched resize over binary image content (1 row in -> 1 row
+    out, payload replaced). Same mapInPandas scale shape as
+    extract_features: per-partition Python workers, no driver data."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [resizer(c, width, height) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(o) for o in out],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, ts_ms int, frame binary"
+
+
+def real_frame_sample(content: bytes, every_ms: int, duration_ms: int) -> list[bytes]:
+    """STUB — real frame extraction needs a video decoder (ffmpeg/av)."""
+    raise NotImplementedError(
+        "video frame sampling requires a video library not present in this environment"
+    )
+
+
+def fake_frame_sample(content: bytes, every_ms: int, duration_ms: int) -> list[bytes]:
+    """Deterministic stand-in: one 16-byte slice per sampled timestamp,
+    stride chosen from the payload — 1 row in -> N frame rows out, the
+    fan-out shape a real sampler produces."""
+    if not content or duration_ms <= 0:
+        return []
+    n = max(1, duration_ms // every_ms)
+    step = max(1, len(content) // n)
+    return [content[i * step : i * step + 16] for i in range(n)]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    sampler: Callable[[bytes, int, int], list[bytes]] = fake_frame_sample,
+) -> DataFrame:
+    """Frame sampling for video assets: mapInPandas generator emitting a
+    variable number of frame rows per input asset (Arrow batches in and
+    out; the fan-out happens executor-side, never on the driver).
+
+    Input needs columns (asset_id, content, meta.duration_ms)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            durs = [m["duration_ms"] if m and m.get("duration_ms") else 0 for m in pdf["meta"]]
+            for aid, content, dur in zip(pdf["asset_id"], pdf["content"], durs):
+                for i, fr in enumerate(sampler(content, every_ms, int(dur))):
+                    ids.append(aid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
