@@ -52,13 +52,19 @@ def fetch_with_retry(
 
 
 def payloads_to_rows(spark: SparkSession, payloads: Iterable[tuple[str, str]]) -> DataFrame:
-    """(city_name, payload_json) pairs -> one row per day.
+    """(city_name, payload_json) pairs -> one row per day (driver-built
+    input; the decode itself is `decode_payloads`)."""
+    raw = spark.createDataFrame(list(payloads), "city_name string, payload string")
+    return decode_payloads(raw)
+
+
+def decode_payloads(raw: DataFrame) -> DataFrame:
+    """(city_name, payload) DataFrame -> one typed staging row per day.
 
     from_json + arrays_zip + explode: the parallel-array payload
     (time[], temperature_2m_max[], ...) is reassembled by index exactly as
     the reference's zip loop (extract_weather.py:57-65), but as Catalyst
     expressions that run distributed."""
-    raw = spark.createDataFrame(list(payloads), "city_name string, payload string")
     parsed = raw.select(
         "city_name", F.from_json("payload", OPEN_METEO_DAILY).alias("p")
     )
@@ -128,3 +134,71 @@ def fetch_distributed(cities: DataFrame, fetcher: Fetcher) -> DataFrame:
             yield pd.DataFrame(out, columns=["city_name", "payload"])
 
     return cities.mapInPandas(fetch_batch, "city_name string, payload string")
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: the API extract as a first-class
+# `spark.read.format(...)` source (SURVEY §2.1 S1's "custom Python
+# DataSource" scale path). One input partition per fetch window, so a
+# 1000-city backfill runs 1000-way parallel on executors with no driver
+# fetch loop; the fetcher is named by an importable "module:attr" string
+# option (options are strings — executors import it locally, nothing is
+# pickled through the plan).
+# ---------------------------------------------------------------------------
+def _import_fetcher(spec: str) -> Fetcher:
+    import importlib
+
+    mod, _, attr = spec.partition(":")
+    fn = importlib.import_module(mod)
+    for part in attr.split("."):
+        fn = getattr(fn, part)
+    return fn
+
+
+try:  # pyspark >= 4: Python DataSource API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _CityWindow(InputPartition):
+        def __init__(self, city: str, start: str, end: str):
+            self.city, self.start, self.end = city, start, end
+
+    class WeatherApiReader(DataSourceReader):
+        def __init__(self, options):
+            self.cities = [c for c in options.get("cities", "").split(",") if c]
+            self.start = options.get("start_date", "2000-01-01")
+            self.end = options.get("end_date", self.start)
+            self.fetcher_spec = options["fetcher"]
+            self.attempts = int(options.get("attempts", "3"))
+
+        def partitions(self):
+            # one partition per city window; chunk by date range here when
+            # a single city's history exceeds one task's appetite
+            return [_CityWindow(c, self.start, self.end) for c in self.cities]
+
+        def read(self, partition):
+            fetcher = _import_fetcher(self.fetcher_spec)
+            payload = fetch_with_retry(
+                fetcher, partition.city, partition.start, partition.end,
+                attempts=self.attempts,
+            )
+            if payload is not None:
+                yield (partition.city, payload)
+
+    class WeatherApiDataSource(DataSource):
+        """`spark.read.format("weather_api").option(...)` source emitting
+        (city_name, payload) rows; compose with `decode_payloads` for the
+        typed staging rows. Register once per session with
+        `spark.dataSource.register(WeatherApiDataSource)`."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "weather_api"
+
+        def schema(self) -> str:
+            return "city_name string, payload string"
+
+        def reader(self, schema):
+            return WeatherApiReader(self.options)
+
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    WeatherApiDataSource = None  # type: ignore[assignment]

@@ -129,3 +129,33 @@ def test_full_pipeline_with_extract(spark, store):
     n_before = fact.count()
     run_pipeline(spark, store, fake_fetcher, today="2024-02-05", load_ts="2024-02-06 02:00:00")
     assert store.read("fact_weather").count() == n_before + 26
+
+
+def test_weather_api_datasource(spark):
+    """The Spark 4 Python DataSource form of the extract: partition-per-
+    city fetch on executors, then the same Catalyst decode chain."""
+    from designing_data_warehouse_in_sql_server_spark.sources.http_api import (
+        WeatherApiDataSource,
+        decode_payloads,
+        payloads_to_rows,
+    )
+
+    assert WeatherApiDataSource is not None
+    spark.dataSource.register(WeatherApiDataSource)
+    raw = (
+        spark.read.format("weather_api")
+        .option("cities", "London,Sydney,Lahore")
+        .option("start_date", "2024-02-01")
+        .option("end_date", "2024-02-03")
+        .option("fetcher", "tests.test_pipeline:fake_fetcher")
+        .load()
+    )
+    rows = decode_payloads(raw)
+    got = rows.collect()
+    assert len(got) == 9  # 3 cities x 3 days
+    assert {r.city_name for r in got} == {"London", "Sydney", "Lahore"}
+    want = payloads_to_rows(
+        spark,
+        [(c, fake_fetcher(c, "2024-02-01", "2024-02-03")) for c in ("London", "Sydney", "Lahore")],
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
