@@ -84,3 +84,35 @@ def salted_sum_count(
             "n_rows": F.sum,
         },
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant inner equi-join for when BOTH sides are too big to
+    broadcast and one join key is hot (the case AQE's skew splitting
+    handles only after a slow first attempt — explicit salting plans it
+    up front).
+
+    The big/probe side (``left``) gets a deterministic salt from one of
+    its own high-cardinality columns; the build side (``right``) is
+    replicated n_salt times via a tiny exploded literal array. Each hot
+    key's rows thus spread over n_salt reducers at the cost of
+    right-side duplication — choose the smaller table as ``right``.
+
+    Result = plain ``left.join(right, key)`` row-for-row (the oracle
+    checks exactly that).
+
+    Scale: shuffle volume is |left| + n_salt * |right|; pick n_salt ~=
+    (hot-key row count / target rows per task). The salt column is
+    dropped, so downstream operators see the unsalted schema."""
+    salt = F.pmod(F.hash(F.col(salt_from)), F.lit(n_salt))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l_salted.join(r_salted, [key, "__salt"]).drop("__salt")

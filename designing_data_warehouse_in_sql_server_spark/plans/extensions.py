@@ -488,3 +488,34 @@ FROM documents
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
     return extract_features(assets)
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (extension): result must be row-identical to the plain
+# inner join — the salt is invisible to consumers.
+# ---------------------------------------------------------------------------
+SALTED_JOIN_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+"""
+
+
+@register("salted_skew_join", SALTED_JOIN_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    joined = salted_join(lineitem, orders, "l_orderkey", "l_linenumber", n_salt=8)
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
