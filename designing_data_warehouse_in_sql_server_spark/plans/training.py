@@ -137,3 +137,43 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed-size character windows with overlap (the
+# standard context-window prep for embedding/RAG pipelines). Generation
+# is a per-row sequence + explode — zero shuffles, scales linearly; the
+# chunk count per doc is ceil((n_chars - overlap) / stride).
+# ---------------------------------------------------------------------------
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+_STRIDE = CHUNK_CHARS - CHUNK_OVERLAP
+
+CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST(idx AS INT) AS chunk_idx,
+       CAST(idx * {_STRIDE} AS INT) AS start_offset,
+       substr(text, idx * {_STRIDE} + 1, {CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substr(text, idx * {_STRIDE} + 1, {CHUNK_CHARS})) AS INT) AS chunk_len
+FROM documents,
+     UNNEST(generate_series(0, CAST(CEIL(CAST(GREATEST(length(text) - {CHUNK_OVERLAP}, 1) AS DOUBLE) / {_STRIDE}) AS BIGINT) - 1)) AS t(idx)
+"""
+
+
+@register("chunk_documents", CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - CHUNK_OVERLAP, F.lit(1)).cast("double") / _STRIDE
+    ).cast("bigint")
+    idx = F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("idx")
+    exploded = docs.select("doc_id", "text", idx)
+    start = (F.col("idx") * _STRIDE).cast("int")
+    chunk = F.substring(F.col("text"), start + 1, CHUNK_CHARS)
+    return exploded.select(
+        "doc_id",
+        F.col("idx").cast("int").alias("chunk_idx"),
+        start.alias("start_offset"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )
