@@ -61,7 +61,7 @@ def main() -> None:
     # Best-of-N per query: the shared host shows load spikes that inflate
     # a single pass by up to 2x; the minimum is the steady-state number a
     # dedicated node reproduces. N is small so the full bench stays fast.
-    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")

@@ -512,7 +512,8 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .withColumnRenamed("o_orderkey", "l_orderkey")
     )
-    joined = salted_join(lineitem, orders, "l_orderkey", "l_linenumber", n_salt=8)
+    # salt from l_partkey: high-cardinality, so all n_salt buckets fill
+    joined = salted_join(lineitem, orders, "l_orderkey", "l_partkey", n_salt=8)
     return joined.select(
         "l_orderkey",
         "l_linenumber",

@@ -30,15 +30,21 @@ from ..sources.parquet import load_table
 from .registry import register
 
 # Knuth multiplicative hash constants (public-domain folklore, TAOCP v3).
+# The id is reduced mod 2^31 BEFORE the multiply: (2^31-1) * 2654435761
+# < 2^63, so the product never overflows signed BIGINT — without the
+# reduction, doc_id >= ~3.47e9 would overflow (ANSI error on Spark 4,
+# sign-dependent garbage buckets elsewhere), exactly the id range a
+# 100 TB corpus reaches.
 _KNUTH = 2654435761
+_PREMOD = 2147483648  # 2^31
 _MOD = 4294967296  # 2^32
 
 # bucket in [0, 100) — same expression in Spark and ANSI SQL.
-_BUCKET_SQL = f"CAST((doc_id * {_KNUTH}) % {_MOD} % 100 AS INT)"
+_BUCKET_SQL = f"CAST((doc_id % {_PREMOD}) * {_KNUTH} % {_MOD} % 100 AS INT)"
 
 
 def _bucket(col: F.Column) -> F.Column:
-    return ((col * _KNUTH) % _MOD % 100).cast("int")
+    return ((col % _PREMOD) * _KNUTH % _MOD % 100).cast("int")
 
 
 # ---------------------------------------------------------------------------

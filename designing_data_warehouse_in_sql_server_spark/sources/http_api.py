@@ -176,6 +176,8 @@ try:  # pyspark >= 4: Python DataSource API
             return [_CityWindow(c, self.start, self.end) for c in self.cities]
 
         def read(self, partition):
+            if partition is None:  # empty cities option -> empty source
+                return
             fetcher = _import_fetcher(self.fetcher_spec)
             payload = fetch_with_retry(
                 fetcher, partition.city, partition.start, partition.end,

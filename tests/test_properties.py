@@ -120,3 +120,41 @@ def test_lsh_identical_texts_always_collide(spark, texts):
     for i, t in rows:
         if len(t.split()) >= 3:  # docs with < k words have no signature
             assert (i, i + n) in pairs
+
+
+def test_split_bucket_no_overflow_on_huge_ids(spark):
+    """doc_id beyond 2^31 must hash without BIGINT overflow and agree
+    with the DuckDB oracle expression (the 100 TB id range)."""
+    import duckdb
+
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        _BUCKET_SQL,
+        _bucket,
+    )
+
+    ids = [0, 1, 2**31 - 1, 2**31, 4_000_000_000, 2**40 + 123, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.b for r in df.select("doc_id", _bucket(F.col("doc_id")).alias("b")).collect()}
+    want = dict(
+        duckdb.sql(
+            "SELECT doc_id, " + _BUCKET_SQL + " AS b FROM (SELECT UNNEST("
+            + str(ids)
+            + "::BIGINT[]) AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= b < 100 for b in got.values())
+
+
+def test_weather_datasource_empty_cities(spark):
+    from designing_data_warehouse_in_sql_server_spark.sources.http_api import (
+        WeatherApiDataSource,
+    )
+
+    spark.dataSource.register(WeatherApiDataSource)
+    out = (
+        spark.read.format("weather_api")
+        .option("fetcher", "tests.test_pipeline:fake_fetcher")
+        .load()
+    )
+    assert out.count() == 0
