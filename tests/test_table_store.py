@@ -134,3 +134,32 @@ def test_pruned_merge_cdc_covers_only_touched(spark, store):
     store.merge("p", _pdf(spark, [(2, 1997, "B")]), on=["k", "yr"])
     types = {(r.k, r._change_type) for r in store.read_changes("p").collect()}
     assert types == {(2, "update_preimage"), (2, "update_postimage")}
+
+
+def test_incremental_agg_matches_full_recompute(spark, store):
+    """Maintained aggregate must be bit-identical to a full recompute
+    after inserts AND updates flow through the change feed."""
+    from designing_data_warehouse_in_sql_server_spark.operators.incremental import (
+        full_sum_count,
+        refresh_incremental_agg,
+    )
+
+    rows = [(i, f"g{i % 3}", float(i) + 0.25) for i in range(30)]
+    fact = spark.createDataFrame(rows, "k int, grp string, value double")
+    store.overwrite("f", fact)
+    v0 = refresh_incremental_agg(store, "f", "f_agg", ["grp"], "value", 0)
+
+    # increment: 10 new keys + 5 updated values (exercises pre/post images)
+    upd = [(i, f"g{i % 3}", float(i) + 100.0) for i in range(25, 40)]
+    store.merge("f", spark.createDataFrame(upd, "k int, grp string, value double"), on=["k"])
+    v1 = refresh_incremental_agg(store, "f", "f_agg", ["grp"], "value", v0)
+    assert v1 > v0
+
+    got = sorted(map(tuple, store.read("f_agg").filter("n_rows > 0").collect()))
+    want = sorted(map(tuple, full_sum_count(store.read("f"), ["grp"], "value").collect()))
+    assert got == want
+
+    # no-op refresh: nothing changed, version stays, values stay
+    v2 = refresh_incremental_agg(store, "f", "f_agg", ["grp"], "value", v1)
+    assert v2 == v1
+    assert sorted(map(tuple, store.read("f_agg").filter("n_rows > 0").collect())) == want
