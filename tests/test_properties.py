@@ -158,3 +158,21 @@ def test_weather_datasource_empty_cities(spark):
         .load()
     )
     assert out.count() == 0
+
+
+@PROP
+@given(
+    left=st.lists(st.tuples(keys, vals), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys, vals), min_size=1, max_size=10),
+    n_salt=st.sampled_from([1, 4, 8]),
+)
+def test_salted_join_row_identity(spark, left, right, n_salt):
+    """salted_join must equal the plain inner join row-for-row (including
+    duplicate keys on both sides) for any salt width."""
+    from designing_data_warehouse_in_sql_server_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(k, i, v) for i, (k, v) in enumerate(left)], "k int, rid int, lv int")
+    r = spark.createDataFrame(right, "k int, rv int")
+    got = sorted(map(tuple, salted_join(l, r, "k", "rid", n_salt).collect()))
+    want = sorted(map(tuple, l.join(r, "k").collect()))
+    assert got == want
