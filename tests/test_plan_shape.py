@@ -170,3 +170,39 @@ def test_fk_audit_anti_joins_broadcast_dims(spark):
     plan = _plan(QS["fk_integrity_audit"](spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables co-bucketed on the join key must sort-merge join with
+    ZERO exchanges — the storage-level co-location contract that makes
+    recurring 100 TB fact-fact joins affordable."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed(lineitem, "b_lineitem", str(tmp_path / "li"), "l_orderkey", 8)
+    write_bucketed(orders, "b_orders", str(tmp_path / "o"), "l_orderkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "b_lineitem").join(
+            read_bucketed(spark, "b_orders"), "l_orderkey"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan[:3000]
+        assert _n_exchanges(plan) == 0, plan[:3000]
+        # sanity: result matches the plain join
+        assert joined.count() == lineitem.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
