@@ -935,3 +935,42 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(1).alias("p90"),
         pct.getItem(2).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE over explicit frames (extension): full-partition
+# frame for last_value (the default frame ends at CURRENT ROW — a classic
+# correctness trap this query pins on both engines). Cents keep the values
+# FP-exact cross-engine.
+# ---------------------------------------------------------------------------
+FIRST_LAST_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(cents) OVER w AS first_cents,
+       LAST_VALUE(cents) OVER w AS last_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last", FIRST_LAST_ORACLE)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    o = orders.select("o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("cents").over(w).alias("first_cents"),
+        F.last("cents").over(w).alias("last_cents"),
+    )
