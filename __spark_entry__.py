@@ -27,9 +27,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_revenue(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness harness verifies the registry front-to-back (round 1
+# covered exactly the first 50 entries), so ordering decides which queries get
+# the official oracle check each round. Round 2 front-loads the 14 queries that
+# were registered after position 50 in round 1 (they passed the local oracle
+# suite but had no driver row) plus the queries new this round; the entries
+# rotated to the back all have green rows in CORRECTNESS_r01.json. Every query
+# is oracle-diffed locally in tests/test_oracle_parity.py regardless of order.
+_CHECK_FIRST = (
+    # round-2 additions
+    "simhash_near_pairs",
+    # the 14 bench-only queries from round 1
+    "asof_join_attribution",
+    "range_join_event_pairs",
+    "salted_aggregation",
+    "salted_skew_join",
+    "lang_id_ngram",
+    "text_quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "embedding_neardup_pairs",
+    "multimodal_features",
+    "train_val_test_split",
+    "stratified_sample",
+    "pack_sequences",
+    "chunk_documents",
+)
+
+
+def _prioritized(registry: dict) -> dict:
+    head = {k: registry[k] for k in _CHECK_FIRST if k in registry}
+    tail = {k: v for k, v in registry.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _prioritized(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _prioritized(dict(ORACLES))
