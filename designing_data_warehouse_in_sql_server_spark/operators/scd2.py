@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SCD2_OPEN_END = "9999-12-31 00:00:00"
@@ -42,8 +42,15 @@ def scd2_apply(
     is_current = false) and re-inserted as the new current version; new
     keys are inserted as current; history rows pass through untouched.
 
+    Duplicate update keys would silently fan out the join into multiple
+    expired + multiple current versions of the same key, so they are
+    rejected: a window count over the key rides inside the join job
+    (same guard as TableStore.merge) and raises when the result is
+    materialized.
+
     Scale: one broadcast-or-shuffle join dim⋈updates on the key plus a
-    union — no windowing, no driver collect.
+    union — no windowing over the data, no driver collect (the guard's
+    window hash-partitions on the key, the same exchange the join needs).
     """
     eff = F.lit(effective_ts).cast("timestamp_ntz")
     open_end = F.lit(open_end).cast("timestamp_ntz")
@@ -52,7 +59,18 @@ def scd2_apply(
 
     history = dim.filter(~F.col("is_current"))
     current = dim.filter(F.col("is_current")).alias("d")
-    u = updates.alias("u")
+    u = updates.withColumn(
+        "__u_cnt", F.count(F.lit(1)).over(Window.partitionBy(*key))
+    ).alias("u")
+    dup_guard = F.assert_true(
+        F.col("u.__u_cnt").isNull() | (F.col("u.__u_cnt") == 1),
+        F.lit(f"scd2 updates have duplicate keys on {key}"),
+    )
+
+    def _guarded(col: Column) -> Column:
+        # the guard either raises (duplicate update keys) or yields NULL,
+        # so the otherwise-branch is always the one taken
+        return F.when(dup_guard.isNotNull(), F.lit(None)).otherwise(col)
 
     cond = None
     for k in key:
@@ -65,7 +83,10 @@ def scd2_apply(
     changed = d_present & u_present & _changed(tracked)
 
     dim_cols = dim.columns
-    passthrough_cols = [F.col(f"d.{c}").alias(c) for c in dim_cols]
+    passthrough_cols = [
+        (_guarded(F.col(f"d.{c}")) if i == 0 else F.col(f"d.{c}")).alias(c)
+        for i, c in enumerate(dim_cols)
+    ]
 
     # 1. unchanged current rows (no matching update, or update equal)
     unchanged = joined.filter(d_present & ~changed).select(*passthrough_cols)
@@ -81,19 +102,22 @@ def scd2_apply(
     # 3. new versions: changed rows take update attrs, new keys insert fresh
     def new_version(rows: DataFrame, from_update_only: bool) -> DataFrame:
         cols = []
-        for c in dim_cols:
+        for i, c in enumerate(dim_cols):
             if c == "valid_from":
-                cols.append(eff.alias(c))
+                col = eff
             elif c == "valid_to":
-                cols.append(open_end.alias(c))
+                col = open_end
             elif c == "is_current":
-                cols.append(F.lit(True).alias(c))
+                col = F.lit(True)
             elif c in tracked or c in key:
-                cols.append(F.col(f"u.{c}").alias(c))
+                col = F.col(f"u.{c}")
             elif from_update_only:
-                cols.append(F.lit(None).cast(dim.schema[c].dataType).alias(c))
+                col = F.lit(None).cast(dim.schema[c].dataType)
             else:
-                cols.append(F.col(f"d.{c}").alias(c))  # untracked attrs carry over
+                col = F.col(f"d.{c}")  # untracked attrs carry over
+            if i == 0:
+                col = _guarded(col)
+            cols.append(col.alias(c))
         return rows.select(*cols)
 
     new_changed = new_version(joined.filter(changed), from_update_only=False)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.cleaning import cap_outliers_zscore, dedupe, impute_group_mean
+from ..operators.ids import assign_sequential_ids
 from ..operators.watermark import high_watermarks
 from ..sources.http_api import Fetcher, extract_incremental
 from ..sources.table_store import TableStore
@@ -142,8 +143,10 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
             F.lit(load_ts).cast("timestamp_ntz").alias("load_timestamp"),
         )
     )
-    w = W.orderBy("city_id", "date")
-    src = src.withColumn("weather_id", F.row_number().over(w) + F.lit(max_wid))
+    # two-phase id assignment: the naive row_number() OVER (ORDER BY ...)
+    # is an Exchange SinglePartition over the whole day's increment —
+    # the one task that kills the job at scale (see operators/ids.py)
+    src = assign_sequential_ids(src, "weather_id", ["city_id", "date"], start=max_wid)
     # keep existing surrogate ids for matched rows: weather_id not updated
     store.merge(
         FACT,

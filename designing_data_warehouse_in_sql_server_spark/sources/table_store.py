@@ -17,17 +17,36 @@ Reference parity:
 - M4 flag update (transform_load.sql:73) -> update()
 - System-versioned history (README.md:88-91) -> time_travel()
 
-Scale notes: merge() is a single full-outer shuffle join on the merge
-keys plus a rewrite of the target. Tables created with ``partition_by``
-get the Delta-style pruned merge: only partitions present in the source
-are joined and rewritten; every untouched partition's files are
-hard-linked from the previous version (no read, no write, no copy).
-At 100 TB with a date-partitioned fact and daily increments, a merge
-touches one partition out of thousands — the rewrite cost is
-proportional to the increment, not the table. Partition columns must be
-functionally dependent on the merge keys (e.g. partition year derives
-from a key date) so a key can never move across partitions; this is the
-same contract Delta's partition-pruned MERGE relies on.
+Scale notes:
+- append() is O(increment): only the new rows are written; every file of
+  the previous version is hard-linked into the new version (parquet part
+  file names embed a per-job UUID, so links never collide). A daily
+  append to a 100 TB table costs one day of data, not one table.
+- merge() is a single full-outer shuffle join on the merge keys plus a
+  rewrite of the target. The duplicate-source-key check rides inside the
+  same job (a window count over the merge keys whose exchange is reused
+  by the join), not a separate pre-flight action. Tables created with
+  ``partition_by`` get the Delta-style pruned merge: only partitions
+  present in the source are joined and rewritten; every untouched
+  partition's files are hard-linked from the previous version (no read,
+  no write, no copy). At 100 TB with a date-partitioned fact and daily
+  increments, a merge touches one partition out of thousands — the
+  rewrite cost is proportional to the increment, not the table.
+  Partition columns must be functionally dependent on the merge keys
+  (e.g. partition year derives from a key date) so a key can never move
+  across partitions; this is the same contract Delta's partition-pruned
+  MERGE relies on.
+- update() with a ``where`` that lands in a subset of partitions
+  rewrites only those partitions (same hard-link reuse as merge).
+- The change feed (CDC) is itself appended O(increment), and is written
+  AFTER the main table version commits — a failed write can lose a feed
+  entry for a committed version (consumer re-derives from a snapshot)
+  but can never emit a phantom entry for a version that never existed.
+- CDC capture: merge() always captures (it starts the feed on first
+  use); update()/append()/truncate()/overwrite() capture their changes
+  too once a feed exists for the table (Delta-CDF parity: every DML is
+  visible to read_changes()). Use enable_cdc() to start a feed before
+  the first merge, or capture_cdc=False to opt a statement out.
 """
 
 from __future__ import annotations
@@ -35,13 +54,15 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CDC_INSERT = "insert"
 CDC_UPDATE_PRE = "update_preimage"
 CDC_UPDATE_POST = "update_postimage"
 CDC_DELETE = "delete"
+
+_DUP_KEY_MARK = "MERGE_DUPLICATE_SOURCE_KEYS"
 
 
 class TableStore:
@@ -96,8 +117,22 @@ class TableStore:
         except FileNotFoundError:
             return []
 
+    @staticmethod
+    def _partition_predicate(spec: list[str], touched: list[tuple]) -> F.Column:
+        """OR-of-conjunctions over partition tuples, null-safe so a NULL
+        partition value selects the NULL partition instead of nothing."""
+        pred = F.lit(False)
+        for t in touched:
+            conj = F.lit(True)
+            for c, v in zip(spec, t):
+                conj = conj & F.col(c).eqNullSafe(F.lit(v))
+            pred = pred | conj
+        return pred
+
     # -- writes ----------------------------------------------------------------
-    def _write_version(self, name: str, df: DataFrame, link_untouched: bool = False) -> int:
+    def _stage_version(self, name: str, df: DataFrame) -> tuple[int, str]:
+        """Write the files of the next version WITHOUT committing the
+        pointer; readers keep seeing the current version until _commit."""
         v = (self.current_version(name) or 0) + 1
         os.makedirs(self._dir(name), exist_ok=True)
         vdir = os.path.join(self._dir(name), f"v{v}")
@@ -106,7 +141,11 @@ class TableStore:
         if spec:
             writer = writer.partitionBy(*spec)
         writer.parquet(vdir)
-        if link_untouched and spec:
+        return v, vdir
+
+    def _write_version(self, name: str, df: DataFrame, link_untouched: bool = False) -> int:
+        v, vdir = self._stage_version(name, df)
+        if link_untouched and self.partition_spec(name):
             self._link_untouched(name, vdir)
         self._commit(name, v)
         return v
@@ -135,36 +174,125 @@ class TableStore:
                 if fn.endswith(".parquet"):
                     os.link(os.path.join(dirpath, fn), os.path.join(dst, fn))
 
+    def _link_prev_files(self, name: str, vdir: str) -> None:
+        """Hard-link EVERY parquet file of the previous version into the
+        new version, preserving relative (partition) paths — the append
+        fast path. Per-file (not per-dir) linking merges cleanly with
+        partition dirs the new write also touched; part file names embed
+        a per-job UUID so names never collide."""
+        prev = self.current_version(name)
+        if prev is None:
+            return
+        prev_dir = os.path.join(self._dir(name), f"v{prev}")
+        for dirpath, _dirnames, filenames in os.walk(prev_dir):
+            rel = os.path.relpath(dirpath, prev_dir)
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                dst_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.link(os.path.join(dirpath, fn), os.path.join(dst_dir, fn))
+
     def overwrite(
-        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        capture_cdc: bool = True,
     ) -> int:
         """Full overwrite; ``partition_by`` (sticky across later writes)
         lays the table out hive-style so reads get partition pruning and
-        merges get partition-restricted rewrites."""
+        merges get partition-restricted rewrites.
+
+        With an active change feed this captures delete-of-everything +
+        insert-of-everything (Delta-CDF overwrite semantics) — O(table),
+        like the overwrite itself; pass capture_cdc=False to skip."""
         if partition_by is not None:
             os.makedirs(self._dir(name), exist_ok=True)
             with open(self._spec_path(name), "w") as fh:
                 fh.write(",".join(partition_by))
-        return self._write_version(name, df)
+        want_cdc = capture_cdc and self._feed_exists(name) and self.exists(name)
+        pre = self.read(name).withColumn("_change_type", F.lit(CDC_DELETE)) if want_cdc else None
+        v = self._write_version(name, df)
+        if want_cdc:
+            changes = pre.unionByName(
+                df.withColumn("_change_type", F.lit(CDC_INSERT)), allowMissingColumns=True
+            )
+            self._append_changes(name, changes, v)
+        return v
 
-    def append(self, name: str, df: DataFrame) -> int:
+    def append(self, name: str, df: DataFrame, capture_cdc: bool = True) -> int:
         """Batch append (replaces the reference's row-at-a-time INSERT loop,
-        extract_weather.py:57-67)."""
-        if self.exists(name):
-            df = self.read(name).unionByName(df)
-        return self._write_version(name, df)
+        extract_weather.py:57-67). O(increment): writes only ``df``'s rows;
+        all previous files are hard-linked into the new version."""
+        if not self.exists(name):
+            return self._write_version(name, df)
+        # align column order with the stored layout (metadata-only select)
+        df = df.select(*self.read(name).columns)
+        v, vdir = self._stage_version(name, df)
+        self._link_prev_files(name, vdir)
+        self._commit(name, v)
+        if capture_cdc and self._feed_exists(name):
+            self._append_changes(name, df.withColumn("_change_type", F.lit(CDC_INSERT)), v)
+        return v
 
-    def truncate(self, name: str) -> int:
-        return self._write_version(name, self.read(name).limit(0))
+    def truncate(self, name: str, capture_cdc: bool = True) -> int:
+        old = self.read(name)
+        want_cdc = capture_cdc and self._feed_exists(name)
+        v = self._write_version(name, old.limit(0))
+        if want_cdc:
+            self._append_changes(name, old.withColumn("_change_type", F.lit(CDC_DELETE)), v)
+        return v
 
-    def update(self, name: str, set_exprs: dict[str, F.Column], where: F.Column | None = None) -> int:
+    def update(
+        self,
+        name: str,
+        set_exprs: dict[str, F.Column],
+        where: F.Column | None = None,
+        capture_cdc: bool = True,
+    ) -> int:
         """In-place UPDATE analog (M4, transform_load.sql:73): recompute
-        columns behind an optional predicate and rewrite."""
+        columns behind an optional predicate and rewrite.
+
+        On a partitioned table with a ``where``, only the partitions that
+        contain matching rows are rewritten; the rest are hard-linked
+        (same O(touched-partitions) cost model as merge). When the
+        predicate constrains the partition columns, the touched-partition
+        discovery scan itself is pruned by predicate pushdown."""
         df = self.read(name)
+        spec = self.partition_spec(name)
+        pruned = bool(spec) and where is not None
+        if pruned:
+            # distinct partition tuples containing matching rows; partitions
+            # are coarse by design so the collect is bounded and small.
+            touched = [tuple(r) for r in df.filter(where).select(*spec).distinct().collect()]
+            df = df.filter(self._partition_predicate(spec, touched))
+
+        flagged = df.withColumn("__upd", F.lit(True) if where is None else where)
+        updated = flagged
         for col, expr in set_exprs.items():
-            new_val = expr if where is None else F.when(where, expr).otherwise(F.col(col))
-            df = df.withColumn(col, new_val)
-        return self._write_version(name, df)
+            updated = updated.withColumn(
+                col, F.when(F.col("__upd"), expr).otherwise(F.col(col))
+            )
+        want_cdc = capture_cdc and self._feed_exists(name)
+
+        v, vdir = self._stage_version(name, updated.drop("__upd"))
+        if pruned:
+            self._link_untouched(name, vdir)
+        self._commit(name, v)
+        if want_cdc:
+            # pre/post images of matching rows only (match evaluated on the
+            # OLD values — the flag is computed before the SET is applied)
+            pre = (
+                flagged.filter("__upd").drop("__upd")
+                .withColumn("_change_type", F.lit(CDC_UPDATE_PRE))
+            )
+            post = (
+                updated.filter("__upd").drop("__upd")
+                .withColumn("_change_type", F.lit(CDC_UPDATE_POST))
+            )
+            self._append_changes(name, pre.unionByName(post), v)
+        return v
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
@@ -186,8 +314,11 @@ class TableStore:
         reference's dim merge transform_load.sql:43-47).
         WHEN NOT MATCHED THEN INSERT *.
 
-        Raises if the source has duplicate merge keys (same as Delta's
-        multiple-source-rows-matched error).
+        Raises ValueError if the source has duplicate merge keys (same as
+        Delta's multiple-source-rows-matched error). The check is a window
+        count over the merge keys evaluated inside the merge write job —
+        the window's hash partitioning is the join's, so the whole merge
+        (including the check) is one shuffle job, not two.
 
         On a partitioned table (``overwrite(..., partition_by=...)``) the
         merge is partition-pruned: only partitions present in the source
@@ -197,24 +328,21 @@ class TableStore:
         moves between partitions).
         """
         target = self.read(name)
-        dup = source.groupBy(*on).count().filter(F.col("count") > 1)
-        if dup.take(1):
-            raise ValueError(f"merge source has duplicate keys on {on}")
 
         spec = self.partition_spec(name)
         pruned = bool(spec) and all(c in source.columns for c in spec)
         if pruned:
             # touched partitions: distinct partition tuples in the source.
             # Partitions are coarse by design (years, sources), so the
-            # driver-side collect is bounded and small.
+            # driver-side collect is bounded and small. eqNullSafe keeps
+            # NULL-partition target rows in the rewrite.
             touched = [tuple(r) for r in source.select(*spec).distinct().collect()]
-            pred = F.lit(False)
-            for t in touched:
-                conj = F.lit(True)
-                for c, v in zip(spec, t):
-                    conj = conj & (F.col(c) == F.lit(v))
-                pred = pred | conj
-            target = target.filter(pred)  # partition pruning hits the scan
+            target = target.filter(self._partition_predicate(spec, touched))
+
+        source_cols = set(source.columns)
+        # duplicate-source-key count, evaluated lazily inside the merge job
+        src_cnt = F.count(F.lit(1)).over(Window.partitionBy(*on))
+        source = source.withColumn("__src_cnt", src_cnt)
 
         t = target.alias("t")
         s = source.alias("s")
@@ -230,15 +358,23 @@ class TableStore:
         joined = t.join(s, cond, "full_outer")
 
         data_cols = [c for c in target.columns if c not in on]
-        source_cols = set(source.columns)
         if update_cols is None:
             upd = [c for c in data_cols if c in source_cols]
         else:
             upd = list(update_cols)
 
+        dup_guard = F.assert_true(
+            F.col("s.__src_cnt").isNull() | (F.col("s.__src_cnt") == 1),
+            F.lit(f"{_DUP_KEY_MARK}: merge source has duplicate keys on {on}"),
+        )
         out_cols = []
-        for k in on:
-            out_cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k))
+        for i, k in enumerate(on):
+            key = F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}"))
+            if i == 0:
+                # evaluating the guard either raises (duplicate source keys)
+                # or yields NULL, so the otherwise-branch is always taken
+                key = F.when(dup_guard.isNotNull(), F.lit(None)).otherwise(key)
+            out_cols.append(key.alias(k))
         for c in data_cols:
             t_val = F.col(f"t.{c}")
             s_val = F.col(f"s.{c}") if c in source_cols else F.lit(None)
@@ -254,14 +390,58 @@ class TableStore:
         )
         result = joined.select(*out_cols, action.alias("__action"))
 
+        try:
+            v, vdir = self._stage_version(name, result.drop("__action"))
+        except Exception as ex:
+            if _DUP_KEY_MARK in str(ex):
+                raise ValueError(f"merge source has duplicate keys on {on}") from None
+            raise
+        if pruned:
+            self._link_untouched(name, vdir)
+        self._commit(name, v)
+        # CDC after the main commit: a failure here can lose a feed entry
+        # for a committed version, never record one for a phantom version.
         if capture_cdc:
-            self._log_cdc(name, result, joined, on, data_cols, insert_only)
-        v = self._write_version(name, result.drop("__action"), link_untouched=pruned)
+            self._log_cdc(name, result, joined, on, data_cols, insert_only, v)
         return v
 
     # -- CDC (S8: Delta Change Data Feed analog) --------------------------------
     def _cdc_table(self, name: str) -> str:
         return f"_cdc__{name}"
+
+    def _feed_exists(self, name: str) -> bool:
+        return not name.startswith("_cdc__") and self.exists(self._cdc_table(name))
+
+    def enable_cdc(self, name: str) -> None:
+        """Start an (empty) change feed so subsequent update/append/
+        truncate/overwrite statements are captured even before the first
+        merge (Delta's delta.enableChangeDataFeed analog)."""
+        if self._feed_exists(name):
+            return
+        empty = (
+            self.read(name)
+            .limit(0)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0))
+        )
+        self._write_version(self._cdc_table(name), empty)
+
+    def _append_changes(self, name: str, changes: DataFrame, version: int) -> None:
+        """Append this commit's change rows to the feed table (O(increment))
+        and to the append-only stream dir for streaming consumers."""
+        changes = changes.withColumn("_commit_version", F.lit(version))
+        cdc = self._cdc_table(name)
+        if self.exists(cdc):
+            changes = changes.select(*self.read(cdc).columns)
+            v, vdir = self._stage_version(cdc, changes)
+            self._link_prev_files(cdc, vdir)
+            self._commit(cdc, v)
+        else:
+            self._write_version(cdc, changes)
+        # append-only copy for streaming consumers (file source sees only
+        # new files; see streaming/cdc.py)
+        stream_dir = os.path.join(self.root, "_cdc_stream", name)
+        changes.write.mode("append").parquet(stream_dir)
 
     def _log_cdc(
         self,
@@ -271,8 +451,8 @@ class TableStore:
         on: list[str],
         data_cols: list[str],
         insert_only: bool,
+        version: int,
     ) -> None:
-        next_v = (self.current_version(name) or 0) + 1
         inserts = result.filter(F.col("__action") == CDC_INSERT).withColumn(
             "_change_type", F.lit(CDC_INSERT)
         )
@@ -292,17 +472,7 @@ class TableStore:
                 .withColumn("_change_type", F.lit(CDC_UPDATE_PRE))
             )
             changes = changes.unionByName(post).unionByName(pre)
-        changes = changes.drop("__action").withColumn("_commit_version", F.lit(next_v))
-        cdc = self._cdc_table(name)
-        if self.exists(cdc):
-            changes = self.read(cdc).unionByName(changes)
-        self._write_version(cdc, changes)
-        # append-only copy for streaming consumers (file source sees only
-        # new files; see streaming/cdc.py)
-        stream_dir = os.path.join(self.root, "_cdc_stream", name)
-        changes.filter(F.col("_commit_version") == next_v).write.mode("append").parquet(
-            stream_dir
-        )
+        self._append_changes(name, changes.drop("__action"), version)
 
     def read_changes(self, name: str, starting_version: int = 0) -> DataFrame:
         """Batch read of the change feed (Delta's

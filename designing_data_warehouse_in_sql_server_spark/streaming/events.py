@@ -40,6 +40,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.parq*")
     )
+    # withWatermark only accepts TIMESTAMP (LTZ), so the batch reader's
+    # TIMESTAMP_NTZ expression is not usable here; pin the session
+    # timezone to UTC so the LTZ values coincide with the batch NTZ
+    # values under ANY ambient timezone, not just a UTC-configured session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )

@@ -90,3 +90,35 @@ def test_high_watermarks_fallback(spark):
            high_watermarks(fact, keys, "k", "k", "ts", "2000-01-01").collect()}
     assert out["a"] == (dt.datetime(2024, 1, 5), False)
     assert out["b"] == (dt.datetime(2000, 1, 1), True)
+
+
+def test_assign_sequential_ids_dense_and_parallel(spark):
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import assign_sequential_ids
+
+    rows = [(k, f"v{k}") for k in range(97, 0, -1)]
+    df = spark.createDataFrame(rows, "k int, v string")
+    out = assign_sequential_ids(df, "rid", ["k"], start=100)
+    got = sorted((r.k, r.rid) for r in out.collect())
+    # dense ids 101..197, globally ordered by k
+    assert got == [(k, 100 + k) for k in range(1, 98)]
+
+    # the id assignment must never collapse to a single partition
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_scd2_rejects_duplicate_update_keys(spark):
+    import pytest as _pytest
+    from designing_data_warehouse_in_sql_server_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", "9999-12-31", True)],
+        "id int, attr string, valid_from string, valid_to string, is_current boolean",
+    ).withColumn("valid_from", __import__("pyspark.sql.functions", fromlist=["f"]).col("valid_from").cast("timestamp_ntz")) \
+     .withColumn("valid_to", __import__("pyspark.sql.functions", fromlist=["f"]).col("valid_to").cast("timestamp_ntz"))
+    upd = spark.createDataFrame([(1, "x"), (1, "y")], "id int, attr string")
+    out = scd2_apply(dim, upd, key=["id"], tracked=["attr"], effective_ts="2021-01-01")
+    with _pytest.raises(Exception, match="duplicate keys"):
+        out.collect()

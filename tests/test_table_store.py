@@ -136,6 +136,137 @@ def test_pruned_merge_cdc_covers_only_touched(spark, store):
     assert types == {(2, "update_preimage"), (2, "update_postimage")}
 
 
+def test_merge_keeps_null_partition_rows(spark, store):
+    """Pruning predicate must be null-safe: a merge into the NULL
+    partition may not drop pre-existing NULL-partition rows."""
+    rows = [(1, None, "a"), (2, 1997, "b")]
+    store.overwrite("p", _pdf(spark, rows), partition_by=["yr"])
+    store.merge("p", _pdf(spark, [(9, None, "new")]), on=["k", "yr"])
+    got = {(r.k, r.yr, r.v) for r in store.read("p").collect()}
+    assert got == {(1, None, "a"), (2, 1997, "b"), (9, None, "new")}
+
+
+def test_append_links_previous_files(spark, store):
+    """Append is O(increment): every file of the previous version is a
+    hard link (same inode), and only the new rows are freshly written."""
+    import os
+
+    store.overwrite("t", _df(spark, [(1, "a"), (2, "b")]))
+    v1 = os.path.join(store.root, "t", "v1")
+    v1_inodes = {
+        os.stat(os.path.join(v1, f)).st_ino
+        for f in os.listdir(v1)
+        if f.endswith(".parquet")
+    }
+    store.append("t", _df(spark, [(3, "c")]))
+    v2 = os.path.join(store.root, "t", "v2")
+    v2_files = [f for f in os.listdir(v2) if f.endswith(".parquet")]
+    v2_inodes = {os.stat(os.path.join(v2, f)).st_ino for f in v2_files}
+    assert v1_inodes <= v2_inodes  # all previous files linked, not copied
+    assert len(v2_inodes - v1_inodes) >= 1  # plus fresh file(s) for new rows
+    got = {r.k: r.v for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_append_links_into_partitioned_layout(spark, store):
+    import os
+
+    store.overwrite(
+        "p", _pdf(spark, [(1, 1996, "a"), (2, 1997, "b")]), partition_by=["yr"]
+    )
+    store.append("p", _pdf(spark, [(3, 1997, "c"), (4, 1998, "d")]))
+    got = {(r.k, r.yr, r.v) for r in store.read("p").collect()}
+    assert got == {(1, 1996, "a"), (2, 1997, "b"), (3, 1997, "c"), (4, 1998, "d")}
+
+    def inodes(v, part):
+        d = os.path.join(store.root, "p", v, part)
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # 1996 untouched -> pure links; 1997 got a new file ON TOP of the links
+    assert inodes("v2", "yr=1996") == inodes("v1", "yr=1996")
+    assert inodes("v1", "yr=1997") <= inodes("v2", "yr=1997")
+    assert len(inodes("v2", "yr=1997")) > len(inodes("v1", "yr=1997"))
+
+
+def test_update_rewrites_only_touched_partitions(spark, store):
+    import os
+
+    rows = [(1, 1996, "a"), (2, 1997, "b"), (3, 1998, "c")]
+    store.overwrite("p", _pdf(spark, rows), partition_by=["yr"])
+    store.update("p", {"v": F.lit("X")}, where=F.col("yr") == 1997)
+    got = {(r.k, r.yr, r.v) for r in store.read("p").collect()}
+    assert got == {(1, 1996, "a"), (2, 1997, "X"), (3, 1998, "c")}
+
+    def inodes(v, part):
+        d = os.path.join(store.root, "p", v, part)
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    assert inodes("v2", "yr=1996") == inodes("v1", "yr=1996")
+    assert inodes("v2", "yr=1998") == inodes("v1", "yr=1998")
+    assert inodes("v2", "yr=1997").isdisjoint(inodes("v1", "yr=1997"))
+
+
+def test_update_prunes_on_non_partition_predicate(spark, store):
+    """A where on a data column still only rewrites partitions that
+    contain matching rows."""
+    import os
+
+    rows = [(1, 1996, "a"), (2, 1997, "b"), (3, 1998, "c")]
+    store.overwrite("p", _pdf(spark, rows), partition_by=["yr"])
+    store.update("p", {"v": F.lit("B")}, where=F.col("v") == "b")
+    got = {(r.k, r.yr, r.v) for r in store.read("p").collect()}
+    assert got == {(1, 1996, "a"), (2, 1997, "B"), (3, 1998, "c")}
+    d96 = os.path.join(store.root, "p", "v2", "yr=1996")
+    d96_v1 = os.path.join(store.root, "p", "v1", "yr=1996")
+    assert {
+        os.stat(os.path.join(d96, f)).st_ino
+        for f in os.listdir(d96)
+        if f.endswith(".parquet")
+    } == {
+        os.stat(os.path.join(d96_v1, f)).st_ino
+        for f in os.listdir(d96_v1)
+        if f.endswith(".parquet")
+    }
+
+
+def test_cdc_captures_update_append_truncate(spark, store):
+    """Once a feed exists, every DML is visible to read_changes()
+    (Delta-CDF parity), tagged with the committing version."""
+    store.overwrite("t", _df(spark, [(1, "a"), (2, "b")]))
+    store.enable_cdc("t")
+
+    v_app = store.append("t", _df(spark, [(3, "c")]))
+    v_upd = store.update("t", {"v": F.lit("A")}, where=F.col("k") == 1)
+    v_trunc = store.truncate("t")
+
+    ch = store.read_changes("t").collect()
+    by = {(r.k, r._change_type, r._commit_version) for r in ch}
+    assert (3, "insert", v_app) in by
+    assert (1, "update_preimage", v_upd) in by
+    assert (1, "update_postimage", v_upd) in by
+    # truncate deletes everything present at that point
+    deletes = {r.k for r in ch if r._change_type == "delete" and r._commit_version == v_trunc}
+    assert deletes == {1, 2, 3}
+    pre = [r for r in ch if r._change_type == "update_preimage"]
+    post = [r for r in ch if r._change_type == "update_postimage"]
+    assert pre[0].v == "a" and post[0].v == "A"
+
+
+def test_cdc_not_captured_without_feed(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.append("t", _df(spark, [(2, "b")]))  # no feed yet -> no capture
+    with pytest.raises(FileNotFoundError):
+        store.read_changes("t")
+
+
 def test_incremental_agg_matches_full_recompute(spark, store):
     """Maintained aggregate must be bit-identical to a full recompute
     after inserts AND updates flow through the change feed."""
