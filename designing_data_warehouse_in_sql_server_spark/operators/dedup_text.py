@@ -293,14 +293,75 @@ def simhash_fingerprint(
     )
 
 
-def simhash_near_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
-    """Pairs whose SimHash Hamming distance <= max_hamming.
+def _hamming_col(a: str, b: str, n_bits: int) -> F.Column:
+    return sum(
+        (F.substring(F.col(a), i + 1, 1) != F.substring(F.col(b), i + 1, 1)).cast("int")
+        for i in range(n_bits)
+    )
 
-    The all-pairs form is for verification at test scale; the scale path
-    bands the fingerprint (split into max_hamming+1 segments — pigeonhole:
-    any pair within the distance shares >= 1 exact segment) and joins on
-    segments, identical shape to lsh_candidate_pairs."""
-    n_bits = 16
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int, n_bits: int = 16
+) -> DataFrame:
+    """Pairs whose SimHash Hamming distance <= max_hamming — banded form.
+
+    Pigeonhole: split the fingerprint into max_hamming+1 contiguous
+    segments; any pair within the distance differs in <= max_hamming
+    bits, so it agrees EXACTLY on at least one segment. Candidates are
+    an equi-join on (segment index, segment value) — the same
+    bucket-join shape as lsh_candidate_pairs, never n^2 — then the full
+    Hamming distance verifies each candidate once.
+
+    Scale: explode fans each row out max_hamming+1 times (tiny, the
+    fingerprint is n_bits chars); the self-join shuffles on short
+    segment keys; distinct() collapses pairs that collide in several
+    segments before verification. Carrying the fingerprint through the
+    join keeps verification join-free."""
+    n_seg = max_hamming + 1
+    base, rem = divmod(n_bits, n_seg)
+    segs, start = [], 1
+    for i in range(n_seg):
+        ln = base + (1 if i < rem else 0)
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.substring("simhash", start, ln).alias("val"),
+            )
+        )
+        start += ln
+    exploded = fingerprints.select(
+        F.col(id_col).alias("__id"), "simhash", F.explode(F.array(*segs)).alias("b")
+    ).select("__id", "simhash", "b.seg", "b.val")
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.simhash").alias("__sh_a"),
+            F.col("b.simhash").alias("__sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", _hamming_col("__sh_a", "__sh_b", n_bits))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs_allpairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int, n_bits: int = 16
+) -> DataFrame:
+    """All-pairs reference form of simhash_near_pairs — O(n^2), for
+    verifying the banded form at test scale only."""
     a = fingerprints.alias("a")
     b = fingerprints.alias("b")
     hamming = sum(

@@ -20,6 +20,7 @@ from ..operators.dedup_text import (
     ngram_jaccard,
     shingle_docs,
     simhash_fingerprint,
+    simhash_near_pairs,
 )
 from ..operators.multimodal import documents_as_assets, extract_features
 from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, neardup_pairs
@@ -199,6 +200,44 @@ SELECT doc_id, {chars} AS simhash, n_shingles FROM votes
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
     return simhash_fingerprint(docs, "doc_id", "text", k=3, bits=16)
+
+
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 2) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    chars = " || ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(bits))
+    ham = " + ".join(
+        f"CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1)"
+        " THEN 1 ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+WITH all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+exploded AS (
+  SELECT doc_id, md5(unnest(shingles)) AS h FROM sh
+),
+votes AS (
+  SELECT doc_id, {votes} FROM exploded GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {chars} AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, {ham} AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE ({ham}) <= {max_hamming}
+"""
+
+
+@register("simhash_near_pairs", _simhash_pairs_oracle())
+def simhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (pigeonhole) SimHash near-duplicate pairs at Hamming <= 2.
+    The oracle is the all-pairs definition; the Spark plan is the banded
+    segment equi-join (operators/dedup_text.py:simhash_near_pairs) whose
+    candidate set provably contains every qualifying pair."""
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    fp = simhash_fingerprint(docs, "doc_id", "text", k=3, bits=16)
+    return simhash_near_pairs(fp, "doc_id", max_hamming=2)
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,8 @@ scheduling is external (cron/Airflow).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -23,6 +25,23 @@ from ..sources.table_store import TableStore
 STG = "stg_weather_raw"
 DIM = "dim_city"
 FACT = "fact_weather"
+RUN_LOG = "_run_log"
+
+
+def _log_stage(
+    store: TableStore, load_ts: str, stage: str, n_rows: int, duration_sec: float
+) -> None:
+    """Append one run-log record per stage (the engine-side analog of the
+    reference's run_etl.bat per-step logging, run_etl_bat:7-31 — S9).
+    Counts are increment-sized, so the log write is O(1)."""
+    df = store.spark.createDataFrame(
+        [(load_ts, stage, int(n_rows), round(float(duration_sec), 3))],
+        "load_ts string, stage string, n_rows long, duration_sec double",
+    )
+    if store.exists(RUN_LOG):
+        store.append(RUN_LOG, df, capture_cdc=False)
+    else:
+        store.overwrite(RUN_LOG, df)
 
 
 def extract(
@@ -53,7 +72,11 @@ def extract(
     ).filter(F.col("start") <= F.col("end"))
     windows = [(r.city_name, r.start, r.end) for r in windows_df.collect()]  # 5 cities
     new_rows = extract_incremental(spark, fetcher, windows, load_ts)
-    return store.append(STG, new_rows)
+    t0 = time.monotonic()
+    v = store.append(STG, new_rows)
+    n = store.read(STG).filter(F.col("load_timestamp") == F.lit(load_ts).cast("timestamp_ntz")).count()
+    _log_stage(store, load_ts, "extract", n, time.monotonic() - t0)
+    return v
 
 
 def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None:
@@ -64,8 +87,10 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
     PRE-update staging snapshot — immutability gives the reference's
     statement-snapshot semantics for free (SURVEY §7 risk 2).
     """
+    t0 = time.monotonic()
     stg = store.read(STG)
     unprocessed = F.col("is_processed") == False  # noqa: E712  (P3)
+    n_unprocessed = stg.filter(unprocessed).count()
 
     # 1. dedup unprocessed rows on (city_name, date); deterministic
     #    tiebreak by load_timestamp DESC (divergence from the reference's
@@ -157,6 +182,7 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
 
     # 6. mark ALL staging rows processed (M4 — no WHERE in the reference)
     store.update(STG, {"is_processed": F.lit(True)})
+    _log_stage(store, load_ts, "transform_load", n_unprocessed, time.monotonic() - t0)
 
 
 def run_pipeline(

@@ -183,3 +183,70 @@ def test_range_join_pairs_matches_naive(spark):
     )
     want = {(r.user_id, r.id_a, r.id_b) for r in naive.collect()}
     assert got == want and len(got) > 0
+
+
+def test_simhash_banded_agrees_with_allpairs(spark):
+    """The pigeonhole banding must find exactly the all-pairs answer."""
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        simhash_fingerprint,
+        simhash_near_pairs,
+        simhash_near_pairs_allpairs,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import _with_near_copies
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    docs = _with_near_copies(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    fp = simhash_fingerprint(docs, "doc_id", "text", k=3, bits=16).localCheckpoint()
+    for d in (0, 2, 3):
+        banded = {tuple(r) for r in simhash_near_pairs(fp, "doc_id", d).collect()}
+        brute = {tuple(r) for r in simhash_near_pairs_allpairs(fp, "doc_id", d).collect()}
+        assert banded == brute, f"max_hamming={d}: banded != all-pairs"
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """The two rows-only sketch queries get verified-approximate status:
+    HLL at rsd=0.01 must land within 3*rsd of the exact distinct counts."""
+    from designing_data_warehouse_in_sql_server_spark.plans.analytics import approx_distinct
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.l_returnflag: (r.approx_parts, r.approx_orders)
+           for r in approx_distinct(spark, sf).collect()}
+    exact = {
+        r.l_returnflag: (r.p, r.o)
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_orderkey").alias("o"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, (ap, ao) in got.items():
+        ep, eo = exact[flag]
+        assert abs(ap - ep) <= 3 * 0.01 * ep + 1, f"{flag}: parts {ap} vs {ep}"
+        assert abs(ao - eo) <= 3 * 0.01 * eo + 1, f"{flag}: orders {ao} vs {eo}"
+
+
+def test_approx_percentiles_within_rank_bound(spark):
+    """percentile_approx(accuracy=10000) guarantees rank error <= n/10000;
+    check each approximate quantile sits between the exact quantiles at
+    p +/- 3/accuracy (slack x3 for tiny-group integer rank effects)."""
+    from designing_data_warehouse_in_sql_server_spark.plans.analytics import approx_percentiles
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.o_orderpriority: (r.p50, r.p90, r.p99)
+           for r in approx_percentiles(spark, sf).collect()}
+    eps = 3.0 / 10_000
+    orders = load_table(spark, sf, "orders")
+    for prio, vals in got.items():
+        prices = sorted(
+            r.o_totalprice
+            for r in orders.filter(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(prices)
+        for p, v in zip((0.5, 0.9, 0.99), vals):
+            lo = prices[max(0, int((p - eps) * n) - 1)]
+            hi = prices[min(n - 1, int((p + eps) * n))]
+            assert lo <= v <= hi, f"{prio} p{int(p*100)}: {v} not in [{lo}, {hi}]"

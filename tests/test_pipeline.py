@@ -159,3 +159,21 @@ def test_weather_api_datasource(spark):
         [(c, fake_fetcher(c, "2024-02-01", "2024-02-03")) for c in ("London", "Sydney", "Lahore")],
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_run_log_row_per_stage_per_run(spark, store):
+    from designing_data_warehouse_in_sql_server_spark.plans.pipeline import RUN_LOG
+
+    run_pipeline(spark, store, fake_fetcher, today="2024-02-05", load_ts=LOAD_TS)
+    log = store.read(RUN_LOG).collect()
+    stages = {(r.load_ts, r.stage) for r in log}
+    assert stages == {(LOAD_TS, "extract"), (LOAD_TS, "transform_load")}
+    assert all(r.duration_sec >= 0 and r.n_rows >= 0 for r in log)
+
+    ts2 = "2024-02-06 02:00:00"
+    run_pipeline(spark, store, fake_fetcher, today="2024-02-05", load_ts=ts2)
+    log2 = store.read(RUN_LOG).collect()
+    assert len(log2) == 4
+    assert {(r.load_ts, r.stage) for r in log2} == stages | {
+        (ts2, "extract"), (ts2, "transform_load")
+    }
