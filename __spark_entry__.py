@@ -37,6 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = (
     # round-2 additions
     "simhash_near_pairs",
+    "quality_repetition",
+    "pii_scrub",
+    "decontaminate_ngrams",
     # the 14 bench-only queries from round 1
     "asof_join_attribution",
     "range_join_event_pairs",

@@ -329,9 +329,17 @@ def simhash_near_pairs(
             )
         )
         start += ln
-    exploded = fingerprints.select(
-        F.col(id_col).alias("__id"), "simhash", F.explode(F.array(*segs)).alias("b")
-    ).select("__id", "simhash", "b.seg", "b.val")
+    # checkpoint before the self-join: exchange reuse does not fire across
+    # aliased self-join sides, so without this the (expensive) fingerprint
+    # aggregation under `fingerprints` runs twice (same measured fix as
+    # lsh_candidate_pairs; on a cluster swap for reliable checkpoint)
+    exploded = (
+        fingerprints.select(
+            F.col(id_col).alias("__id"), "simhash", F.explode(F.array(*segs)).alias("b")
+        )
+        .select("__id", "simhash", "b.seg", "b.val")
+        .localCheckpoint(eager=False)
+    )
 
     a = exploded.alias("a")
     b = exploded.alias("b")

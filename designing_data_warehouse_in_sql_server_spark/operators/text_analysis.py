@@ -74,6 +74,117 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals: type-token ratio and the
+    fraction of all word-bigrams taken by the single most frequent bigram
+    (boilerplate and degenerate repetition push it toward 1).
+
+    Scale: bigrams are exploded (NOT collected into per-doc arrays) and
+    counted with two aggregations — groupBy(id, bigram) with map-side
+    partial aggregation collapses the heavy duplicate stream, then
+    groupBy(id) reduces bigram counts to the per-doc max. Both are plain
+    hash aggregates of narrow rows; no windows, no driver involvement.
+    Docs with < 2 words have no bigram and are excluded (both engines)."""
+    t = F.col(text_col)
+    w = words_col(t)
+    n = F.size(w)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1), lambda i: F.array_join(F.slice(w, i, 2), " ")
+    )
+    exploded = (
+        spread(df, id_col)
+        .filter(F.size(words_col(t)) >= 2)
+        .select(
+            F.col(id_col),
+            n.alias("n_words"),
+            F.size(F.array_distinct(w)).alias("n_distinct_words"),
+            F.explode(bigrams).alias("bigram"),
+        )
+    )
+    per_bigram = exploded.groupBy(id_col, "bigram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("n_words").alias("n_words"),
+        F.max("n_distinct_words").alias("n_distinct_words"),
+    )
+    return per_bigram.groupBy(id_col).agg(
+        F.max("n_words").alias("n_words"),
+        F.max("n_distinct_words").alias("n_distinct_words"),
+        F.round(
+            F.max("n_distinct_words").cast("double") / F.max("n_words"), 6
+        ).alias("type_token_ratio"),
+        F.max("cnt").alias("top_bigram_cnt"),
+        F.round(
+            F.max("cnt").cast("double") / (F.max("n_words") - 1), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns — dialect-neutral (identical semantics in Java regex and
+# RE2): literal classes, bounded repetition, \b word boundaries.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_URL_RE = r"https?://[^\s]+"
+PII_ID_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + scrubbing for training corpora: counts emails,
+    URLs, and SSN-shaped ids, and emits the md5 of the scrubbed text
+    (placeholders <EMAIL>/<URL>/<ID>, applied in that fixed order so the
+    result is deterministic cross-engine).
+
+    Scale: pure per-row regexp_count/regexp_replace Catalyst expressions
+    inside codegen — embarrassingly parallel, no shuffle at all."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_URL_RE, "<URL>"
+        ),
+        PII_ID_RE,
+        "<ID>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_ID_RE)).alias("n_ids"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Train/eval decontamination: corpus documents sharing at least one
+    k-word shingle with any benchmark document, with the number of
+    distinct overlapping shingles (the standard n-gram-overlap
+    contamination check run before training).
+
+    Scale: the benchmark side (eval sets) is tiny relative to a 100 TB
+    corpus, so its distinct shingle set is broadcast — the corpus side
+    explodes shingles and joins map-side with NO shuffle of corpus data;
+    only the per-doc hit counts aggregate. For a large benchmark side,
+    drop the broadcast hint and let AQE pick the join."""
+    from .dedup_text import shingle_docs
+
+    c = shingle_docs(corpus, id_col, text_col, k).select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    )
+    b = (
+        shingle_docs(benchmark, id_col, text_col, k)
+        .select(F.explode("__sh").alias("__s"))
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "__s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__s").alias("n_hits"))
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Document fingerprints: full-content md5 of the normalized text plus
     a winnowing-style rolling fingerprint (min shingle hash — the anchor

@@ -27,9 +27,12 @@ from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, neardup_pair
 from ..operators.skew import salted_sum_count
 from ..operators.temporal import asof_join, range_join_pairs
 from ..operators.text_analysis import (
+    contamination,
     fingerprints,
     lang_id,
+    pii_scrub,
     quality_features,
+    repetition_features,
     token_counts,
 )
 from ..sources.parquet import load_table
@@ -505,6 +508,116 @@ FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
 @register("doc_fingerprint", FINGERPRINT_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+         CAST(len(list_distinct(words)) AS INT) AS n_distinct_words
+  FROM w WHERE len(words) >= 2
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> array_to_string(words[i:i+1], ' '))) AS bigram
+  FROM w WHERE len(words) >= 2
+),
+cnts AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM big GROUP BY doc_id, bigram),
+tops AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt FROM cnts GROUP BY doc_id)
+SELECT b.doc_id, b.n_words, b.n_distinct_words,
+       ROUND(CAST(b.n_distinct_words AS DOUBLE) / b.n_words, 6) AS type_token_ratio,
+       t.top_bigram_cnt,
+       ROUND(CAST(t.top_bigram_cnt AS DOUBLE) / (b.n_words - 1), 6) AS top_bigram_frac
+FROM base b JOIN tops t USING (doc_id)
+"""
+
+
+@register("quality_repetition", REPETITION_ORACLE)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# Deterministically plant PII so the scrubber has real positives: every
+# 7th doc gets an email, a URL, and an SSN-shaped id appended.
+def _with_pii(docs: DataFrame) -> DataFrame:
+    t = F.col("text")
+    d = F.col("doc_id").cast("string")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            t,
+            F.lit(" contact user"), d,
+            F.lit("@example.com via https://example.com/d/"), d,
+            F.lit(" ref 123-45-6789"),
+        ),
+    ).otherwise(t)
+    return docs.select("doc_id", planted.alias("text"))
+
+
+SQL_WITH_PII = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com via https://example.com/d/'
+                   || CAST(doc_id AS VARCHAR) || ' ref 123-45-6789'
+              ELSE text END AS text
+  FROM documents
+"""
+
+_SQL_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_SQL_URL = "https?://[^\\s]+"
+_SQL_ID = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+PII_ORACLE = f"""
+WITH all_docs AS ({SQL_WITH_PII})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_SQL_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_SQL_URL}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{_SQL_ID}')) AS INT) AS n_ids,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_SQL_EMAIL}', '<EMAIL>', 'g'),
+           '{_SQL_URL}', '<URL>', 'g'),
+           '{_SQL_ID}', '<ID>', 'g')) AS scrubbed_md5
+FROM all_docs
+"""
+
+
+@register("pii_scrub", PII_ORACLE)
+def pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(_with_pii(load_table(spark, sf_dir, "documents")), "doc_id", "text")
+
+
+DECONTAM_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 3),
+                i -> array_to_string(words[i:i+4], ' ')))) AS s
+  FROM w WHERE len(words) >= 5
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id
+"""
+
+
+@register("decontaminate_ngrams", DECONTAM_ORACLE)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: benchmark = every 97th doc,
+    corpus = the rest; flag corpus docs sharing any 5-word shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination(corpus, bench, "doc_id", "text", k=5)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,72 @@ def fetch_with_retry(
     return None
 
 
+#: city -> (latitude, longitude), the reference's hard-coded city list
+#: (extract_weather.py:7-13)
+OPEN_METEO_COORDS: dict[str, tuple[float, float]] = {
+    "London": (51.5074, -0.1278),
+    "New York": (40.7128, -74.0060),
+    "Tokyo": (35.6762, 139.6503),
+    "Sydney": (-33.8688, 151.2093),
+    "Lagos": (6.5244, 3.3792),
+}
+
+OPEN_METEO_URL = "https://archive-api.open-meteo.com/v1/archive"
+_DAILY_VARS = "temperature_2m_max,temperature_2m_min,precipitation_sum"
+
+
+def open_meteo_fetcher(
+    coords: dict[str, tuple[float, float]] | None = None,
+    transport: Callable[[str], str] | None = None,
+    timeout_s: float = 30.0,
+) -> Fetcher:
+    """Live fetcher for the Open-Meteo archive API (the reference's
+    endpoint, extract_weather.py:39-54): returns a ``Fetcher`` suitable
+    for ``extract_incremental`` / ``fetch_distributed``.
+
+    ``transport(url) -> body`` defaults to ``requests`` when installed,
+    else stdlib urllib — the engine never hard-depends on requests (this
+    container has no network, so tests inject a fake transport and
+    assert the URL contract instead of calling out).
+    """
+    coords = OPEN_METEO_COORDS if coords is None else coords
+
+    if transport is None:
+
+        def transport(url: str) -> str:
+            try:
+                import requests
+
+                resp = requests.get(url, timeout=timeout_s)
+                resp.raise_for_status()
+                return resp.text
+            except ImportError:
+                from urllib.request import urlopen
+
+                with urlopen(url, timeout=timeout_s) as fh:
+                    return fh.read().decode("utf-8")
+
+    def fetch(city: str, start: str, end: str) -> str:
+        from urllib.parse import urlencode
+
+        if city not in coords:
+            raise KeyError(f"no coordinates for city {city!r}")
+        lat, lon = coords[city]
+        qs = urlencode(
+            {
+                "latitude": lat,
+                "longitude": lon,
+                "start_date": start,
+                "end_date": end,
+                "daily": _DAILY_VARS,
+                "timezone": "UTC",
+            }
+        )
+        return transport(f"{OPEN_METEO_URL}?{qs}")
+
+    return fetch
+
+
 def payloads_to_rows(spark: SparkSession, payloads: Iterable[tuple[str, str]]) -> DataFrame:
     """(city_name, payload_json) pairs -> one row per day (driver-built
     input; the decode itself is `decode_payloads`)."""

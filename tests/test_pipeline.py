@@ -177,3 +177,36 @@ def test_run_log_row_per_stage_per_run(spark, store):
     assert {(r.load_ts, r.stage) for r in log2} == stages | {
         (ts2, "extract"), (ts2, "transform_load")
     }
+
+
+def test_open_meteo_fetcher_url_contract(spark):
+    """The live fetcher builds the reference's archive-API request
+    (extract_weather.py:39-54) and flows through the standard decode."""
+    from designing_data_warehouse_in_sql_server_spark.sources.http_api import (
+        open_meteo_fetcher,
+        payloads_to_rows,
+    )
+
+    seen = []
+
+    def fake_transport(url: str) -> str:
+        seen.append(url)
+        return (
+            '{"daily": {"time": ["2024-02-01"], "temperature_2m_max": [10.5],'
+            ' "temperature_2m_min": [2.0], "precipitation_sum": [0.3]}}'
+        )
+
+    fetch = open_meteo_fetcher(transport=fake_transport)
+    payload = fetch("London", "2024-02-01", "2024-02-01")
+    url = seen[0]
+    assert url.startswith("https://archive-api.open-meteo.com/v1/archive?")
+    assert "latitude=51.5074" in url and "longitude=-0.1278" in url
+    assert "start_date=2024-02-01" in url and "end_date=2024-02-01" in url
+    assert "temperature_2m_max" in url
+
+    rows = payloads_to_rows(spark, [("London", payload)]).collect()
+    assert len(rows) == 1 and float(rows[0].temp_max) == 10.5
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        fetch("Atlantis", "2024-02-01", "2024-02-01")
