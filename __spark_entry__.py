@@ -40,6 +40,16 @@ _CHECK_FIRST = (
     "quality_repetition",
     "pii_scrub",
     "decontaminate_ngrams",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q12_ship_delay",
+    "q14_promo_effect",
+    "q19_brand_discounts",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_dormant_customers",
     # the 14 bench-only queries from round 1
     "asof_join_attribution",
     "range_join_event_pairs",

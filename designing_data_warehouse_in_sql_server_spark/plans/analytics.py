@@ -974,3 +974,440 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("cents").over(w).alias("first_cents"),
         F.last("cents").over(w).alias("last_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6-style revenue forecast: pure scan + filter + single aggregate —
+# the canonical predicate-pushdown query (all three filters reach the
+# parquet scan; no shuffle at all until the final 1-row reduce).
+# ---------------------------------------------------------------------------
+Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("q6_revenue_forecast", Q6_ORACLE)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style promotion effect: broadcast dim join + conditional
+# aggregate ratio (testdata p_type is the plain category 'PROMO').
+# ---------------------------------------------------------------------------
+Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+@register("q14_promo_effect", Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-style disjunctive brand/size/quantity filter: Catalyst's CNF
+# conversion derives the part-side disjunction (brand+size terms) and
+# pushes it below the broadcast join, so the dim scan is pre-filtered
+# even though the predicate spans both tables.
+# ---------------------------------------------------------------------------
+Q19_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_brand_discounts", Q19_ORACLE)
+def q19_brand_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-style volume shipping: the deep star join (lineitem at the
+# center; supplier/customer/nation all broadcast) with a symmetric
+# nation-pair predicate and per-year revenue.
+# ---------------------------------------------------------------------------
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12-style shipping-delay buckets (adapted: the testdata lineitem
+# has no commit/receipt dates, so delay = l_shipdate - o_orderdate):
+# conditional counts of urgent vs other lines per delay bucket.
+# ---------------------------------------------------------------------------
+Q12_ORACLE = """
+SELECT CASE WHEN delay_days < 30 THEN 'fast'
+            WHEN delay_days < 90 THEN 'normal'
+            ELSE 'slow' END AS delay_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS delay_days, o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) GROUP BY 1
+"""
+
+
+@register("q12_ship_delay", Q12_ORACLE)
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.when(delay < 30, "fast").when(delay < 90, "normal").otherwise("slow").alias("delay_bucket"),
+            high.alias("high"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-style market share: the widest star join in the suite (lineitem
+# at the center; part/customer/supplier/nation/region all broadcast, orders
+# the one shuffle join) with a conditional-sum ratio per order year.
+# Reference analog: the revenue-by-dimension reports in transform_load.sql
+# generalized to a multi-dim star — everything but orders is a broadcast.
+# ---------------------------------------------------------------------------
+Q8_ORACLE = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+) GROUP BY o_year
+"""
+
+
+@register("q8_market_share", Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # customer-side nation restricted to the region before broadcasting:
+    # the filter prunes the build side, not the probe side.
+    cust_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA").select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "supp_nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-style customer order-count distribution: LEFT OUTER join with an
+# extra join-side predicate (kept in the ON clause, not a post-filter — a
+# WHERE would turn the outer join inner and drop zero-order customers),
+# then a two-level aggregate. Both aggregates are hash-partitioned; the
+# first reuses the join's custkey partitioning.
+# ---------------------------------------------------------------------------
+Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+@register("q13_order_distribution", Q13_ORACLE)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15-style top supplier: quarterly revenue per supplier, then keep
+# the supplier(s) at the global maximum. The max is a 1-row aggregate of
+# the (small, post-agg) revenue relation cross-joined back as a broadcast —
+# no single-partition window over the data. Revenue is rounded BEFORE the
+# max comparison so both engines compare identical 2-decimal values
+# (float ties at full precision are not cross-engine stable).
+# ---------------------------------------------------------------------------
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        # one row per supplier — tiny; pin it so the max branch and the
+        # equality branch share one computation instead of re-aggregating
+        # the lineitem scan twice.
+        .localCheckpoint(eager=False)
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-style small-quantity revenue: per-part average quantity as the
+# correlated threshold. The per-part average is a window over the already
+# part-filtered join output (one shuffle, partitioned by partkey) — not a
+# separate groupBy + re-join. Quantities are integral doubles, so the AVG
+# is an exact-sum division and the 0.2× threshold compare is cross-engine
+# deterministic; the revenue output sums integer cents before dividing.
+# ---------------------------------------------------------------------------
+Q17_ORACLE = """
+SELECT ROUND(SUM(cents) / 700.0, 2) AS avg_yearly
+FROM (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_quantity,
+         AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+) WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("q17_small_quantity", Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    filtered = l.join(
+        F.broadcast(
+            part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "ECONOMY")).select("p_partkey")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        filtered.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            "l_quantity",
+            F.avg("l_quantity").over(w).alias("avg_qty"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("cents") / 700.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-style dormant high-balance customers (adapted: the testdata has
+# no phone column, so the group key is c_nationkey, and "no orders" is
+# scoped to the trailing year of the order range): scalar-average threshold
+# via a broadcast 1-row aggregate, LEFT ANTI join against recent orders.
+# Balance arithmetic runs in integer cents — the threshold is a float
+# comparison that decides row membership, so both engines must derive it
+# from the same exact integer sum.
+# ---------------------------------------------------------------------------
+Q22_ORACLE = """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+threshold AS (
+  SELECT AVG(bal_cents) AS avg_cents FROM bal WHERE bal_cents > 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(bal_cents) / 100.0, 2) AS totacctbal
+FROM bal, threshold
+WHERE bal_cents > avg_cents
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY c_nationkey
+"""
+
+
+@register("q22_dormant_customers", Q22_ORACLE)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    threshold = bal.filter(F.col("bal_cents") > 0).agg(F.avg("bal_cents").alias("avg_cents"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        bal.crossJoin(F.broadcast(threshold))
+        .filter(F.col("bal_cents") > F.col("avg_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
+        )
+    )
