@@ -50,6 +50,8 @@ _CHECK_FIRST = (
     "q15_top_supplier",
     "q17_small_quantity",
     "q22_dormant_customers",
+    "dedup_connected_components",
+    "dedup_segments",
     # the 14 bench-only queries from round 1
     "asof_join_attribution",
     "range_join_event_pairs",

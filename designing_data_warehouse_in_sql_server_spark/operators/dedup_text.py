@@ -388,3 +388,123 @@ def simhash_near_pairs_allpairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (node, component)
+    where component is the minimum reachable id — the canonical doc to
+    keep per duplicate group (every other member is dropped).
+
+    This is the last step of a real dedup pipeline: LSH/SimHash emit
+    PAIRS, but retention decisions need GROUPS (doc A~B, B~C must keep
+    exactly one of {A,B,C}, which pairwise filtering gets wrong).
+
+    Algorithm: iterative min-label propagation to a fixpoint —
+    ``label(v) <- min(label(v), min over neighbors label(u))`` — the
+    standard MapReduce-style CC (cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14; GraphX/GraphFrames
+    ship the same loop). Each round is one shuffle join (edges x labels,
+    partitioned on the join key) plus a map-side-combined min-aggregate;
+    an eager local checkpoint truncates the lineage so round N does not
+    recompute rounds 1..N-1 (swap for ``checkpoint()`` on a cluster
+    where executor loss must be survivable). Rounds needed = component
+    diameter, which for near-dup clusters is tiny (LSH buckets make
+    cliques, diameter ~2-3); the loop stops as soon as a round changes
+    nothing. The result is the unique fixpoint (min reachable id), so
+    it is deterministic regardless of execution order.
+
+    The convergence probe per round is a ``changed -> limit(1).count()``
+    driver action on the checkpointed labels — O(1) result per round,
+    inherent to every iterative fixpoint on Spark (GraphX does the
+    same); the data itself never visits the driver.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionAll(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, F.col("node") == F.col("src"), "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "new_component"
+                ),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = stepped.select("node", F.col("new_component").alias("component"))
+        if stepped.filter(F.col("changed")).limit(1).count() == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(component diameter exceeds the cap); raise max_iterations"
+    )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int = 20
+) -> DataFrame:
+    """Sub-document (paragraph-style) dedup: split each document into
+    fixed ``seg_words``-word segments, drop every segment whose exact
+    content already occurred earlier in the corpus (first occurrence by
+    (doc_id, position) wins), and reassemble the surviving text.
+
+    This is the CCNet/RefinedWeb-style paragraph dedup adapted to the
+    testdata's single-line documents (no paragraph delimiters, so the
+    unit is a fixed word window). Documents whose every segment is a
+    duplicate vanish from the output entirely — full-document dedup
+    falls out as the degenerate case.
+
+    Shape at scale: one explode (segments are ~seg_words words, so the
+    exploded relation is the corpus size, not a blow-up), one window
+    shuffle hash-partitioned by md5(segment) — the global "seen before"
+    decision — and one groupBy(doc) that rebuilds the text. No UDFs, no
+    driver participation; the first-wins rule is a deterministic
+    row_number over the unique (doc_id, position) order.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, F.lit(seg_words)), " "),
+    )
+    exploded = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg_text"))
+    )
+    from pyspark.sql import Window as W
+
+    first_wins = W.partitionBy(F.md5(F.col("seg_text"))).orderBy(id_col, "seg_idx")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(first_wins))
+        .filter(F.col("rn") == 1)
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

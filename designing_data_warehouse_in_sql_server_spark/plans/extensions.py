@@ -13,11 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup_text import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_from_shingles,
     minhash_signatures,
     ngram_jaccard,
+    segment_dedup,
     shingle_docs,
     simhash_fingerprint,
     simhash_near_pairs,
@@ -672,3 +674,79 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering of the LSH near-dup pairs: pairs say
+# "A~B", retention needs groups (keep exactly one of each transitive
+# cluster). Oracle: recursive CTE computing min-reachable-id per node —
+# the same unique fixpoint the iterative Spark loop converges to.
+# ---------------------------------------------------------------------------
+CC_ORACLE = f"""
+WITH RECURSIVE all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_connected_components", CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (paragraph-style) segment dedup: first occurrence of each
+# 20-word segment wins corpus-wide; documents reassemble from surviving
+# segments (fully-duplicate docs vanish). Exact copies planted at
+# doc_id+ID_OFFSET give every original's segments a duplicate.
+# ---------------------------------------------------------------------------
+SEGMENT_WORDS = 20
+
+SEGDEDUP_ORACLE = rf"""
+WITH all_docs AS ({SQL_EXACT_COPIES}),
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM all_docs WHERE len(trim(text)) > 0
+),
+segs AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         array_to_string(list_slice(ws, CAST(i * {SEGMENT_WORDS} + 1 AS BIGINT),
+                                    CAST((i + 1) * {SEGMENT_WORDS} AS BIGINT)), ' ') AS seg_text
+  FROM words, UNNEST(range(CAST(ceil(len(ws) / {SEGMENT_WORDS}.0) AS BIGINT))) AS t(i)
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg_text,
+         ROW_NUMBER() OVER (PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_idx) AS dedup_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+@register("dedup_segments", SEGDEDUP_ORACLE)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
+    return segment_dedup(docs, "doc_id", "text", seg_words=SEGMENT_WORDS)

@@ -122,3 +122,50 @@ def test_scd2_rejects_duplicate_update_keys(spark):
     out = scd2_apply(dim, upd, key=["id"], tracked=["attr"], effective_ts="2021-01-01")
     with _pytest.raises(Exception, match="duplicate keys"):
         out.collect()
+
+
+def test_connected_components_path_and_islands(spark):
+    # path 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    # clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import connected_components
+
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_convergence_guard(spark):
+    import pytest
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import connected_components
+
+    # a 5-node path cannot converge in 1 round
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+
+
+def test_segment_dedup_first_wins_and_vanishing_doc(spark):
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import segment_dedup
+
+    # doc 1: segments [a b], [c d]; doc 2 repeats [a b] then new [x y];
+    # doc 3 is entirely made of already-seen segments -> vanishes
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "c d a b")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.dedup_text, r.n_kept) for r in segment_dedup(df, "doc_id", "text", seg_words=2).collect()}
+    assert out == {1: ("a b c d", 2), 2: ("x y", 1)}
+
+
+def test_segment_dedup_short_tail_segment(spark):
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import segment_dedup
+
+    # 5 words with seg_words=2 -> last segment is a single word
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    out = segment_dedup(df, "doc_id", "text", seg_words=2).collect()
+    assert out[0].dedup_text == "a b c d e" and out[0].n_kept == 3
