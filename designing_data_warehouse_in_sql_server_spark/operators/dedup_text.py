@@ -271,12 +271,25 @@ def simhash_fingerprint(
     `bits` conditional sums over substrings of a single md5 (codegen
     subexpression elimination: one md5 per shingle); the groupBy reuses
     the repartitioning, so nothing shuffles twice. The fingerprint is a
-    plain string column ready for banding or Hamming joins."""
-    assert bits <= 32  # md5 has 32 hex chars
+    plain string column ready for banding or Hamming joins.
+
+    Fingerprint width: one md5 yields 32 nibbles = 32 bits; bits in
+    (32, 64] draw the extra nibbles from a second, domain-separated md5.
+    Width matters for the banded pair join (simhash_near_pairs): segment
+    width ~ bits/(max_hamming+1) must stay >= log2(n_docs) or the
+    pigeonhole buckets degenerate toward all-pairs — prefer 64-bit
+    fingerprints for corpora beyond ~10^6 documents (Manku et al.,
+    WWW'07 use 64-bit)."""
+    assert bits <= 64  # two md5s = 64 hex chars
+    h = (
+        F.md5("__s")
+        if bits <= 32
+        else F.concat(F.md5("__s"), F.md5(F.concat(F.lit("x"), F.col("__s"))))
+    )
     sh = (
         shingle_docs(df, id_col, text_col, k)
         .select(F.col(id_col), F.explode("__sh").alias("__s"))
-        .select(F.col(id_col), F.md5("__s").alias("__h"))
+        .select(F.col(id_col), h.alias("__h"))
     )
     votes = [
         F.sum(
@@ -507,4 +520,37 @@ def segment_dedup(
             " ",
         ).alias("dedup_text"),
         F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def keep_best_per_component(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    score: Column,
+) -> DataFrame:
+    """Retention decision per duplicate cluster: keep the member with the
+    highest ``score`` (ties broken by lowest id — fully deterministic).
+
+    Completes the dedup pipeline: pairs -> components -> ONE survivor per
+    component, chosen by quality instead of the arbitrary min-id. One
+    window shuffle partitioned by component (clusters are small by
+    construction, so no skew concern); both window functions share the
+    single sort."""
+    from pyspark.sql import Window as W
+
+    member = labels.join(docs, F.col("node") == F.col(id_col)).select(
+        "component", F.col(id_col), score.alias("__score")
+    )
+    w = W.partitionBy("component")
+    ranked = member.select(
+        "component",
+        F.col(id_col),
+        F.row_number()
+        .over(w.orderBy(F.desc("__score"), F.col(id_col)))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        "component", F.col(id_col).alias("keep_id"), "n_members"
     )

@@ -205,3 +205,24 @@ def neardup_pairs(
         )
         .filter(F.col("cosine") > threshold)
     )
+
+
+def embedding_centroids(
+    embeddings: DataFrame, label_col: str, vec_col: str, quant: int = 1_000_000
+) -> DataFrame:
+    """Per-label centroid, element-wise: posexplode the vector and
+    average each dimension. Quantizing to integer units (1e-6) before
+    the sum makes the aggregate exactly associative — float summation
+    order differs across engines/partitionings, integer sums do not —
+    so centroids are bit-identical on any cluster layout.
+
+    Shape at scale: one explode (rows x dims — narrow int rows), one
+    hash-partitioned groupBy(label, dim) with map-side partial
+    aggregation. No UDFs, no vector library."""
+    q = F.round(F.col("val").cast("double") * quant).cast("bigint")
+    return (
+        embeddings.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        .select(label_col, "dim", q.alias("q"))
+        .groupBy(label_col, "dim")
+        .agg((F.avg("q") / quant).alias("centroid"))
+    )

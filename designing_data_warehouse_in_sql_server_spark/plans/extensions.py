@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup_text import (
     connected_components,
     exact_dedup,
+    keep_best_per_component,
     lsh_candidate_pairs,
     minhash_from_shingles,
     minhash_signatures,
@@ -25,7 +26,13 @@ from ..operators.dedup_text import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import documents_as_assets, extract_features
-from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk, neardup_pairs
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_centroids,
+    ivf_topk,
+    lsh_topk,
+    neardup_pairs,
+)
 from ..operators.skew import salted_sum_count
 from ..operators.temporal import asof_join, range_join_pairs
 from ..operators.text_analysis import (
@@ -234,15 +241,21 @@ WHERE ({ham}) <= {max_hamming}
 """
 
 
-@register("simhash_near_pairs", _simhash_pairs_oracle())
+@register("simhash_near_pairs", _simhash_pairs_oracle(bits=32))
 def simhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded (pigeonhole) SimHash near-duplicate pairs at Hamming <= 2.
     The oracle is the all-pairs definition; the Spark plan is the banded
     segment equi-join (operators/dedup_text.py:simhash_near_pairs) whose
-    candidate set provably contains every qualifying pair."""
+    candidate set provably contains every qualifying pair.
+
+    32-bit fingerprints (not the 16 used by the dedup_simhash feature
+    query): pigeonhole segments are bits/(max_hamming+1) wide, and a
+    segment narrower than log2(n_docs) makes the bucket join quadratic —
+    16-bit / 5-bit segments measured 30 s at sf0.1 vs ~2 s with 32-bit /
+    11-bit segments. At cluster scale use bits=64 (supported)."""
     docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
-    fp = simhash_fingerprint(docs, "doc_id", "text", k=3, bits=16)
-    return simhash_near_pairs(fp, "doc_id", max_hamming=2)
+    fp = simhash_fingerprint(docs, "doc_id", "text", k=3, bits=32)
+    return simhash_near_pairs(fp, "doc_id", max_hamming=2, n_bits=32)
 
 
 # ---------------------------------------------------------------------------
@@ -750,3 +763,72 @@ FROM kept WHERE rn = 1 GROUP BY doc_id
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_exact_copies(load_table(spark, sf_dir, "documents"))
     return segment_dedup(docs, "doc_id", "text", seg_words=SEGMENT_WORDS)
+
+
+# ---------------------------------------------------------------------------
+# Retention decision per duplicate cluster: from LSH pairs through
+# connected components to ONE survivor per cluster — the longest text
+# wins (near-copies are strictly shorter), ties broken by lowest id.
+# ---------------------------------------------------------------------------
+KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.component, d.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN all_docs d ON c.node = d.doc_id
+)
+SELECT component, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    labels = connected_components(lsh_candidate_pairs(sigs, "doc_id"))
+    return keep_best_per_component(labels, docs, "doc_id", F.length("text"))
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids: element-wise average over quantized
+# integer units — exactly associative, so bit-identical on any
+# partitioning (float summation order is not).
+# ---------------------------------------------------------------------------
+CENTROID_QUANT = 1_000_000
+
+CENTROID_ORACLE = f"""
+SELECT label, CAST(i AS INT) AS dim,
+       AVG(CAST(ROUND(CAST(embedding[CAST(i + 1 AS BIGINT)] AS DOUBLE) * {CENTROID_QUANT}) AS BIGINT))
+         / {CENTROID_QUANT} AS centroid
+FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+GROUP BY label, dim
+"""
+
+
+@register("embedding_centroids", CENTROID_ORACLE)
+def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "label", "embedding", quant=CENTROID_QUANT)

@@ -183,3 +183,70 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.length(chunk).cast("int").alias("chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixing + epoch shuffling: source-weighted up/down-sampling
+# (replication for rate > 1, deterministic subsampling for the fractional
+# part) followed by shard / sort-key assignment for the training order.
+#
+# Rates here: src0-4 -> 2.5x (quality upsample), src5-9 -> 1.0x,
+# src10-19 -> 0.3x (bulk downsample). copies = floor(rate) + one extra
+# copy when an independent Knuth bucket falls below frac(rate)*100.
+#
+# Scale shape: a pure per-row projection + explode — zero shuffle, no
+# RNG (reproducible across engines, runs, and retries). The writer
+# realizes the training order with repartition(shard) +
+# sortWithinPartitions(sort_key); copies of the same document land in
+# different shards because copy_id feeds the hash.
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+_MIX_SALT = 7919  # decorrelates the sampling bucket from the split bucket
+_COPY_STEP = 1000003  # spreads copies of one doc across the hash space
+
+MIX_ORACLE = f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE WHEN src_num < 5 THEN 2 WHEN src_num < 10 THEN 1 ELSE 0 END AS base,
+         CASE WHEN src_num < 5 THEN 50 WHEN src_num < 10 THEN 0 ELSE 30 END AS frac_pct
+  FROM (SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num FROM documents)
+),
+copied AS (
+  SELECT doc_id, source,
+         base + CASE WHEN (doc_id + {_MIX_SALT}) % {_PREMOD} * {_KNUTH} % {_MOD} % 100 < frac_pct
+                     THEN 1 ELSE 0 END AS n_copies
+  FROM rated
+)
+SELECT doc_id, source, CAST(copy_id AS INT) AS copy_id,
+       CAST(h % {N_SHARDS} AS INT) AS shard, h AS sort_key
+FROM (
+  SELECT doc_id, source, copy_id,
+         (doc_id + copy_id * {_COPY_STEP}) % {_PREMOD} * {_KNUTH} % {_MOD} AS h
+  FROM copied, UNNEST(generate_series(1, n_copies)) AS t(copy_id)
+)
+"""
+
+
+@register("dataset_mix_shards", MIX_ORACLE)
+def dataset_mix_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    base = F.when(src_num < 5, 2).when(src_num < 10, 1).otherwise(0)
+    frac_pct = F.when(src_num < 5, 50).when(src_num < 10, 0).otherwise(30)
+    mix_bucket = (F.col("doc_id") + _MIX_SALT) % _PREMOD * _KNUTH % _MOD % 100
+    n_copies = base + F.when(mix_bucket < frac_pct, 1).otherwise(0)
+    copied = docs.select(
+        "doc_id", "source", n_copies.alias("n_copies")
+    ).filter(F.col("n_copies") > 0)
+    copy_id = F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id")
+    h = (F.col("doc_id") + F.col("copy_id") * _COPY_STEP) % _PREMOD * _KNUTH % _MOD
+    return (
+        copied.select("doc_id", "source", copy_id)
+        .select(
+            "doc_id",
+            "source",
+            F.col("copy_id").cast("int").alias("copy_id"),
+            (h % N_SHARDS).cast("int").alias("shard"),
+            h.alias("sort_key"),
+        )
+    )
