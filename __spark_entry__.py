@@ -52,6 +52,12 @@ _CHECK_FIRST = (
     "q22_dormant_customers",
     "dedup_connected_components",
     "dedup_segments",
+    "dataset_mix_shards",
+    "dedup_keep_best",
+    "embedding_centroids",
+    "cohort_retention",
+    "funnel_conversion",
+    "timeseries_gap_fill",
     # the 14 bench-only queries from round 1
     "asof_join_attribution",
     "range_join_event_pairs",

@@ -1411,3 +1411,144 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week, activity counted per
+# week offset. Two shuffles (first-event agg keyed on user, then the
+# cohort-cell agg); the firsts relation is one row per user — broadcast
+# back onto the fact. COUNT(DISTINCT user) is exact (the driver pattern
+# for dashboards would swap approx_count_distinct).
+# ---------------------------------------------------------------------------
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT) AS weeks_since,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", COHORT_ORACLE)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week = F.date_trunc("week", F.col("ts"))
+    return (
+        events.join(F.broadcast(firsts.withColumnRenamed("user_id", "__uid")),
+                    F.col("user_id") == F.col("__uid"))
+        .select(
+            "cohort_week",
+            (F.datediff(week, F.col("cohort_week")) / 7).cast("int").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: signup -> first click after signup -> first purchase
+# after that click. Each stage is a grouped MIN over the fact filtered by
+# the previous stage's (small, per-user) output — broadcast joins of a
+# monotonically shrinking user set, never a self-join of the full fact.
+# ---------------------------------------------------------------------------
+FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+)
+"""
+
+
+@register("funnel_conversion", FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def stage_after(prev: DataFrame, ts_col: str, etype: str, out_ts: str) -> DataFrame:
+        p = prev.select(F.col("user_id").alias("__uid"), F.col(ts_col).alias("__t"))
+        return (
+            events.filter(F.col("event_type") == etype)
+            .join(F.broadcast(p), (F.col("user_id") == F.col("__uid")) & (F.col("ts") > F.col("__t")))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = events.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = stage_after(s1, "t1", "click", "t2")
+    s3 = stage_after(s2, "t2", "purchase", "t3")
+    counts = [
+        s1.agg(F.lit("signup").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        s2.agg(F.lit("click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        s3.agg(F.lit("purchase").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling: per-user hourly activity with missing hours
+# materialized as zero rows between the user's first and last hour.
+# The hour spine is sequence()+explode off the per-user span aggregate —
+# generated distributed, never collected; the left join back to actual
+# hourly counts is keyed on (user, hour) and co-partitioned with it.
+# ---------------------------------------------------------------------------
+GAPFILL_ORACLE = """
+WITH spans AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(h AS TIMESTAMP) AS hour
+  FROM spans, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS t(h)
+),
+actual AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, s.hour, COALESCE(a.n_events, 0) AS n_events
+FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.hour = a.hour
+"""
+
+
+@register("timeseries_gap_fill", GAPFILL_ORACLE)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    spans = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    actual = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        spine.join(actual, ["user_id", "hour"], "left")
+        .select("user_id", "hour", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+    )
