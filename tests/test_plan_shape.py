@@ -206,3 +206,47 @@ def test_cobucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_q8_star_join_all_dims_broadcast(spark):
+    """q8's seven-table star: every dimension side broadcasts; the part
+    filter is pushed into its scan (pre-filtered build side)."""
+    plan = _plan(QS["q8_market_share"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_type,ECONOMY\)", plan), (
+        "part-type filter not pushed to the dim scan"
+    )
+
+
+def test_dataset_mix_shards_zero_shuffle(spark):
+    """Mixing + shard assignment is a pure projection + explode — any
+    Exchange in this plan means the zero-shuffle contract broke."""
+    plan = _plan(QS["dataset_mix_shards"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_segment_dedup_no_join(spark):
+    """Segment dedup is explode -> one hash-partitioned window -> one
+    group-back; it must never plan a join (the 'seen before' decision is
+    the window, not a self-join)."""
+    plan = _plan(QS["dedup_segments"](spark, SF_DIR))
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_q17_threshold_is_single_window_not_rejoin(spark):
+    """q17's per-part average threshold must be a window over the
+    already-joined rows (one shuffle), not a second aggregate + re-join
+    of the fact."""
+    plan = _plan(QS["q17_small_quantity"](spark, SF_DIR))
+    assert "Window" in plan
+    n_joins = len(re.findall(r"\(\d+\) \w*Join", plan))
+    assert n_joins == 1 and "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_gap_fill_spine_joins_equi(spark):
+    """The hour spine joins actual counts on (user, hour) as an
+    equi-join — a nested-loop/cartesian here would be quadratic."""
+    plan = _plan(QS["timeseries_gap_fill"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
