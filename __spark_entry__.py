@@ -58,6 +58,9 @@ _CHECK_FIRST = (
     "cohort_retention",
     "funnel_conversion",
     "timeseries_gap_fill",
+    "mode_per_group",
+    "window_relative_rank",
+    "prepare_corpus",
     # the 14 bench-only queries from round 1
     "asof_join_attribution",
     "range_join_event_pairs",

@@ -1552,3 +1552,59 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(actual, ["user_id", "hour"], "left")
         .select("user_id", "hour", F.coalesce("n_events", F.lit(0)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group, deterministic smallest-value
+# tiebreak: grouped count + one window over the (small) per-group value
+# histogram. SQL Server-style warehouse reporting op with no direct
+# aggregate in either engine.
+# ---------------------------------------------------------------------------
+MODE_ORACLE = """
+SELECT l_returnflag, l_quantity AS mode_quantity, n
+FROM (
+  SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY COUNT(*) DESC, l_quantity) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+WHERE rn = 1
+"""
+
+
+@register("mode_per_group", MODE_ORACLE)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = l.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_quantity"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative-rank window functions (percent_rank / cume_dist): per-nation
+# balance percentile of every customer. Tie-aware by definition, so no
+# artificial tiebreak key is needed for determinism; the rank fractions
+# are exact rationals divided identically on both engines.
+# ---------------------------------------------------------------------------
+RELRANK_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS cume_dist
+FROM customer
+"""
+
+
+@register("window_relative_rank", RELRANK_ORACLE)
+def window_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )

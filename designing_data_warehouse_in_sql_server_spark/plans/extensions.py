@@ -832,3 +832,109 @@ GROUP BY label, dim
 def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_centroids(emb, "label", "embedding", quant=CENTROID_QUANT)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation in ONE DAG — the flagship training-data
+# composite: quality gate (min token count) -> exact dedup (first doc
+# per content hash) -> near-dup clustering (MinHash LSH -> connected
+# components -> keep the longest member) -> deterministic split
+# assignment. A user of the engine runs their whole prep with one call;
+# every stage is the already-tested operator, so the composite's cost is
+# the sum of its parts (the deduped relation is checkpointed once and
+# feeds signature generation, retention, and the survivor joins).
+# ---------------------------------------------------------------------------
+PREP_MIN_TOKENS = 10
+
+from .training import _BUCKET_SQL as _PREP_BUCKET_SQL  # noqa: E402
+from .training import _bucket as _prep_bucket  # noqa: E402
+
+PREP_ORACLE = rf"""
+WITH RECURSIVE raw_docs AS ({SQL_NEAR_COPIES}),
+quality AS (
+  SELECT doc_id, text FROM raw_docs
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= {PREP_MIN_TOKENS}
+),
+all_docs AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+),
+sh AS ({SQL_SHINGLES}),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.component, c.node,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rn
+  FROM comp c JOIN all_docs d ON c.node = d.doc_id
+),
+survivors AS (
+  SELECT doc_id, text FROM all_docs WHERE doc_id NOT IN (SELECT node FROM comp)
+  UNION ALL
+  SELECT d.doc_id, d.text FROM ranked r JOIN all_docs d ON r.node = d.doc_id
+  WHERE r.rn = 1
+)
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT) AS n_tokens,
+       CASE WHEN {_PREP_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_PREP_BUCKET_SQL} < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM survivors
+"""
+
+
+@register("prepare_corpus", PREP_ORACLE)
+def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    quality = docs.filter(F.size(words) >= PREP_MIN_TOKENS)
+    w_exact = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # one materialization feeds signatures, retention scoring, and
+        # the survivor joins (three consumers, one computation)
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures(
+        deduped, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    labels = connected_components(lsh_candidate_pairs(sigs, "doc_id"))
+    keep = keep_best_per_component(labels, deduped, "doc_id", F.length("text"))
+    in_comp = labels.select(F.col("node").alias("doc_id"))
+    keepers = keep.select(F.col("keep_id").alias("doc_id"))
+    survivors = (
+        deduped.join(in_comp, "doc_id", "left_anti")
+        .select("doc_id", "text")
+        .unionByName(deduped.join(keepers, "doc_id", "left_semi").select("doc_id", "text"))
+    )
+    bucket = _prep_bucket(F.col("doc_id"))
+    return survivors.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
