@@ -75,16 +75,33 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
+    # Per-query map first (its own line + a sidecar file), then a SHORT
+    # standalone summary line LAST: the driver captures a bounded tail of
+    # stdout, and round 2's single long line (89 queries) overflowed it,
+    # cutting the head of the JSON ("parsed": null in BENCH_r02.json).
+    queries_file = os.path.join(REPO, "bench_queries.json")
+    per_query = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(queries_file, "w") as f:
+        json.dump(per_query, f)
+    print(json.dumps(per_query), flush=True)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "bench_queries.json",
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

@@ -1415,10 +1415,13 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Cohort retention: users grouped by first-seen week, activity counted per
-# week offset. Two shuffles (first-event agg keyed on user, then the
-# cohort-cell agg); the firsts relation is one row per user — broadcast
-# back onto the fact. COUNT(DISTINCT user) is exact (the driver pattern
-# for dashboards would swap approx_count_distinct).
+# week offset. The firsts relation is one row per user — UNBOUNDED, so it
+# must NOT be broadcast (at 10^8+ users the build side is GBs and OOMs
+# executors). Shuffle-join on user_id instead: the fact and the firsts
+# aggregate hash-partition on the same key, and the join reuses the
+# exchange the firsts groupBy already created. COUNT(DISTINCT user) is
+# exact (the driver pattern for dashboards would swap
+# approx_count_distinct).
 # ---------------------------------------------------------------------------
 COHORT_ORACLE = """
 WITH firsts AS (
@@ -1440,7 +1443,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     week = F.date_trunc("week", F.col("ts"))
     return (
-        events.join(F.broadcast(firsts.withColumnRenamed("user_id", "__uid")),
+        events.join(firsts.withColumnRenamed("user_id", "__uid"),
                     F.col("user_id") == F.col("__uid"))
         .select(
             "cohort_week",
@@ -1455,8 +1458,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Ordered funnel: signup -> first click after signup -> first purchase
 # after that click. Each stage is a grouped MIN over the fact filtered by
-# the previous stage's (small, per-user) output — broadcast joins of a
-# monotonically shrinking user set, never a self-join of the full fact.
+# the previous stage's per-user output. That per-user side is UNBOUNDED
+# (s1 is every signup user), so no broadcast hint: each stage
+# shuffle-joins on user_id, co-partitioned with the stage's own groupBy
+# so one exchange per side serves both join and aggregate. AQE may still
+# choose a broadcast at dashboard scale; it just isn't forced.
 # ---------------------------------------------------------------------------
 FUNNEL_ORACLE = """
 WITH s1 AS (
@@ -1488,7 +1494,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = prev.select(F.col("user_id").alias("__uid"), F.col(ts_col).alias("__t"))
         return (
             events.filter(F.col("event_type") == etype)
-            .join(F.broadcast(p), (F.col("user_id") == F.col("__uid")) & (F.col("ts") > F.col("__t")))
+            .join(p, (F.col("user_id") == F.col("__uid")) & (F.col("ts") > F.col("__t")))
             .groupBy("user_id")
             .agg(F.min("ts").alias(out_ts))
         )

@@ -425,7 +425,7 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SALTED_ORACLE = """
 SELECT event_type,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM events
 GROUP BY event_type

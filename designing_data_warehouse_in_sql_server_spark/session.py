@@ -27,6 +27,10 @@ def get_spark(app_name: str = "ddw-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # No \r progress bars on stderr/stdout: keeps bench/driver output
+        # machine-parseable (a progress bar interleaved with the summary
+        # JSON line truncated it in round 2).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     spark = builder.getOrCreate()

@@ -48,7 +48,11 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
         problems.append(f"rowcount: spark={len(got)} oracle={len(want)}")
         return problems
     try:
-        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-12)
+        # check_dtype=True: after normalize() semantically-equal frames share
+        # dtypes, so an int64-vs-float64 drift (e.g. a DuckDB HUGEINT SUM
+        # arriving as float64 against a Spark BIGINT) fails locally instead of
+        # surfacing as a driver hash mismatch.
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=False, rtol=0, atol=1e-12)
     except AssertionError as e:
         problems.append(f"values: {str(e)[:2000]}")
     return problems

@@ -250,3 +250,15 @@ def test_gap_fill_spine_joins_equi(spark):
     equi-join — a nested-loop/cartesian here would be quadratic."""
     plan = _plan(QS["timeseries_gap_fill"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["cohort_retention", "funnel_conversion"])
+def test_no_forced_broadcast_of_per_user_side(spark, name):
+    """Per-user aggregates derived from the events fact are unbounded
+    (one row per user); forcing F.broadcast() on them OOMs executors at
+    10^8+ users. The logical plan must carry NO broadcast hint — AQE may
+    still pick a broadcast at runtime from measured sizes, which is fine
+    because that decision is size-aware, not forced."""
+    df = QS[name](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, f"{name} forces a join-strategy hint"
