@@ -83,10 +83,12 @@ def scd2_apply(
     changed = d_present & u_present & _changed(tracked)
 
     dim_cols = dim.columns
-    passthrough_cols = [
-        (_guarded(F.col(f"d.{c}")) if i == 0 else F.col(f"d.{c}")).alias(c)
-        for i, c in enumerate(dim_cols)
-    ]
+    # EVERY output column carries the guard (not just the first): a
+    # downstream projection keeping any subset of columns still evaluates
+    # at least one guarded expression, so column pruning cannot silently
+    # disable the duplicate-key check. The per-row cost is a count
+    # comparison per column — negligible next to the join itself.
+    passthrough_cols = [_guarded(F.col(f"d.{c}")).alias(c) for c in dim_cols]
 
     # 1. unchanged current rows (no matching update, or update equal)
     unchanged = joined.filter(d_present & ~changed).select(*passthrough_cols)
@@ -115,9 +117,7 @@ def scd2_apply(
                 col = F.lit(None).cast(dim.schema[c].dataType)
             else:
                 col = F.col(f"d.{c}")  # untracked attrs carry over
-            if i == 0:
-                col = _guarded(col)
-            cols.append(col.alias(c))
+            cols.append(_guarded(col).alias(c))
         return rows.select(*cols)
 
     new_changed = new_version(joined.filter(changed), from_update_only=False)

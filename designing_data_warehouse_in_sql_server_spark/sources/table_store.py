@@ -65,6 +65,32 @@ CDC_DELETE = "delete"
 _DUP_KEY_MARK = "MERGE_DUPLICATE_SOURCE_KEYS"
 
 
+def _is_dup_key_error(ex: Exception) -> bool:
+    """True iff ``ex`` is the duplicate-source-key guard firing.
+
+    Primary check is typed: ``F.assert_true`` raises a
+    ``SparkRuntimeException`` whose error condition is
+    ``USER_RAISED_EXCEPTION`` (probed empirically on Spark 4); the
+    message mark then distinguishes OUR guard from any other
+    user-raised error. The bare substring check remains as a fallback
+    for wrapped/py4j exception shapes where the typed accessor is
+    unavailable."""
+    if _DUP_KEY_MARK not in str(ex):
+        return False
+    get_condition = getattr(ex, "getCondition", None) or getattr(ex, "getErrorClass", None)
+    if get_condition is not None:
+        try:
+            cond = get_condition()
+        except Exception:
+            cond = None
+        # a DIFFERENT typed condition means the mark appeared in some other
+        # error's text; None/unavailable (e.g. a wrapping Job-aborted
+        # SparkException) falls through to the substring evidence
+        if cond is not None and cond != "USER_RAISED_EXCEPTION":
+            return False
+    return True
+
+
 class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -227,8 +253,18 @@ class TableStore:
         all previous files are hard-linked into the new version."""
         if not self.exists(name):
             return self._write_version(name, df)
-        # align column order with the stored layout (metadata-only select)
-        df = df.select(*self.read(name).columns)
+        # align column order with the stored layout (metadata-only select);
+        # fail loud first — a silent select() would drop misnamed/extra
+        # increment columns without any error
+        stored = self.read(name).columns
+        extra = set(df.columns) - set(stored)
+        missing = set(stored) - set(df.columns)
+        if extra or missing:
+            raise ValueError(
+                f"append to '{name}': increment schema mismatch "
+                f"(extra columns {sorted(extra)}, missing columns {sorted(missing)})"
+            )
+        df = df.select(*stored)
         v, vdir = self._stage_version(name, df)
         self._link_prev_files(name, vdir)
         self._commit(name, v)
@@ -393,7 +429,7 @@ class TableStore:
         try:
             v, vdir = self._stage_version(name, result.drop("__action"))
         except Exception as ex:
-            if _DUP_KEY_MARK in str(ex):
+            if _is_dup_key_error(ex):
                 raise ValueError(f"merge source has duplicate keys on {on}") from None
             raise
         if pruned:

@@ -41,10 +41,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(f"{sf_dir}/events.parq*")
     )
     # withWatermark only accepts TIMESTAMP (LTZ), so the batch reader's
-    # TIMESTAMP_NTZ expression is not usable here; pin the session
-    # timezone to UTC so the LTZ values coincide with the batch NTZ
-    # values under ANY ambient timezone, not just a UTC-configured session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP_NTZ expression is not usable here; the LTZ values only
+    # coincide with the batch NTZ values when the session timezone is
+    # UTC. REQUIRE that rather than silently mutating the caller's
+    # session (setting it here would change LTZ semantics of every other
+    # query in an externally-supplied session as a side effect; the
+    # project's own session.py already pins UTC).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            "stream_events requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): event-time watermarks are LTZ and would shift "
+            "relative to the batch reader's TIMESTAMP_NTZ semantics"
+        )
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )

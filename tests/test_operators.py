@@ -169,3 +169,53 @@ def test_segment_dedup_short_tail_segment(spark):
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
     out = segment_dedup(df, "doc_id", "text", seg_words=2).collect()
     assert out[0].dedup_text == "a b c d e" and out[0].n_kept == 3
+
+
+def test_scd2_guard_survives_downstream_projection(spark):
+    """Column pruning must not disable the duplicate-key guard: selecting
+    a single non-key attribute off the scd2 output still trips it (the
+    guard rides EVERY output column, not just the first)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from designing_data_warehouse_in_sql_server_spark.operators.scd2 import scd2_apply
+
+    dim = (
+        spark.createDataFrame(
+            [(1, "a", "2020-01-01", "9999-12-31", True)],
+            "id int, attr string, valid_from string, valid_to string, is_current boolean",
+        )
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp_ntz"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
+    )
+    upd = spark.createDataFrame([(1, "x"), (1, "y")], "id int, attr string")
+    out = scd2_apply(dim, upd, key=["id"], tracked=["attr"], effective_ts="2021-01-01")
+    with _pytest.raises(Exception, match="duplicate keys"):
+        out.select("attr").collect()
+
+
+def test_connected_components_large_diameter_path(spark):
+    """Pointer jumping converges a 200-node path (diameter 199) well
+    inside the default 25-round cap — O(log d) rounds, not O(d)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a bigint, id_b bigint"
+    )
+    got = connected_components(pairs)
+    assert got.count() == 201
+    assert {r.component for r in got.collect()} == {0}
+
+
+def test_simhash_near_pairs_rejects_mismatched_bits(spark):
+    """n_bits disagreeing with the actual fingerprint width must raise,
+    not silently compare a prefix."""
+    import pytest as _pytest
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import simhash_near_pairs
+
+    fp = spark.createDataFrame(
+        [(1, "0" * 32), (2, "1" * 32)], "doc_id bigint, simhash string"
+    )
+    with _pytest.raises(Exception, match="does not match fingerprint length"):
+        simhash_near_pairs(fp, "doc_id", max_hamming=3, n_bits=16).collect()
+    # matching width works
+    assert simhash_near_pairs(fp, "doc_id", max_hamming=3, n_bits=32).count() == 0

@@ -294,3 +294,18 @@ def test_incremental_agg_matches_full_recompute(spark, store):
     v2 = refresh_incremental_agg(store, "f", "f_agg", ["grp"], "value", v1)
     assert v2 == v1
     assert sorted(map(tuple, store.read("f_agg").filter("n_rows > 0").collect())) == want
+
+
+def test_append_rejects_schema_mismatch(spark, store):
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.overwrite("fail_loud", df)
+    extra = spark.createDataFrame([(2, "b", 9)], "id int, v string, surprise int")
+    with pytest.raises(ValueError, match="extra columns.*surprise"):
+        store.append("fail_loud", extra)
+    missing = spark.createDataFrame([(3,)], "id int")
+    with pytest.raises(ValueError, match="missing columns.*v"):
+        store.append("fail_loud", missing)
+    # matching set but different order still appends (select aligns)
+    reordered = spark.createDataFrame([("c", 4)], "v string, id int")
+    store.append("fail_loud", reordered)
+    assert store.read("fail_loud").count() == 2
