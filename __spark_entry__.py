@@ -29,53 +29,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness verifies the registry front-to-back (round 1
 # covered exactly the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 2 front-loads the 14 queries that
-# were registered after position 50 in round 1 (they passed the local oracle
-# suite but had no driver row) plus the queries new this round; the entries
-# rotated to the back all have green rows in CORRECTNESS_r01.json. Every query
-# is oracle-diffed locally in tests/test_oracle_parity.py regardless of order.
+# the official oracle check each round. Round 3 front-loads (a) the one red row
+# from round 2 (salted_aggregation — oracle typing fixed this round), (b) the
+# query registered this round, (c) every query whose shared operators changed
+# this round (simhash width guard, pointer-jumping CC, de-broadcast cohort/
+# funnel, scd2 guard-on-every-column), then (d) queries whose only green driver
+# row is from round 1 so their greens refresh. Entries rotated to the back all
+# have green rows in CORRECTNESS_r02.json. Every query is oracle-diffed locally
+# in tests/test_oracle_parity.py regardless of order.
 _CHECK_FIRST = (
-    # round-2 additions
+    # (a) the round-2 red row, fixed
+    "salted_aggregation",
+    # (b) new this round
+    "incremental_agg_refresh",
+    # (c) shared-operator changes this round
     "simhash_near_pairs",
-    "quality_repetition",
-    "pii_scrub",
-    "decontaminate_ngrams",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q12_ship_delay",
-    "q14_promo_effect",
-    "q19_brand_discounts",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_dormant_customers",
     "dedup_connected_components",
-    "dedup_segments",
-    "dataset_mix_shards",
     "dedup_keep_best",
-    "embedding_centroids",
+    "prepare_corpus",
     "cohort_retention",
     "funnel_conversion",
-    "timeseries_gap_fill",
+    "scd2_dimension",
+    "merge_insert_only",
+    "merge_upsert_full_outer",
+    # (d) r1-only greens whose operators were reworked in round 2
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sessionize_events",
+    "json_extract_events",
+    # r1 headliners (r1-only rows)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "flagship_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    # remaining r1-only rows, oldest greens first
+    "dedup_exact_hash",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "window_running_sum",
+    "window_lag_lead_delta",
+    "window_first_last",
+    "ntile_quartiles",
+    "topk_orders",
+    "set_operations",
+    "rollup_aggregate",
+    "grouping_sets_aggregate",
+    "pivot_event_counts",
+    "unpivot_event_counts",
+    "distinct_count",
+    "quantile_disc",
+    "histogram_totalprice",
     "mode_per_group",
-    "window_relative_rank",
-    "prepare_corpus",
-    # the 14 bench-only queries from round 1
-    "asof_join_attribution",
-    "range_join_event_pairs",
-    "salted_aggregation",
-    "salted_skew_join",
-    "lang_id_ngram",
-    "text_quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "embedding_neardup_pairs",
-    "multimodal_features",
-    "train_val_test_split",
-    "stratified_sample",
-    "pack_sequences",
-    "chunk_documents",
+    "string_functions",
+    "scalar_expressions",
+    "date_enrichment",
+    "date_dimension",
+    "surrogate_key_join",
+    "correlated_subquery",
+    "impute_group_mean",
+    "zscore_cap",
+    "dedup_row_number",
+    "distinct_dimension",
+    "watermark_max_date",
+    "fk_integrity_audit",
+    "similarity_topk_cosine",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
 )
 
 

@@ -938,3 +938,70 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance from the change feed (materialized-view
+# refresh). End-to-end through a real TableStore: seed 80% of the fact,
+# initialize the aggregate, then APPEND the remaining 20% and UPDATE a
+# slice into a different group — the refresh folds only the CDC slice
+# (signed pre/post-image deltas, operators/incremental.py), never
+# rescanning the fact. The oracle is the full recompute over the final
+# fact state, which the maintained table must match bit-for-bit (integer-
+# cents sums are exactly associative, so fold == recompute).
+#
+# The group move (event_type -> 'relabeled') is a pure string change: it
+# exercises the subtract-from-old-group / add-to-new-group path with zero
+# cross-engine float risk.
+# ---------------------------------------------------------------------------
+INCR_AGG_ORACLE = """
+WITH final AS (
+  SELECT CASE WHEN user_id % 7 = 0 THEN 'relabeled' ELSE event_type END AS event_type,
+         value
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM final
+GROUP BY event_type
+"""
+
+
+@register("incremental_agg_refresh", INCR_AGG_ORACLE)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import refresh_incremental_agg
+    from ..sources.table_store import TableStore
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ddw_incr_agg_")
+    try:
+        store = TableStore(spark, tmp)
+        store.overwrite("fact", events.filter(F.col("event_id") % 10 < 8))
+        store.enable_cdc("fact")
+        # initialize the aggregate at the seeded version (full recompute once)
+        v0 = refresh_incremental_agg(store, "fact", "agg", ["event_type"], "value", 0)
+        # day-2 increment: late-arriving 20% + a correction moving a slice
+        # of rows into a new group
+        store.append("fact", events.filter(F.col("event_id") % 10 >= 8))
+        store.update(
+            "fact",
+            {"event_type": F.lit("relabeled")},
+            where=F.col("user_id") % 7 == 0,
+        )
+        refresh_incremental_agg(store, "fact", "agg", ["event_type"], "value", v0)
+        # detach the result from the temp files (block-manager copy) so the
+        # caller can evaluate it after cleanup; the agg is a handful of rows
+        return (
+            store.read("agg")
+            .filter(F.col("n_rows") > 0)
+            .select("event_type", "sum_cents", "n_rows")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
