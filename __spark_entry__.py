@@ -42,6 +42,13 @@ _CHECK_FIRST = (
     "salted_aggregation",
     # (b) new this round
     "incremental_agg_refresh",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_relationship",
+    "q20_promotion_candidates",
+    "q21_waiting_supplier",
+    "domain_cap_sample",
     # (c) shared-operator changes this round
     "simhash_near_pairs",
     "dedup_connected_components",

@@ -1614,3 +1614,367 @@ def window_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
+
+
+# ===========================================================================
+# Completing the TPC-H-adapted suite (q2, q9, q11, q16, q20, q21). The
+# driver's testdata has no partsupp table, so q2/q11/q16/q20 derive a
+# deterministic pseudo-partsupp from lineitem's (l_partkey, l_suppkey)
+# pairs: supply cost and available quantity are integer hash projections
+# of the keys — pure arithmetic both engines compute identically, and
+# integer products/sums are exactly associative (no float drift). The
+# derivation is one distinct over two int columns — at 100 TB this is a
+# map-side-combined hash aggregate on a 2-column projection of the scan.
+# ===========================================================================
+SQL_PARTSUPP = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         (l_partkey * 31 + l_suppkey * 17) % 100000 AS ps_cost_cents,
+         (l_partkey * 7 + l_suppkey * 13) % 1000 + 1 AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+"""
+
+
+def _pseudo_partsupp(l: DataFrame) -> DataFrame:
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    return ps.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 100000).alias("ps_cost_cents"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 1000 + 1).alias("ps_availqty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2-style minimum-cost supplier: for every SMALL part, the
+# EUROPE-region supplier(s) achieving the minimum supply cost. The
+# min-per-part is a window over the already-joined rows (one shuffle on
+# ps_partkey), NOT a second aggregate re-joined against the fact — the
+# same single-pass shape as q17. All dims broadcast.
+# ---------------------------------------------------------------------------
+Q2_ORACLE = f"""
+WITH partsupp AS ({SQL_PARTSUPP}),
+euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, ps_partkey, ps_cost_cents
+FROM (
+  SELECT e.s_acctbal, e.s_name, e.n_name, ps.ps_partkey, ps.ps_cost_cents,
+         MIN(ps.ps_cost_cents) OVER (PARTITION BY ps.ps_partkey) AS min_cost
+  FROM partsupp ps
+  JOIN part ON ps.ps_partkey = p_partkey
+  JOIN euro e ON ps.ps_suppkey = e.s_suppkey
+  WHERE p_type = 'SMALL'
+)
+WHERE ps_cost_cents = min_cost
+"""
+
+
+@register("q2_min_cost_supplier", Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = _pseudo_partsupp(l)
+    joined = ps.join(
+        F.broadcast(part.filter(F.col("p_type") == "SMALL").select("p_partkey")),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    ).join(F.broadcast(euro), F.col("ps_suppkey") == F.col("s_suppkey"))
+    w = W.partitionBy("ps_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("ps_cost_cents").over(w))
+        .filter(F.col("ps_cost_cents") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_cost_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9-style product-type profit: profit per (supplier nation, order
+# year) over 'widget' parts; amount = revenue - derived unit cost * qty.
+# lineitem⋈orders is the one shuffle join; part/supplier/nation broadcast.
+# ---------------------------------------------------------------------------
+Q9_ORACLE = """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - ((l_partkey * 31 + l_suppkey * 17) % 100000) / 100.0 * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%widget%'
+) GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 100000
+    ) / F.lit(100.0) * F.col("l_quantity")
+    return (
+        l.join(
+            F.broadcast(part.filter(F.col("p_name").like("%widget%")).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11-style important stock: per-part inventory value restricted to
+# EUROPE suppliers, kept when above 2x the average per-part value (scale-
+# invariant where classic Q11's fixed 0.01% fraction empties or floods
+# as the part count scales). The global average is a 1-row aggregate
+# broadcast back (same scalar-subquery shape as q15/q22) — never a
+# global window. Value arithmetic is pure integers until the final
+# threshold comparison.
+# ---------------------------------------------------------------------------
+Q11_ORACLE = f"""
+WITH partsupp AS ({SQL_PARTSUPP}),
+euro_ps AS (
+  SELECT ps_partkey, ps_cost_cents * ps_availqty AS value_cents
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+by_part AS (
+  SELECT ps_partkey, CAST(SUM(value_cents) AS BIGINT) AS part_value_cents
+  FROM euro_ps GROUP BY ps_partkey
+)
+SELECT ps_partkey, part_value_cents
+FROM by_part, (SELECT AVG(part_value_cents) AS avg_value FROM by_part) t
+WHERE part_value_cents > 2.0 * t.avg_value
+"""
+
+
+@register("q11_important_stock", Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_supp = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    euro_ps = _pseudo_partsupp(l).join(
+        F.broadcast(euro_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents"))
+    # one materialization feeds both the per-part aggregate and the
+    # global average (two consumers, one computation)
+    by_part = (
+        euro_ps.groupBy("ps_partkey")
+        .agg(F.sum("value_cents").cast("bigint").alias("part_value_cents"))
+        .localCheckpoint(eager=False)
+    )
+    avg_value = by_part.agg(F.avg("part_value_cents").alias("avg_value"))
+    return (
+        by_part.crossJoin(F.broadcast(avg_value))
+        .filter(F.col("part_value_cents") > 2.0 * F.col("avg_value"))
+        .select("ps_partkey", "part_value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16-style parts/supplier relationship: distinct supplier count per
+# (brand, type, size) for non-excluded parts, excluding negative-balance
+# suppliers (the s_comment 'Complaints' analog — testdata has no comment
+# column). The exclusion is a broadcast anti-join; the count-distinct is
+# one hash-partitioned aggregate.
+# ---------------------------------------------------------------------------
+Q16_ORACLE = f"""
+WITH partsupp AS ({SQL_PARTSUPP})
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_relationship", Q16_ORACLE)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _pseudo_partsupp(l)
+        .join(
+            F.broadcast(
+                part.filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")).select(
+                    "p_partkey", "p_brand", "p_type", "p_size"
+                )
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20-style promotion candidates: ASIA suppliers whose available
+# quantity of some 'small' part exceeds half of that part+supplier's 1996
+# shipped volume. The shipped-volume aggregate and the partsupp relation
+# are co-partitioned on (partkey, suppkey) — one shuffle each, equi-join;
+# the part-name and region filters broadcast. Final distinct is over the
+# (tiny) supplier dimension.
+# ---------------------------------------------------------------------------
+Q20_ORACLE = f"""
+WITH partsupp AS ({SQL_PARTSUPP}),
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty_1996
+  FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = 1996
+  GROUP BY l_partkey, l_suppkey
+),
+candidates AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty > 0.5 * qty_1996
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_suppkey IN (SELECT ps_suppkey FROM candidates)
+"""
+
+
+@register("q20_promotion_candidates", Q20_ORACLE)
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    shipped = (
+        l.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty_1996"))
+    )
+    small_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    candidates = (
+        _pseudo_partsupp(l)
+        .join(F.broadcast(small_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey")) & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty_1996"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        supplier.join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(candidates), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-style waiting suppliers (adapted: testdata has no commit/
+# receipt dates, so "late" = shipped more than 60 days after the order
+# date). Classic Q21 is EXISTS + NOT EXISTS self-joins on lineitem; the
+# Spark-first rewrite is ONE grouped pass over the order's lineitems
+# (count distinct suppliers, count distinct LATE suppliers) joined back —
+# two shuffles on l_orderkey total, no correlated per-row probes.
+# ---------------------------------------------------------------------------
+Q21_ORACLE = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM flagged GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(DISTINCT f.l_orderkey) AS BIGINT) AS numwait
+FROM flagged f
+JOIN per_order p ON f.l_orderkey = p.l_orderkey
+JOIN supplier ON f.l_suppkey = s_suppkey
+WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late_supp = 1
+GROUP BY s_name
+"""
+
+
+@register("q21_waiting_supplier", Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        l.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            # interval addition keeps TIMESTAMP_NTZ (date_add would truncate
+            # to DATE), matching the oracle's + INTERVAL 60 DAY exactly
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int")
+            .alias("late"),
+        )
+        # one materialization feeds the per-order aggregate AND the
+        # join-back (two consumers, one lineitem⋈orders computation)
+        .localCheckpoint(eager=False)
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        flagged.filter(F.col("late") == 1)
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)), "l_orderkey")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )

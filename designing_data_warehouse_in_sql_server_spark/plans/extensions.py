@@ -1005,3 +1005,44 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (corpus balancing): web-scale corpora are dominated by a
+# few giant sources, so training mixes cap documents per domain. Keep the
+# first CAP docs per source (deterministic doc_id order — in production
+# the order key would be a quality score, cf. dedup_keep_best) and report
+# per-source kept/total. One shuffle on source for the window; the
+# aggregate reuses the same partitioning.
+# ---------------------------------------------------------------------------
+DOMAIN_CAP = 20
+
+DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("domain_cap_sample", DOMAIN_CAP_ORACLE)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("__rn") <= DOMAIN_CAP, 1).otherwise(0)).alias("n_kept"),
+        )
+    )

@@ -262,3 +262,28 @@ def test_no_forced_broadcast_of_per_user_side(spark, name):
     df = QS[name](spark, SF_DIR)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, f"{name} forces a join-strategy hint"
+
+
+def test_q2_min_cost_is_single_window_all_dims_broadcast(spark):
+    """q2's min-cost-per-part must be a window over the joined rows (one
+    shuffle on ps_partkey), with part/supplier/nation/region all broadcast
+    — no sort-merge join anywhere."""
+    plan = _plan(QS["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+
+
+def test_q9_star_broadcasts_dims(spark):
+    """q9's part/supplier/nation joins broadcast; orders is the one
+    permissible shuffle join edge."""
+    plan = _plan(QS["q9_product_profit"](spark, SF_DIR))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3
+    assert len(re.findall(r"SortMergeJoin", plan)) <= 1
+
+
+def test_q16_excluded_suppliers_anti_join_broadcast(spark):
+    """The negative-balance supplier exclusion must be a broadcast
+    anti-join (tiny build side), never a shuffle."""
+    plan = _plan(QS["q16_supplier_relationship"](spark, SF_DIR))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
