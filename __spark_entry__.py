@@ -49,6 +49,8 @@ _CHECK_FIRST = (
     "q20_promotion_candidates",
     "q21_waiting_supplier",
     "domain_cap_sample",
+    "time_grain_rollup",
+    "weighted_sample",
     # (c) shared-operator changes this round
     "simhash_near_pairs",
     "dedup_connected_components",

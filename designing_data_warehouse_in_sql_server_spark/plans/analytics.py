@@ -1978,3 +1978,52 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-grain time rollup (hypertable continuous-aggregate analog): hour,
+# day, and week rollups of the event stream in ONE grouping-sets pass —
+# one scan + one shuffle instead of three separate aggregations. At
+# 100 TB this is the difference between reading the fact once and three
+# times; grain rows are distinguished by GROUPING(), values are integer
+# cents.
+# ---------------------------------------------------------------------------
+TIME_GRAIN_ORACLE = """
+SELECT CASE WHEN GROUPING(hour_ts) = 0 THEN 'hour'
+            WHEN GROUPING(day_ts) = 0 THEN 'day'
+            ELSE 'week' END AS grain,
+       COALESCE(hour_ts, day_ts, week_ts) AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+  SELECT date_trunc('hour', ts) AS hour_ts,
+         date_trunc('day', ts) AS day_ts,
+         date_trunc('week', ts) AS week_ts,
+         value
+  FROM events
+)
+GROUP BY GROUPING SETS ((hour_ts), (day_ts), (week_ts))
+"""
+
+
+@register("time_grain_rollup", TIME_GRAIN_ORACLE)
+def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("tg_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(hour_ts) = 0 THEN 'hour'
+                    WHEN GROUPING(day_ts) = 0 THEN 'day'
+                    ELSE 'week' END AS grain,
+               COALESCE(hour_ts, day_ts, week_ts) AS bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM (
+          SELECT date_trunc('hour', ts) AS hour_ts,
+                 date_trunc('day', ts) AS day_ts,
+                 date_trunc('week', ts) AS week_ts,
+                 value
+          FROM tg_events
+        )
+        GROUP BY GROUPING SETS ((hour_ts), (day_ts), (week_ts))
+        """
+    )

@@ -250,3 +250,27 @@ def dataset_mix_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             h.alias("sort_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-weighted sampling (importance sampling for dataset mixing):
+# accept each document with probability proportional to its length
+# (capped), via the same overflow-guarded Knuth hash as the splits —
+# a deterministic per-row Bernoulli draw, zero shuffle, reproducible
+# across engines and re-runs. The production variant swaps the length
+# weight for a model-based quality score column.
+# ---------------------------------------------------------------------------
+WEIGHTED_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (doc_id % {_PREMOD}) * {_KNUTH} % {_MOD} % 10000 < LEAST(n_chars, 9000)
+"""
+
+
+@register("weighted_sample", WEIGHTED_ORACLE)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    draw = (F.col("doc_id") % _PREMOD) * _KNUTH % _MOD % 10000
+    return docs.filter(draw < F.least(F.col("n_chars"), F.lit(9000))).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -1,0 +1,129 @@
+"""Scaling spot-check for the slowest dedup-suite operators.
+
+There is no sf1 testdata directory, so this probe scales the DOCUMENT
+COUNT instead: it unions the sf0.1 documents table with itself N times
+(doc_id offset per copy so ids stay unique, a word swapped per copy so
+copies are near- rather than exact duplicates) and times the heavy
+operators at 1x and Nx. Linear-ish growth (and CC round-count
+stability) is the claim being validated; quadratic blowup in any pair
+generator shows up as a >> Nx wall-clock ratio.
+
+Run SOLO (no concurrent Spark sessions): ``python scripts/scaling_probe.py``.
+Prints one JSON line per (operator, scale) plus a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from designing_data_warehouse_in_sql_server_spark.session import get_spark  # noqa: E402
+from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table  # noqa: E402
+from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (  # noqa: E402
+    connected_components,
+    keep_best_per_component,
+    lsh_candidate_pairs,
+    minhash_from_shingles,
+    ngram_jaccard,
+    shingle_docs,
+    simhash_fingerprint,
+    simhash_near_pairs,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE = int(os.environ.get("SPARK_GRAFT_PROBE_SCALE", "10"))
+
+
+def replicated_docs(spark, n_copies: int):
+    """n_copies near-duplicate copies of the documents table, ids offset
+    per copy, first word replaced by a copy marker so copies are near
+    (not exact) duplicates — the hard case for the pair generators."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    if n_copies == 1:
+        return docs
+    copies = spark.range(n_copies).select(F.col("id").alias("copy"))
+    w = F.split(F.col("text"), r"\s+")
+    return (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit(" "),
+                         F.array_join(F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))), " "))
+            )
+            .alias("text"),
+        )
+    )
+
+
+def timed(name: str, scale: int, build):
+    start = time.perf_counter()
+    df = build()
+    n = df.count()
+    sec = round(time.perf_counter() - start, 2)
+    print(json.dumps({"op": name, "scale": scale, "rows": n, "sec": sec}), flush=True)
+    return sec
+
+
+def run_suite(spark, scale: int) -> dict[str, float]:
+    docs = replicated_docs(spark, scale).localCheckpoint(eager=True)
+    out: dict[str, float] = {}
+
+    def lsh_pairs():
+        shingled = shingle_docs(docs, "doc_id", "text", k=3).localCheckpoint(eager=False)
+        sigs = minhash_from_shingles(shingled, "doc_id", bands=4, rows_per_band=2)
+        return lsh_candidate_pairs(sigs, "doc_id"), shingled
+
+    out["minhash_lsh_pairs"] = timed("minhash_lsh_pairs", scale, lambda: lsh_pairs()[0])
+
+    def jaccard():
+        pairs, shingled = lsh_pairs()
+        return ngram_jaccard(pairs, docs, "doc_id", "text", k=3, shingled=shingled)
+
+    out["ngram_jaccard"] = timed("ngram_jaccard", scale, jaccard)
+
+    def simhash():
+        fp = simhash_fingerprint(docs, "doc_id", "text", bits=32)
+        return simhash_near_pairs(fp, "doc_id", max_hamming=2, n_bits=32)
+
+    out["simhash_near_pairs"] = timed("simhash_near_pairs", scale, simhash)
+
+    def cc():
+        pairs, _ = lsh_pairs()
+        return connected_components(pairs.select("id_a", "id_b"))
+
+    out["connected_components"] = timed("connected_components", scale, cc)
+
+    def keep_best():
+        pairs, _ = lsh_pairs()
+        labels = connected_components(pairs.select("id_a", "id_b"))
+        return keep_best_per_component(labels, docs, "doc_id", F.length("text"))
+
+    out["keep_best"] = timed("keep_best", scale, keep_best)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("ddw-scaling-probe")
+    # warm-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = run_suite(spark, 1)
+    scaled = run_suite(spark, SCALE)
+    summary = {
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base[k] else None for k in base},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
