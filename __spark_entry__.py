@@ -41,6 +41,10 @@ _CHECK_FIRST = (
     # (a) the round-2 red row, fixed
     "salted_aggregation",
     # (b) new this round
+    "boilerplate_removal",
+    "tfidf_top_terms",
+    "unigram_lm_score",
+    "embedding_decontaminate",
     "incremental_agg_refresh",
     "q2_min_cost_supplier",
     "q9_product_profit",

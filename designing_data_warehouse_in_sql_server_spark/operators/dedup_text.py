@@ -594,3 +594,69 @@ def keep_best_per_component(
     return ranked.filter(F.col("__rn") == 1).select(
         "component", F.col(id_col).alias("keep_id"), "n_members"
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 20,
+    max_doc_freq: int = 5,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (CCNet/RefinedWeb-style):
+    drop EVERY occurrence of any segment that appears in at least
+    ``max_doc_freq`` distinct documents — headers, nav bars, license
+    banners, cookie notices. Complements :func:`segment_dedup`, which
+    keeps the first occurrence; boilerplate by definition has no
+    "original" worth keeping.
+
+    Segmentation matches segment_dedup (fixed ``seg_words``-word windows
+    — the testdata has single-line documents, so the unit is a word
+    window rather than a newline-delimited paragraph). Documents whose
+    every segment is boilerplate survive with an empty ``clean_text``
+    (so downstream can count them), with ``n_kept = 0``.
+
+    Shape at scale: one explode (corpus-sized, not a blow-up), one
+    hash aggregate on md5(segment) computing corpus-wide document
+    frequency, one hash join back on the same key — Catalyst reuses the
+    partitioning, so the df-lookup adds no extra shuffle of the segment
+    stream — and one groupBy(doc) to reassemble. The document-frequency
+    relation is segment-cardinality-sized (unbounded), so it is NOT
+    broadcast; the join is a co-partitioned shuffle join on the hash.
+    No UDFs, no driver participation.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, F.lit(seg_words)), " "),
+    )
+    exploded = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg_text"))
+        .withColumn("__h", F.md5("seg_text"))
+        # one materialization feeds both the frequency aggregate and the
+        # join probe side (self-join sides don't share scans otherwise)
+        .localCheckpoint(eager=False)
+    )
+    freq = exploded.groupBy("__h").agg(F.count_distinct(id_col).alias("__df"))
+    keep = F.col("__df") < max_doc_freq
+    return (
+        exploded.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("seg_idx", "seg_text"))
+                        )
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((~keep).cast("long")).alias("n_dropped"),
+        )
+    )

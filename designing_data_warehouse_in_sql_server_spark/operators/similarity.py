@@ -226,3 +226,52 @@ def embedding_centroids(
         .groupBy(label_col, "dim")
         .agg((F.avg("q") / quant).alias("centroid"))
     )
+
+
+def cross_set_decontaminate(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space train/eval decontamination: for every eval item,
+    find the closest training item above ``threshold`` cosine (top-1 per
+    eval id, ties by lowest train id). The semantic complement of the
+    n-gram contamination check (text_analysis.contamination) — catches
+    paraphrased leaks that share no exact shingle.
+
+    Shape at scale: both sides carry a sign-bucket sketch and the pair
+    space is an equi-join on the bucket — never eval x train. The train
+    side is the 100 TB corpus, so nothing is broadcast; the join shuffles
+    both sides by bucket (at production scale the train table would be
+    bucketed/partitioned by the sketch so only the eval side moves). One
+    window per eval id picks the worst offender."""
+    from pyspark.sql import Window as W
+
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        quantized(F.col(vec_col)).alias("__ev"),
+        sign_bucket(F.col(vec_col), bits).alias("__b"),
+    )
+    t = train_df.select(
+        F.col(id_col).alias("train_id"),
+        quantized(F.col(vec_col)).alias("__tv"),
+        sign_bucket(F.col(vec_col), bits).alias("__b"),
+    )
+    pairs = (
+        e.join(t, "__b")
+        .select(
+            "eval_id",
+            "train_id",
+            F.round(cosine_q(F.col("__ev"), F.col("__tv")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )
+    w = W.partitionBy("eval_id").orderBy(F.desc("cosine"), F.asc("train_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("eval_id", "train_id", "cosine")
+    )

@@ -202,3 +202,86 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
         F.md5(normalized).alias("content_md5"),
         F.array_min(F.transform(shingles_col(t, k), F.md5)).alias("min_shingle_hash"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf (the classic
+    corpus-analytics primitive: what makes this doc different from the
+    corpus). idf uses the raw ratio N/df instead of log(N/df): log is not
+    bit-identical across engines, while the ratio ranks identically
+    (log is monotone) and keeps every arithmetic step a correctly-rounded
+    IEEE op — exact integer products below 2^53, then one division —
+    so the score is deterministic cross-engine. Ties break on term asc.
+
+    Shape at scale: explode -> two hash aggregates (tf over (doc, term),
+    df over term — both with map-side partial aggregation), a
+    co-partitioned shuffle join on term (the vocabulary is unbounded, so
+    the df relation is NOT broadcast), the corpus doc count as a 1-row
+    broadcast (q15's scalar pattern — never a driver-side count), and one
+    per-doc window for the top-k."""
+    from pyspark.sql import Window as W
+
+    tokens = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf").cast("double") * F.col("__n_docs") / F.col("doc_freq"), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "tfidf")
+    )
+
+
+def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram-LM document quality score: the mean corpus probability of
+    the document's tokens — sum_t count(t) / (n_tokens * total_tokens).
+    The fluency/perplexity proxy without log: every intermediate is an
+    exact int64 sum (associative, partition-order-proof), then two
+    correctly-rounded double divisions — bit-identical cross-engine,
+    where a sum of log-probs would drift with summation order. Low score
+    = rare-token-heavy (gibberish-leaning) doc; high = common-token doc.
+
+    Shape at scale: explode -> vocabulary hash aggregate (map-side
+    combine collapses the Zipf head before the shuffle), co-partitioned
+    shuffle join of the token stream back on term (vocabulary is
+    unbounded — never broadcast), per-doc hash aggregate, and the corpus
+    total as a 1-row broadcast scalar."""
+    tokens = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    counts = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = counts.select(F.sum("__cnt").alias("__total"))
+    return (
+        tokens.join(counts, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__cnt").alias("freq_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "freq_sum",
+            F.round(
+                F.col("freq_sum").cast("double") / F.col("n_tokens") / F.col("__total"),
+                12,
+            ).alias("avg_token_prob"),
+        )
+    )

@@ -1046,3 +1046,183 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("__rn") <= DOMAIN_CAP, 1).otherwise(0)).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal: drop EVERY occurrence of any
+# segment appearing in >= BOILER_MAX_DF distinct documents (headers /
+# nav / license banners — CCNet/RefinedWeb-style), unlike dedup_segments
+# which keeps the first occurrence. A 20-word banner is planted on every
+# even doc_id so the operator has real boilerplate to find at any scale.
+# ---------------------------------------------------------------------------
+BOILER_BANNER = (
+    "subscribe to our newsletter follow us on social media all rights "
+    "reserved terms of service privacy policy cookie settings accepted"
+)
+BOILER_MAX_DF = 5
+
+SQL_BANNER_DOCS = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN '{BOILER_BANNER} ' || text ELSE text END AS text
+  FROM documents
+"""
+
+BOILERPLATE_ORACLE = rf"""
+WITH all_docs AS ({SQL_BANNER_DOCS}),
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM all_docs WHERE len(trim(text)) > 0
+),
+segs AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         array_to_string(list_slice(ws, CAST(i * {SEGMENT_WORDS} + 1 AS BIGINT),
+                                    CAST((i + 1) * {SEGMENT_WORDS} AS BIGINT)), ' ') AS seg_text
+  FROM words, UNNEST(range(CAST(ceil(len(ws) / {SEGMENT_WORDS}.0) AS BIGINT))) AS t(i)
+),
+freq AS (
+  SELECT md5(seg_text) AS h, COUNT(DISTINCT doc_id) AS df
+  FROM segs GROUP BY 1
+)
+SELECT s.doc_id,
+       COALESCE(string_agg(CASE WHEN f.df < {BOILER_MAX_DF} THEN s.seg_text END,
+                           ' ' ORDER BY s.seg_idx), '') AS clean_text,
+       CAST(SUM(CASE WHEN f.df < {BOILER_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN f.df >= {BOILER_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM segs s JOIN freq f ON md5(s.seg_text) = f.h
+GROUP BY s.doc_id
+"""
+
+
+@register("boilerplate_removal", BOILERPLATE_ORACLE)
+def boilerplate_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import boilerplate_removal
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit(BOILER_BANNER + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return boilerplate_removal(
+        docs, "doc_id", "text", seg_words=SEGMENT_WORDS, max_doc_freq=BOILER_MAX_DF
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k characteristic terms per document by tf-idf. idf = N/df (no log:
+# monotone-equivalent ranking, and every step stays a correctly-rounded
+# IEEE op — exact integer products below 2^53 — so scores are
+# bit-identical cross-engine).
+# ---------------------------------------------------------------------------
+TFIDF_K = 3
+
+TFIDF_ORACLE = r"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+         ROUND(CAST(tf.tf AS DOUBLE) * n.n_docs / df.doc_freq, 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, doc_freq, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", TFIDF_ORACLE)
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=TFIDF_K)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document quality score: mean corpus probability of the
+# document's tokens — the fluency/perplexity proxy without log (int64
+# sums + two correctly-rounded divisions = bit-identical cross-engine).
+# ---------------------------------------------------------------------------
+UNIGRAM_ORACLE = r"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokens GROUP BY 1),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+per_doc AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(c.cnt) AS BIGINT) AS freq_sum
+  FROM tokens t JOIN counts c USING (term) GROUP BY 1
+)
+SELECT doc_id, n_tokens, freq_sum,
+       ROUND(CAST(freq_sum AS DOUBLE) / n_tokens / total, 12) AS avg_token_prob
+FROM per_doc CROSS JOIN total
+"""
+
+
+@register("unigram_lm_score", UNIGRAM_ORACLE)
+def unigram_lm_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space train/eval decontamination: top-1 contaminating train
+# item per eval item above cosine 0.95 — the semantic complement of
+# decontaminate_ngrams (catches paraphrased leaks with no shared
+# shingle). Leaks are planted: train-side copies of every vec_id % 20
+# eval vector.
+# ---------------------------------------------------------------------------
+DECON_THRESHOLD = 0.95
+
+EMB_DECON_ORACLE = f"""
+WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+tr AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 != 0
+  UNION ALL
+  SELECT vec_id + {ID_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+pairs AS (
+  SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+         {_sql_cosine('e.embedding', 't.embedding')} AS cosine
+  FROM ev e JOIN tr t
+    ON {SQL_BUCKET.format(v='e.embedding')} = {SQL_BUCKET.format(v='t.embedding')}
+  WHERE {_sql_cosine('e.embedding', 't.embedding')} > {DECON_THRESHOLD}
+)
+SELECT eval_id, train_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+                                   ORDER BY cosine DESC, train_id) AS rn
+      FROM pairs)
+WHERE rn = 1
+"""
+
+
+@register("embedding_decontaminate", EMB_DECON_ORACLE)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cross_set_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eval_df = emb.filter(F.col("vec_id") % 10 == 0)
+    train = emb.filter(F.col("vec_id") % 10 != 0).unionAll(
+        eval_df.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + ID_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    return cross_set_decontaminate(
+        eval_df, train, threshold=DECON_THRESHOLD, bits=8
+    )
