@@ -45,6 +45,9 @@ _CHECK_FIRST = (
     "tfidf_top_terms",
     "unigram_lm_score",
     "embedding_decontaminate",
+    "kmeans_embeddings",
+    "quantile_cont",
+    "file_format_roundtrip",
     "incremental_agg_refresh",
     "q2_min_cost_supplier",
     "q9_product_profit",

@@ -1,0 +1,87 @@
+"""Embedding clustering: fixed-iteration Lloyd's k-means, Spark-first.
+
+The iterative sibling of the one-shot assignment ops in similarity.py
+(IVF assignment is exactly one k-means E-step). Used in training-data
+pipelines for corpus bucketing / diversity sampling / IVF index builds.
+
+Cross-engine determinism (the repo-wide rules): vectors are quantized to
+integer fixed-point, squared-L2 distances come from the dot-product
+identity |a-b|^2 = a.a - 2a.b + b.b — exact int64 arithmetic — argmin
+ties break on lowest centroid id, and recomputed centroids are
+ROUND(SUM/COUNT) back to integers, so every iteration's state is
+bit-identical on any partitioning or engine.
+
+Scale shape per iteration: the k centroids are a genuinely-small
+broadcast (k rows — unlike a per-user relation this cannot grow with
+the data), so the E-step is a map-side broadcast join + one hash
+aggregate per vector (min-struct argmin, no window); the M-step is one
+posexplode + hash aggregate on (cluster, dim) with map-side partials.
+Nothing iterates on the driver; `iterations` is a small fixed constant
+(production k-means runs 10-20 rounds — each round is this same DAG).
+int64 headroom: dists <= dims * (quantized range)^2 ~ 1e11; SUM(dist)
+over 1e9+ vectors approaches 2^63 — cast to decimal(38,0) there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import dot_q, quantized
+
+
+def kmeans_fixed(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iterations`` Lloyd rounds from deterministic seeds (the
+    first ``k`` vectors by id) and return per-cluster stats:
+    (cluster, n_members, sum_distsq)."""
+    q = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    cents = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+    )
+    assigned = None
+    for i in range(iterations):
+        dist = (
+            dot_q(F.col("__qv"), F.col("__qv"))
+            - 2 * dot_q(F.col("__qv"), F.col("__cv"))
+            + dot_q(F.col("__cv"), F.col("__cv"))
+        )
+        scored = q.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col), F.col("cid"), dist.alias("__dist")
+        )
+        # argmin as min(struct(dist, cid)): one hash aggregate with
+        # map-side partials — no per-vector window sort
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct("__dist", "cid")).alias("__m"))
+            .select(
+                F.col(id_col),
+                F.col("__m.cid").alias("cid"),
+                F.col("__m.__dist").alias("__dist"),
+            )
+        )
+        if i < iterations - 1:
+            ex = (
+                q.join(assigned.select(id_col, "cid"), id_col)
+                .select("cid", F.posexplode("__qv").alias("dim", "val"))
+            )
+            cd = ex.groupBy("cid", "dim").agg(
+                F.round(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("cq")
+            )
+            cents = cd.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+                    lambda s: s["cq"],
+                ).alias("__cv")
+            )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("__dist").alias("sum_distsq"),
+    ).select(F.col("cid").alias("cluster"), "n_members", "sum_distsq")

@@ -2027,3 +2027,40 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((hour_ts), (day_ts), (week_ts))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated continuous quantiles (extension): percentile_cont
+# semantics (type-7: index h = q*(n-1), linear interpolation between the
+# two bracketing order statistics). Computed over integer cents at
+# quarter quantiles, so every interpolation step — (b-a)*f with f in
+# {0, .25, .5, .75} — is exactly representable and the doubles are
+# bit-identical cross-engine. Spark's `percentile` aggregate is a
+# per-group sort-based exact aggregate (one shuffle per group key, no
+# window, no global sort); the three quantiles share one pass.
+# ---------------------------------------------------------------------------
+QUANTILE_CONT_ORACLE = """
+WITH cents AS (
+  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT o_orderpriority,
+       quantile_cont(c, 0.25) AS p25_cents,
+       quantile_cont(c, 0.5)  AS p50_cents,
+       quantile_cont(c, 0.75) AS p75_cents
+FROM cents
+GROUP BY o_orderpriority
+"""
+
+
+@register("quantile_cont", QUANTILE_CONT_ORACLE)
+def quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return orders.select("o_orderpriority", c.alias("c")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.percentile("c", F.lit(0.25)).alias("p25_cents"),
+        F.percentile("c", F.lit(0.5)).alias("p50_cents"),
+        F.percentile("c", F.lit(0.75)).alias("p75_cents"),
+    )

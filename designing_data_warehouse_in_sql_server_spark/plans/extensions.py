@@ -1226,3 +1226,123 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_set_decontaminate(
         eval_df, train, threshold=DECON_THRESHOLD, bits=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-format round-trip (JSONL + CSV): documents written to both
+# formats and read back with explicit schemas, then aggregated per
+# (format, lang) — identical counts/sums from both formats prove the
+# interchange is lossless. Writes/reads are distributed (per-partition
+# files); the oracle is the same aggregate straight off the parquet.
+# ---------------------------------------------------------------------------
+ROUNDTRIP_ORACLE = """
+WITH base AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY lang
+)
+SELECT 'jsonl' AS fmt, lang, n_docs, sum_chars FROM base
+UNION ALL
+SELECT 'csv' AS fmt, lang, n_docs, sum_chars FROM base
+"""
+
+
+@register("file_format_roundtrip", ROUNDTRIP_ORACLE)
+def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.files import read_csv, read_jsonl, write_csv, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="ddw_files_")
+    try:
+        jd, cd = f"{tmp}/docs_jsonl", f"{tmp}/docs_csv"
+        write_jsonl(docs, jd)
+        write_csv(docs, cd)
+        schema = docs.schema
+        j = read_jsonl(spark, jd, schema).select(
+            F.lit("jsonl").alias("fmt"), "lang", "n_chars"
+        )
+        c = read_csv(spark, cd, schema).select(
+            F.lit("csv").alias("fmt"), "lang", "n_chars"
+        )
+        out = (
+            j.unionByName(c)
+            .groupBy("fmt", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+        # detach from the temp files before cleanup (few-row aggregate)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration k-means over quantized embeddings (iterative-algorithm
+# showcase next to connected components): 2 unrolled Lloyd rounds from
+# deterministic seeds, exact int64 distances via |a-b|^2 = a.a-2a.b+b.b,
+# centroids re-quantized with ROUND(SUM/COUNT). The oracle unrolls the
+# same two rounds in SQL.
+# ---------------------------------------------------------------------------
+KMEANS_K = 8
+
+
+def _sql_dist(qa: str, qb: str) -> str:
+    return (
+        f"CAST({SQL_DOT.format(a=qa, b=qa)} AS BIGINT)"
+        f" - 2 * CAST({SQL_DOT.format(a=qa, b=qb)} AS BIGINT)"
+        f" + CAST({SQL_DOT.format(a=qb, b=qb)} AS BIGINT)"
+    )
+
+
+KMEANS_ORACLE = f"""
+WITH q AS (SELECT vec_id, {SQL_QUANT.format(v='embedding')} AS qv FROM embeddings),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {KMEANS_K}),
+d1 AS (
+  SELECT q.vec_id, c.cid, {_sql_dist('q.qv', 'c.cv')} AS dist
+  FROM q CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+e AS (
+  SELECT vec_id, CAST(i AS INT) AS dim, qv[CAST(i + 1 AS BIGINT)] AS val
+  FROM q, UNNEST(range(len(qv))) AS t(i)
+),
+cd AS (
+  SELECT a.cid, e.dim,
+         CAST(ROUND(CAST(SUM(e.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM a1 a JOIN e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(cq ORDER BY dim) AS cv FROM cd GROUP BY cid),
+d2 AS (
+  SELECT q.vec_id, c.cid, {_sql_dist('q.qv', 'c.cv')} AS dist
+  FROM q CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS sum_distsq
+FROM a2 GROUP BY cid
+"""
+
+
+@register("kmeans_embeddings", KMEANS_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed(emb, k=KMEANS_K, iterations=2)
