@@ -48,6 +48,10 @@ _CHECK_FIRST = (
     "kmeans_embeddings",
     "quantile_cont",
     "file_format_roundtrip",
+    "pagerank_fixed",
+    "mad_outliers",
+    "vocab_coverage",
+    "fuzzy_name_pairs",
     "incremental_agg_refresh",
     "q2_min_cost_supplier",
     "q9_product_profit",

@@ -1,0 +1,72 @@
+"""Graph operators: fixed-iteration PageRank, Spark-first.
+
+Third iterative-algorithm showcase next to connected components
+(dedup_text.py) and k-means (clustering.py). In a training-data
+pipeline PageRank-style scores rank crawl/citation graphs for
+quality-weighted sampling (the "document importance" signal).
+
+Cross-engine determinism (repo-wide rules): ranks are scaled integers;
+each round is `new = 0.15*SCALE + 0.85 * sum(rank // out_degree)` with
+*floor* division on both steps, so every intermediate is exact int64
+arithmetic — bit-identical on any partitioning or engine. Ranks are
+therefore up to a constant the same ordering PageRank gives; the
+deliberate floor truncation (< out_degree per edge) is documented, not
+hidden in float noise.
+
+Scale shape per iteration: one shuffle join (edges ⋈ ranks on src — the
+degree is attached to the edge relation ONCE before the loop, so the
+static edge side is hash-partitioned by src and reused every round) and
+one hash aggregate on dst with map-side partial sums. Nothing iterates
+on the driver; `iterations` is a small fixed constant. The edge relation
+is localCheckpoint-ed to truncate lineage (swap for reliable
+`checkpoint` on a real cluster). int64 headroom: total mass ~ n_nodes *
+SCALE; 85 * mass must stay < 2^63, so SCALE=1e9 is safe to ~1e8 nodes —
+beyond that lower SCALE or move the sum to decimal(38,0).
+
+Reference parity: the reference warehouse has no graph operator — this
+is a labeled extension (SURVEY.md §2.11) for the 100 TB pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING_NUM = 85  # 0.85 as an integer percentage
+SCALE = 10**9
+
+
+def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected view of a directed edge list: both orientations,
+    distinct. Guarantees every node has out-degree >= 1 (no dangling
+    mass) so fixed-point iteration needs no dangling redistribution."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.union(rev).distinct()
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Run ``iterations`` PageRank rounds over the symmetrized edge list
+    and return (node_id, rank_scaled). Initial rank = ``scale`` per node
+    (i.e. ranks are N-normalized up to the constant factor)."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # static per-iteration build side: edge list with out-degree attached,
+    # partitioned by src once and reused by every round's join
+    e = sym.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("bigint").alias("rank"))
+    base = (15 * scale) // 100
+    for _ in range(iterations):
+        contribs = e.join(ranks, e["src"] == ranks["node"]).select(
+            F.col("dst"), F.expr("`rank` div `__deg`").alias("__c")
+        )
+        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(base) + F.expr(f"({DAMPING_NUM} * sum(__c)) div 100"))
+            .cast("bigint")
+            .alias("rank")
+        )
+    return ranks.select(F.col("node").alias("node_id"), F.col("rank").alias("rank_scaled"))

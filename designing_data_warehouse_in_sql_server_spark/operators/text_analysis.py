@@ -285,3 +285,46 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("avg_token_prob"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    checkpoints: tuple[int, ...] = (10, 100, 1000),
+) -> DataFrame:
+    """Tokenizer-design statistic: what fraction of all token
+    occurrences the top-N vocabulary terms cover, at each N in
+    ``checkpoints``. Returns (top_n, covered_tokens, total_tokens,
+    coverage_ppm) — ppm as exact integer floor division so the ratio is
+    bit-identical cross-engine.
+
+    Shape at scale: explode -> one vocabulary hash aggregate (map-side
+    combine collapses the Zipf head before the shuffle); the top-K cut
+    is TakeOrderedAndProject (K = max checkpoint, a constant — never a
+    global sort of the vocabulary); the running sum then windows over
+    those K rows only, so the single-partition window is bounded by a
+    constant, not by data size. The corpus total is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    k_max = max(checkpoints)
+    tokens = df.select(F.explode(words_col(F.col(text_col))).alias("term"))
+    counts = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.select(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(k_max)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = topk.select(
+        F.row_number().over(w).alias("top_n"),
+        F.sum("cnt").over(w).cast("bigint").alias("covered_tokens"),
+    )
+    return (
+        ranked.filter(F.col("top_n").isin(*checkpoints))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "top_n",
+            "covered_tokens",
+            "total_tokens",
+            F.expr("(covered_tokens * 1000000) div total_tokens").alias("coverage_ppm"),
+        )
+    )

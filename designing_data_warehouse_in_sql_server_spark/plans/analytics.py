@@ -2064,3 +2064,47 @@ def quantile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c", F.lit(0.5)).alias("p50_cents"),
         F.percentile("c", F.lit(0.75)).alias("p75_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD per group (the resistant sibling
+# of zscore_cap). Deviations are doubled so the type-7 median over
+# integer cents (always x.0/x.5) stays in exact int64; k*MAD multiplies
+# an exactly-representable half — bit-identical cross-engine. See
+# operators/cleaning.py:mad_outlier_stats for the scale shape.
+# ---------------------------------------------------------------------------
+MAD_ORACLE = """
+WITH cents AS (
+  SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+med AS (
+  SELECT o_orderpriority, quantile_cont(c, 0.5) AS m
+  FROM cents GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT cents.o_orderpriority, m,
+         abs(2 * c - CAST(2 * m AS BIGINT)) AS dev2
+  FROM cents JOIN med USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, quantile_cont(dev2, 0.5) AS mad2
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT dev.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN CAST(dev2 AS DOUBLE) > 3 * mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(m) AS med_cents,
+       MAX(mad2) AS mad2_cents
+FROM dev JOIN mad USING (o_orderpriority)
+GROUP BY dev.o_orderpriority
+"""
+
+
+@register("mad_outliers", MAD_ORACLE)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import mad_outlier_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return mad_outlier_stats(orders, "o_orderpriority", cents, k=3.0)

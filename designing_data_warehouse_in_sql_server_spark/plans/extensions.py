@@ -1229,9 +1229,9 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Source-format round-trip (JSONL + CSV): documents written to both
-# formats and read back with explicit schemas, then aggregated per
-# (format, lang) — identical counts/sums from both formats prove the
+# Source-format round-trip (JSONL + CSV + ORC): documents written to all
+# three formats and read back with explicit schemas, then aggregated per
+# (format, lang) — identical counts/sums from every format prove the
 # interchange is lossless. Writes/reads are distributed (per-partition
 # files); the oracle is the same aggregate straight off the parquet.
 # ---------------------------------------------------------------------------
@@ -1244,6 +1244,8 @@ WITH base AS (
 SELECT 'jsonl' AS fmt, lang, n_docs, sum_chars FROM base
 UNION ALL
 SELECT 'csv' AS fmt, lang, n_docs, sum_chars FROM base
+UNION ALL
+SELECT 'orc' AS fmt, lang, n_docs, sum_chars FROM base
 """
 
 
@@ -1252,16 +1254,24 @@ def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..sources.files import read_csv, read_jsonl, write_csv, write_jsonl
+    from ..sources.files import (
+        read_csv,
+        read_jsonl,
+        read_orc,
+        write_csv,
+        write_jsonl,
+        write_orc,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
     tmp = tempfile.mkdtemp(prefix="ddw_files_")
     try:
-        jd, cd = f"{tmp}/docs_jsonl", f"{tmp}/docs_csv"
+        jd, cd, od = f"{tmp}/docs_jsonl", f"{tmp}/docs_csv", f"{tmp}/docs_orc"
         write_jsonl(docs, jd)
         write_csv(docs, cd)
+        write_orc(docs, od)
         schema = docs.schema
         j = read_jsonl(spark, jd, schema).select(
             F.lit("jsonl").alias("fmt"), "lang", "n_chars"
@@ -1269,8 +1279,12 @@ def file_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = read_csv(spark, cd, schema).select(
             F.lit("csv").alias("fmt"), "lang", "n_chars"
         )
+        o = read_orc(spark, od, schema).select(
+            F.lit("orc").alias("fmt"), "lang", "n_chars"
+        )
         out = (
             j.unionByName(c)
+            .unionByName(o)
             .groupBy("fmt", "lang")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
@@ -1346,3 +1360,133 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fixed(emb, k=KMEANS_K, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage at top-N checkpoints — tokenizer-design statistic
+# (what share of token occurrences the top-N terms cover). Whitespace
+# tokenization shared with token_count/tfidf; coverage as exact integer
+# ppm (floor division) so the ratio hashes identically cross-engine.
+# ---------------------------------------------------------------------------
+VOCAB_CHECKPOINTS = (10, 100, 1000)
+
+VOCAB_COVERAGE_ORACLE = r"""
+WITH tokens AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokens GROUP BY 1),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM counts),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS top_n,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_tokens
+  FROM counts
+)
+SELECT top_n, covered_tokens, total_tokens,
+       CAST((covered_tokens * 1000000) // total_tokens AS BIGINT) AS coverage_ppm
+FROM ranked, total
+WHERE top_n IN (10, 100, 1000)
+"""
+
+
+@register("vocab_coverage", VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", checkpoints=VOCAB_CHECKPOINTS)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string-similarity self-join with blocking: part-name pairs
+# within the same first-token block at Levenshtein distance <= D.
+# Classic record-linkage shape: the block key bounds the candidate set
+# (never an n^2 all-pairs cross join — same discipline as the LSH /
+# SimHash banded joins), and Spark's 3-arg levenshtein(l, r, D) bails
+# out of the DP early once the distance exceeds the threshold. Both
+# engines implement the identical classic edit distance, so the kept
+# pair distances hash identically.
+# ---------------------------------------------------------------------------
+FUZZY_MAX_DIST = 8
+
+FUZZY_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+@register("fuzzy_name_pairs", FUZZY_ORACLE)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.substring_index("p_name", " ", 1).alias("blk")
+    )
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("__na"), "blk"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("__nb"), "blk"
+    )
+    # thresholded levenshtein: -1 once the DP row exceeds D — cheap reject
+    d = F.levenshtein(F.col("__na"), F.col("__nb"), FUZZY_MAX_DIST)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", d.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the supplier<->customer trade graph
+# (who-ships-to-whom from lineitem x orders), the third iterative
+# showcase next to connected components and k-means. Scaled-integer
+# floor arithmetic; the oracle unrolls the same two rounds in SQL.
+# Node ids: supplier -> 2*suppkey, customer -> 2*custkey+1.
+# ---------------------------------------------------------------------------
+PAGERANK_SCALE = 10**9
+
+PAGERANK_ORACLE = f"""
+WITH raw AS (
+  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+sym AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+c1 AS (
+  SELECT s.dst AS node, CAST(SUM(r0.r // deg.d) AS BIGINT) AS c
+  FROM sym s JOIN deg ON s.src = deg.src JOIN r0 ON s.src = r0.node
+  GROUP BY s.dst
+),
+r1 AS (SELECT node, CAST({(15 * PAGERANK_SCALE) // 100} + (85 * c) // 100 AS BIGINT) AS r FROM c1),
+c2 AS (
+  SELECT s.dst AS node, CAST(SUM(r1.r // deg.d) AS BIGINT) AS c
+  FROM sym s JOIN deg ON s.src = deg.src JOIN r1 ON s.src = r1.node
+  GROUP BY s.dst
+),
+r2 AS (SELECT node, CAST({(15 * PAGERANK_SCALE) // 100} + (85 * c) // 100 AS BIGINT) AS r FROM c2)
+SELECT node AS node_id, r AS rank_scaled FROM r2
+"""
+
+
+@register("pagerank_fixed", PAGERANK_ORACLE)
+def pagerank_fixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixed(edges, iterations=2, scale=PAGERANK_SCALE)

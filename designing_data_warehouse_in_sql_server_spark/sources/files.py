@@ -27,6 +27,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """Distributed ORC write (columnar interchange with the Hive/Trino
+    world; one file per partition, zlib by default)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-first ORC read (schema asserted, not inferred — ORC files
+    carry one, but pinning it catches producer drift at plan time)."""
+    return spark.read.schema(schema).orc(path)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     """Distributed CSV write with header; '"' escaping so embedded
     delimiters/quotes survive the round-trip."""
