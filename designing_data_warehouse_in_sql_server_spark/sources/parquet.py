@@ -42,18 +42,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and rebuild a TIMESTAMP_NTZ.
+    """Load events with ``ts`` normalized to TIMESTAMP_NTZ.
 
-    Integer `div` (not `/`) keeps full precision (nanos ~1e18 exceeds a
-    double's 53-bit mantissa), and truncation to micros matches DuckDB's
-    ns→us read of the same file. NTZ arithmetic keeps the value independent
-    of the session timezone.
+    The driver's testdata has shipped two physical encodings of ``ts``
+    across rounds: INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read nanos as long and rebuild), and plain ``timestamp[us]``
+    (NTZ — readable directly). Branch on the decoded type so both work.
+
+    For the nanos path, integer `div` (not `/`) keeps full precision
+    (nanos ~1e18 exceeds a double's 53-bit mantissa), and truncation to
+    micros matches DuckDB's ns→us read of the same file. NTZ arithmetic
+    keeps the value independent of the session timezone.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        return df  # already timestamp[_ntz] — nothing to rebuild
     return df.withColumn(
         "ts",
         F.expr(

@@ -25,14 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (nanos epoch -> TIMESTAMP,
+    """File-source stream over the events table (parquet timestamp[us] NTZ,
     matching sources/parquet._load_events)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # a glob (not an exact file path) keeps the source's basePath a
     # directory, which the file streaming source requires
     raw = (
@@ -41,7 +41,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(f"{sf_dir}/events.parq*")
     )
     # withWatermark only accepts TIMESTAMP (LTZ), so the batch reader's
-    # TIMESTAMP_NTZ expression is not usable here; the LTZ values only
+    # TIMESTAMP_NTZ column is not usable directly; the LTZ values only
     # coincide with the batch NTZ values when the session timezone is
     # UTC. REQUIRE that rather than silently mutating the caller's
     # session (setting it here would change LTZ semantics of every other
@@ -54,9 +54,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(got {tz!r}): event-time watermarks are LTZ and would shift "
             "relative to the batch reader's TIMESTAMP_NTZ semantics"
         )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_dedupe(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
