@@ -20,6 +20,7 @@ import designing_data_warehouse_in_sql_server_spark.plans.parity  # noqa: F401
 import designing_data_warehouse_in_sql_server_spark.plans.analytics  # noqa: F401
 import designing_data_warehouse_in_sql_server_spark.plans.extensions  # noqa: F401
 import designing_data_warehouse_in_sql_server_spark.plans.training  # noqa: F401
+import designing_data_warehouse_in_sql_server_spark.plans.quality  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,6 +42,15 @@ _CHECK_FIRST = (
     # (a) the round-2 red row, fixed
     "salted_aggregation",
     # (b) new this round
+    "data_quality_profile",
+    "interval_coalesce",
+    "pareto_frontier",
+    "rolling_anomaly_zscore",
+    "session_paths_topk",
+    "corpus_bigram_topk",
+    "token_entropy_quality",
+    "bm25_search",
+    "zorder_layout_key",
     "boilerplate_removal",
     "tfidf_top_terms",
     "unigram_lm_score",

@@ -1,0 +1,560 @@
+"""Data-quality profiling, interval analytics, and corpus-search extensions.
+
+All labeled extensions (no reference counterpart — SURVEY §2.11), but the
+data-quality operators realize the reference's own stated future work:
+"Data quality framework (e.g., using Great Expectations)" and "Further
+validation checks post-ETL process" (reference README.md:392-393).
+
+Scale notes per operator are inline; the common themes:
+- column profiling is ONE full scan producing all per-column stats as
+  parallel aggregate expressions (never a scan per column);
+- interval coalescing / anomaly windows shuffle once on the entity key
+  and every downstream step reuses that partitioning;
+- corpus operators (bigrams, entropy, BM25) are explode → hash-aggregate
+  pipelines: the explode output is never collected, and every aggregate
+  has a map-side partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.dedup_text import words_col
+from ..sources.parquet import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Column-level data-quality profile of `orders` — long format, one row per
+# profiled column: row count, null count, distinct count, min/max (as
+# strings so heterogeneous column types share one schema).
+#
+# Scale: a single scan computes every stat as parallel aggregate
+# expressions (count/count-distinct/min/max all have partial combine);
+# the unpivot to long format happens on the 1-row aggregate output.
+# A naive profiler that loops `for col in columns: df.select(...)` scans
+# the table N times — this is the one-pass form.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+# doubles are stringified through DECIMAL(18,2): Spark's double->string uses
+# scientific notation >= 1e7 while DuckDB never does; the decimal detour
+# renders identically on both engines.
+_PROFILE_STR = {
+    "o_totalprice": lambda c: f"CAST(CAST({c} AS DECIMAL(18,2)) AS VARCHAR)"
+}
+
+PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {_PROFILE_STR.get(c, lambda c: f"CAST({c} AS VARCHAR)")(f"MIN({c})")} AS min_value,
+       {_PROFILE_STR.get(c, lambda c: f"CAST({c} AS VARCHAR)")(f"MAX({c})")} AS max_value
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("data_quality_profile", PROFILE_ORACLE)
+def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _as_str(c: str, agg) -> F.Column:
+        if c in _PROFILE_STR:
+            return agg.cast("decimal(18,2)").cast("string")
+        return agg.cast("string")
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            _as_str(c, F.min(c)).alias(f"{c}__min"),
+            _as_str(c, F.max(c)).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands): each event spans [ts, ts+5min];
+# merge overlapping/touching spans per user into maximal islands.
+#
+# Scale: one shuffle on user_id; island detection is a running max over
+# the per-user ordered frame (no self-join — the classic O(n^2)
+# overlap-join formulation is avoided), and the final groupBy reuses the
+# same user_id partitioning.
+# ---------------------------------------------------------------------------
+INTERVAL_ORACLE = """
+WITH spans AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s <= MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS is_new
+  FROM spans
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+)
+SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+       MIN(s) AS island_start, MAX(e) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, island_id
+"""
+
+
+@register("interval_coalesce", INTERVAL_ORACLE)
+def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    spans = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 5 MINUTE").alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "is_new", F.when(F.col("s") <= prev_max_e, 0).otherwise(1)
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): parts that are non-dominated on
+# (minimize p_retailprice, maximize p_size).
+#
+# Scale: the textbook NOT-EXISTS dominance check is an O(n^2) self-join.
+# For a 2-D skyline it collapses to: per distinct price keep the max
+# size, then a single ordered running-max over the (tiny) distinct-price
+# relation — O(n) after one aggregate, no self-join anywhere. The oracle
+# uses the identical formulation (equivalence to NOT EXISTS holds because
+# with one candidate per price, dominance can only come from a strictly
+# cheaper price with >= size).
+# ---------------------------------------------------------------------------
+PARETO_ORACLE = """
+WITH best AS (
+  SELECT p_retailprice AS price, MAX(p_size) AS size
+  FROM part GROUP BY p_retailprice
+), frontier AS (
+  SELECT price, size
+  FROM (
+    SELECT price, size,
+           MAX(size) OVER (ORDER BY price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+    FROM best
+  )
+  WHERE prev_best IS NULL OR size > prev_best
+)
+SELECT p.p_partkey, ROUND(p.p_retailprice, 2) AS price, p.p_size AS size
+FROM part p JOIN frontier f
+  ON p.p_retailprice = f.price AND p.p_size = f.size
+"""
+
+
+@register("pareto_frontier", PARETO_ORACLE)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    best = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("size")
+    )
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    # single-partition window is safe: |distinct prices| << |part|, and the
+    # relation is one aggregate output, not the base table
+    frontier = (
+        best.withColumn("prev_best", F.max("size").over(w))
+        .filter(F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
+        .drop("prev_best")
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (part.p_retailprice == frontier.price) & (part.p_size == frontier.size),
+        )
+        .select("p_partkey", F.round("p_retailprice", 2).alias("price"), F.col("p_size").alias("size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection over the events stream (batch form):
+# each event scored against the trailing 20 events of the same user.
+#
+# Scale: one shuffle on user_id; avg/stddev over a bounded ROWS frame is
+# O(1) state per row in Spark's window executor. The streaming analog is
+# applyInPandasWithState with a ring buffer (streaming/stateful.py).
+# ---------------------------------------------------------------------------
+# The rolling mean is emitted in exact integer MILLICENTS
+# (sum_cents * 10 // n): cross-engine ROUND of an averaged double flips at
+# representation boundaries (verify-skill gotcha), while integer sum +
+# integer division is bit-identical on both engines (value >= 0 in the
+# fixture, so truncating and floor division agree). The z-flag still uses
+# the float stddev — booleans only flip exactly at the 3-sigma boundary.
+ANOMALY_ORACLE = """
+SELECT event_id, user_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       CAST((sum_c * 10) // n AS BIGINT) AS rolling_mean_millicents,
+       CASE WHEN sd IS NULL OR sd = 0 THEN FALSE
+            ELSE ABS(value - sum_c / (100.0 * n)) > 3 * sd END AS is_anomaly
+FROM (
+  SELECT event_id, user_id, value,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS sum_c,
+         COUNT(value) OVER w AS n,
+         STDDEV_SAMP(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+WHERE n >= 1
+"""
+
+
+@register("rolling_anomaly_zscore", ANOMALY_ORACLE)
+def rolling_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    scored = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(cents).over(w).alias("sum_c"),
+        F.count("value").over(w).alias("n"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    ).filter(F.col("n") >= 1)
+    return scored.select(
+        "event_id",
+        "user_id",
+        cents.alias("value_cents"),
+        F.expr("CAST((sum_c * 10) div n AS BIGINT)").alias("rolling_mean_millicents"),
+        F.when(F.col("sd").isNull() | (F.col("sd") == 0), F.lit(False))
+        .otherwise(
+            F.abs(F.col("value") - F.col("sum_c") / (100.0 * F.col("n"))) > 3 * F.col("sd")
+        )
+        .alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths: the ordered event-type journey within each 30-min-gap
+# session, ranked by frequency (product-analytics path analysis).
+#
+# Scale: sessionization is the shared user_id-shuffle window; the path
+# string is built by an in-group sort of (ts, event_id, type) structs —
+# array_sort is per-row, no extra shuffle — and the final count is a
+# hash aggregate on the path string with map-side combine.
+# ---------------------------------------------------------------------------
+PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+              WHEN DATE_DIFF('microsecond', LAG(ts) OVER w, ts) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+), paths AS (
+  SELECT user_id, session_id,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@register("session_paths_topk", PATHS_ORACLE)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)"
+    )
+    seq = events.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs"))
+        .select(
+            F.array_join(F.expr("transform(evs, x -> x.event_type)"), ">").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram top-k: most frequent word bigrams across documents.
+#
+# Scale: the bigram array is a pure per-row projection (no posexplode
+# self-join on position — that would shuffle the exploded relation);
+# explode feeds a hash aggregate with map-side combine, and the top-k is
+# TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+BIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), bigrams AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bigrams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 25
+"""
+
+
+@register("corpus_bigram_topk", BIGRAM_ORACLE)
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(words_col(F.col("text")).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> t[i - 1] || ' ' || t[i])")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality signal: Shannon entropy of each document's token
+# distribution (low entropy = repetitive/template junk), averaged per
+# language. A standard pretraining-corpus quality feature alongside the
+# Gopher-style repetition ratios in operators/text_analysis.py.
+#
+# Scale: explode → (doc, token) hash aggregate → per-doc aggregate →
+# per-lang aggregate; every stage is a partial-combine hash aggregate and
+# the (doc,token) key space is bounded by corpus token count.
+# ---------------------------------------------------------------------------
+ENTROPY_ORACLE = r"""
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  )
+  GROUP BY doc_id, tok
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id
+), ent AS (
+  SELECT tf.doc_id,
+         -SUM((c / n) * LN(c / n)) / LN(2) AS h
+  FROM tf JOIN tot USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT d.lang, ROUND(AVG(e.h), 3) AS avg_entropy_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ent e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+@register("token_entropy_quality", ENTROPY_ORACLE)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    wd = W.partitionBy("doc_id")
+    ent = (
+        tf.withColumn("p", F.col("c") / F.sum("c").over(wd))
+        .groupBy("doc_id")
+        .agg((-F.sum(F.col("p") * F.log("p")) / F.log(F.lit(2.0))).alias("h"))
+    )
+    return (
+        ent.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("h"), 3).alias("avg_entropy_bits"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search over the corpus for a fixed query-term set — the
+# classic lexical retrieval scorer (Robertson/Sparck-Jones), fully
+# expressible as two hash aggregates + one broadcast of per-term idf.
+#
+# Scale: df/idf is |vocab ∩ query| rows (broadcast); tf is an exploded
+# hash aggregate restricted to query terms by a pushed-down filter before
+# the shuffle. Nothing is ever collected; top-k is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("data", "model", "system")
+_K1, _B = 1.2, 0.75
+
+BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE tok IN {_BM25_TERMS!r}
+  GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok, LN((n - df + 0.5) / (df + 0.5) + 1) AS idf
+  FROM (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok), stats
+)
+SELECT tf.doc_id,
+       ROUND(SUM(idf.idf * tf.tf * ({_K1} + 1)
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))), 3)
+         AS bm25
+FROM tf
+JOIN idf USING (tok)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("bm25_search", BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias("idf"),
+            "avgdl",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (_K1 + 1)
+                    / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+                ),
+                3,
+            ).alias("bm25")
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key: bit-interleave two clustering dimensions
+# into one sort key, the standard multi-dimensional data-skipping layout
+# (Delta OPTIMIZE ZORDER / Iceberg sort orders do exactly this).
+# Writing files sorted by zkey gives min/max pruning on BOTH dimensions.
+#
+# Scale: a pure per-row integer projection (shift/mask magic-number bit
+# spreading, no UDF, no shuffle); the subsequent repartitionByRange on
+# the key — the actual layout step — is the one intentional shuffle of a
+# layout job and is exercised in tests, not in this profile query.
+# ---------------------------------------------------------------------------
+def _spread_sql(col: str) -> str:
+    """16-bit → even-bit-position spreading as a sum of per-bit CASE terms.
+
+    ``sum_i bit_i(x) * 4^i`` is the Morton spread written with only ``%``,
+    comparison, CASE, ``+`` and ``*`` — operators whose integer semantics
+    are identical in Spark SQL and DuckDB (shift/AND operators differ in
+    spelling and type promotion between the two). Catalyst constant-folds
+    the 16 literals; the whole key is one codegen'd projection.
+    """
+    x = f"(CAST({col} AS BIGINT) % 65536)"
+    terms = [
+        f"CASE WHEN {x} % {1 << (i + 1)} >= {1 << i} THEN {4 ** i} ELSE 0 END"
+        for i in range(16)
+    ]
+    return " + ".join(terms)
+
+
+ZORDER_EXPR = (
+    f"({_spread_sql('o_custkey')}) * 2 + ({_spread_sql('epoch_days')})"
+)
+
+ZORDER_ORACLE = f"""
+SELECT o_orderkey,
+       CAST({ZORDER_EXPR.replace('epoch_days', "DATE_DIFF('day', DATE '1992-01-01', o_orderdate)")} AS BIGINT) AS zkey
+FROM orders
+"""
+
+
+@register("zorder_layout_key", ZORDER_ORACLE)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    with_days = orders.withColumn(
+        "epoch_days", F.expr("datediff(o_orderdate, DATE '1992-01-01')")
+    )
+    return with_days.select(
+        "o_orderkey", F.expr(ZORDER_EXPR).cast("long").alias("zkey")
+    )
