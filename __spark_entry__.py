@@ -51,6 +51,12 @@ _CHECK_FIRST = (
     "token_entropy_quality",
     "bm25_search",
     "zorder_layout_key",
+    "heavy_hitter_users",
+    "events_hourly_unique_users",
+    "cumulative_distinct_users",
+    "topk_per_group",
+    "event_transition_matrix",
+    "corr_regression_stats",
     "boilerplate_removal",
     "tfidf_top_terms",
     "unigram_lm_score",

@@ -558,3 +558,237 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_days.select(
         "o_orderkey", F.expr(ZORDER_EXPR).cast("long").alias("zkey")
     )
+
+
+# ===========================================================================
+# Event-behavior analytics + statistical aggregates (batch 2)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: users contributing > 0.5% of all events, with their share.
+#
+# Scale: per-user counts are one hash aggregate; the global total is a
+# 1-row aggregate broadcast to the filter — no second scan of the fact,
+# no window over the whole table.
+# ---------------------------------------------------------------------------
+HEAVY_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+), total AS (
+  SELECT SUM(n_events) AS total_events FROM per_user
+)
+SELECT user_id, n_events,
+       CAST((n_events * 10000) // total_events AS BIGINT) AS share_bp
+FROM per_user, total
+WHERE n_events * 200 > total_events
+"""
+
+
+@register("heavy_hitter_users", HEAVY_ORACLE)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = per_user.agg(F.sum("n_events").alias("total_events"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        # integer cross-multiplication for the threshold (no float drift),
+        # and share quantized to 1e-4 through exact integer rounding
+        .filter(F.col("n_events") * 200 > F.col("total_events"))
+        .select(
+            "user_id",
+            "n_events",
+            # exact integer basis points (floor division on both engines;
+            # counts are nonnegative so floor == truncate)
+            F.expr("CAST((n_events * 10000) div total_events AS BIGINT)").alias("share_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct users per tumbling hour — the batch form of windowed
+# COUNT DISTINCT (streaming would use approx_count_distinct to keep
+# state bounded; the exact form is the oracle-checkable batch analog).
+#
+# Scale: one shuffle on (hour) with partial aggregation of the
+# (hour, user) pairs; Spark plans count(distinct) as a two-phase expand
+# + aggregate — no per-group sets are ever materialized on the driver.
+# ---------------------------------------------------------------------------
+HOURLY_USERS_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_hourly_unique_users", HOURLY_USERS_ORACLE)
+def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"))
+        .agg(
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day (audience growth curve). Windowed
+# COUNT(DISTINCT) is unsupported in both engines; the standard rewrite
+# keeps each user's FIRST day only (min per user), then a running sum of
+# first-appearances over the (tiny) per-day relation.
+#
+# Scale: one hash aggregate per user (the fact-sized shuffle), one per
+# day, and the running sum runs over |days| rows — never a window over
+# the fact table.
+# ---------------------------------------------------------------------------
+CUM_USERS_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+"""
+
+
+@register("cumulative_distinct_users", CUM_USERS_ORACLE)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # single-partition window over |distinct days| rows — an aggregate
+    # output, not the fact table
+    return per_day.withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group: the 3 highest-value orders within each market segment.
+#
+# Scale: rank-filter over a window partitioned by segment — one shuffle,
+# and with AQE the post-filter relation is tiny. The window alternative
+# to a per-group global sort; ties broken deterministically by orderkey.
+# ---------------------------------------------------------------------------
+TOPK_GROUP_ORACLE = """
+SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, CAST(rk AS INT) AS rk
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rk <= 3
+"""
+
+
+@register("topk_per_group", TOPK_GROUP_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts): for each user
+# the lag-1 event-type pair, counted corpus-wide, with the transition
+# probability in exact integer ten-thousandths.
+#
+# Scale: one shuffle on user_id for the lag window; the pair counts and
+# row totals are hash aggregates over a |types|^2-bounded key space.
+# ---------------------------------------------------------------------------
+TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+FROM pairs
+"""
+
+
+@register("event_transition_matrix", TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        # exact integer basis points — no float division, no round-half drift
+        F.expr(
+            "CAST((n * 10000) div (sum(n) over (partition by from_type)) AS BIGINT)"
+        ).alias("prob_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance / least-squares slope of quantity vs price per
+# return flag — the statistical-aggregate surface (CORR, COVAR_SAMP,
+# REGR_SLOPE are single-pass streaming aggregates in both engines).
+#
+# Scale: one hash aggregate; every statistic is a partial-combinable
+# moment sketch (sum, sum^2, sum xy), so map-side combine applies.
+# Rounded at 6: the moments are order-dependent in the last ulp but the
+# statistics are scale-free ratios, stable far beyond 1e-6.
+# ---------------------------------------------------------------------------
+CORR_ORACLE = """
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope_price_per_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("corr_regression_stats", CORR_ORACLE)
+def corr_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias(
+            "slope_price_per_qty"
+        ),
+        F.count("*").alias("n_rows"),
+    )

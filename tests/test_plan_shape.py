@@ -287,3 +287,54 @@ def test_q16_excluded_suppliers_anti_join_broadcast(spark):
     anti-join (tiny build side), never a shuffle."""
     plan = _plan(QS["q16_supplier_relationship"](spark, SF_DIR))
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key is a constant-folded per-row projection — any
+    Exchange/Window/Join here would make the layout step quadratic in
+    shuffles before the intentional repartitionByRange even starts."""
+    plan = _plan(QS["zorder_layout_key"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_profile_is_single_scan(spark):
+    """The column profile computes every per-column stat in ONE pass:
+    exactly one parquet scan of orders, never a scan per column."""
+    plan = _plan(QS["data_quality_profile"](spark, SF_DIR))
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan[:2000]
+
+
+def test_interval_coalesce_no_self_join(spark):
+    """Island detection must be the running-max window form, not the
+    O(n^2) overlap self-join."""
+    plan = _plan(QS["interval_coalesce"](spark, SF_DIR))
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_heavy_hitters_broadcasts_scalar_total(spark):
+    """The global total is a 1-row aggregate joined by broadcast; the
+    fact table is scanned once and shuffled once (on user_id)."""
+    plan = _plan(QS["heavy_hitter_users"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_cumulative_distinct_windows_aggregate_not_fact(spark):
+    """The running sum must run over the per-day aggregate (tiny), with
+    the fact-sized shuffles confined to hash aggregates — the window's
+    single partition is safe only because its input is |days| rows."""
+    plan = _plan(QS["cumulative_distinct_users"](spark, SF_DIR))
+    assert "Window" in plan
+    # two hash aggregates (per-user firsts, per-day counts) before the window
+    assert len(re.findall(r"HashAggregate", plan)) >= 4  # partial+final each
+
+
+def test_bm25_broadcasts_idf_side(spark):
+    """Per-term idf (|query terms| rows) and corpus stats (1 row) are
+    broadcast; only the token-level aggregates shuffle."""
+    plan = _plan(QS["bm25_search"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
