@@ -57,6 +57,8 @@ _CHECK_FIRST = (
     "topk_per_group",
     "event_transition_matrix",
     "corr_regression_stats",
+    "scd2_point_in_time",
+    "split_leakage_audit",
     "boilerplate_removal",
     "tfidf_top_terms",
     "unigram_lm_score",

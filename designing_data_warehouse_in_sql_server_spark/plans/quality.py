@@ -792,3 +792,134 @@ def corr_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_rows"),
     )
+
+
+# ===========================================================================
+# Warehouse temporal + training-split QA (batch 3)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join: resolve each order against the dimension
+# version that was valid ON THE ORDER DATE (reference M5's consumption
+# side — system-versioned `FOR SYSTEM_TIME AS OF` queries, reference
+# README.md:88-91 — generalized to per-row as-of resolution).
+#
+# The versioned dim is built inline (v1 for everyone from 1990; customers
+# with c_custkey % 7 = 0 get a +500 balance revision at 1998-01-01), so
+# orders (1995-2001) genuinely straddle the version boundary.
+#
+# Scale: the dim is dimension-sized → broadcast hash join on the equi key
+# (c_custkey) with the validity range as join residual; never a shuffle
+# of the fact, never a range cross-join. Balances flow as integer cents.
+# ---------------------------------------------------------------------------
+SCD2_PIT_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         TIMESTAMP '1990-01-01' AS valid_from,
+         CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1998-01-01'
+              ELSE TIMESTAMP '2100-01-01' END AS valid_to,
+         c_custkey % 7 <> 0 AS is_current
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) + 50000,
+         TIMESTAMP '1998-01-01', TIMESTAMP '2100-01-01', TRUE
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, d.bal_cents, d.is_current
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+"""
+
+
+@register("scd2_point_in_time", SCD2_PIT_ORACLE)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
+    changed = F.col("c_custkey") % 7 == 0
+    v1 = customer.select(
+        "c_custkey",
+        cents.alias("bal_cents"),
+        F.expr("TIMESTAMP '1990-01-01'").alias("valid_from"),
+        F.when(changed, F.expr("TIMESTAMP '1998-01-01'"))
+        .otherwise(F.expr("TIMESTAMP '2100-01-01'"))
+        .alias("valid_to"),
+        (~changed).alias("is_current"),
+    )
+    v2 = customer.filter(changed).select(
+        "c_custkey",
+        (cents + 50000).alias("bal_cents"),
+        F.expr("TIMESTAMP '1998-01-01'").alias("valid_from"),
+        F.expr("TIMESTAMP '2100-01-01'").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(
+        F.broadcast(dim),
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (orders.o_orderdate < dim.valid_to),
+    ).select("o_orderkey", "o_custkey", "bal_cents", "is_current")
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split leakage audit: exact-duplicate fingerprints that
+# land in more than one split — the QA gate every training pipeline
+# needs between dedup and packing (a duplicate crossing train/test
+# contaminates evaluation). Duplicates are planted (doc_id+100000
+# copies) since the base corpus texts are distinct.
+#
+# Scale: fingerprint + split are per-row projections; the audit is one
+# hash aggregate to (fingerprint, split) pairs and an equi-self-join on
+# the fingerprint — collision-bounded, never n^2 — feeding a 9-row
+# aggregate.
+# ---------------------------------------------------------------------------
+from .training import _BUCKET_SQL, _bucket  # noqa: E402  (shared split law)
+
+SPLIT_OF_SQL = (
+    f"CASE WHEN {_BUCKET_SQL} < 80 THEN 'train' "
+    f"WHEN {_BUCKET_SQL} < 90 THEN 'validation' ELSE 'test' END"
+)
+
+LEAKAGE_ORACLE = rf"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+), tagged AS (
+  SELECT DISTINCT
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+         {SPLIT_OF_SQL} AS split
+  FROM all_docs
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fingerprints
+FROM tagged a JOIN tagged b ON a.fp = b.fp AND a.split < b.split
+GROUP BY a.split, b.split
+"""
+
+
+@register("split_leakage_audit", LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(dups)
+    split = (
+        F.when(_bucket(F.col("doc_id")) < 80, "train")
+        .when(_bucket(F.col("doc_id")) < 90, "validation")
+        .otherwise("test")
+    )
+    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    tagged = all_docs.select(fp.alias("fp"), split.alias("split")).distinct()
+    a = tagged.select(F.col("fp"), F.col("split").alias("split_a"))
+    b = tagged.select(F.col("fp").alias("fp_b"), F.col("split").alias("split_b"))
+    return (
+        a.join(b, (a.fp == b.fp_b) & (F.col("split_a") < F.col("split_b")))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_shared_fingerprints"))
+    )

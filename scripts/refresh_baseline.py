@@ -1,0 +1,77 @@
+"""Regenerate BASELINE.md's per-query table from bench JSON output.
+
+Usage: python scripts/refresh_baseline.py BENCH_JSON [BENCH_JSON ...]
+
+Merges the given bench runs with the numbers already committed in
+BASELINE.md (taking the per-query MINIMUM across runs — the steady-state
+figure a dedicated node reproduces under shared-host load spikes), drops
+baselines for queries no longer registered, and rewrites the table
+in place. Queries whose implementation changed semantics should be listed
+in FRESH below so stale minima don't survive the rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# queries whose semantics/output changed: ignore previously committed minima
+FRESH = {"fuzzy_name_pairs"}
+
+BASELINE = "BASELINE.md"
+
+
+def main() -> None:
+    runs = []
+    for path in sys.argv[1:]:
+        for line in open(path).read().strip().splitlines():
+            d = json.loads(line)
+            if isinstance(d.get("queries"), dict) and d["queries"]:
+                runs.append(d)
+    if not runs:
+        raise SystemExit("no parsable bench runs given")
+
+    import __spark_entry__ as e
+
+    registered = set(e.queries())
+
+    src = open(BASELINE).read()
+    old = dict(
+        (m.group(1), float(m.group(2)))
+        for m in re.finditer(r"^\| (\w+) \| ([0-9.]+) \|$", src, re.M)
+    )
+
+    merged: dict[str, float] = {}
+    for name in registered:
+        cands = [r["queries"][name] for r in runs if name in r["queries"]]
+        if name in old and name not in FRESH:
+            cands.append(old[name])
+        if cands:
+            merged[name] = min(cands)
+
+    total = sum(merged.values())
+    median = sorted(merged.values())[len(merged) // 2]
+    table = "\n".join(f"| {n} | {merged[n]:.2f} |" for n in sorted(merged))
+
+    src = re.sub(
+        r"(### Per-query baseline.*?\n\n\| query \| sec \|\n\|---\|---\|\n)(?:\| \w+ \| [0-9.]+ \|\n)+",
+        lambda m: m.group(1) + table + "\n",
+        src,
+        flags=re.S,
+    )
+    src = re.sub(
+        r"\| All \d+ registered queries, total wall-clock @ sf0\.1 \| \*\*~\d+ s\*\* \(per-query best-of-\d+; median [0-9.]+ s/query\)",
+        f"| All {len(merged)} registered queries, total wall-clock @ sf0.1 | **~{round(total)} s** "
+        f"(per-query best-of-2; median {median:.2f} s/query)",
+        src,
+    )
+    open(BASELINE, "w").write(src)
+    print(f"rewrote {len(merged)} baselines; total ~{total:.1f}s; median {median:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -338,3 +338,19 @@ def test_bm25_broadcasts_idf_side(spark):
     plan = _plan(QS["bm25_search"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_scd2_point_in_time_broadcasts_dim(spark):
+    """The versioned dim must broadcast (dimension-sized build side) with
+    the validity range as join residual — a shuffle or a range
+    cross-join over the fact would be the 100 TB killer."""
+    plan = _plan(QS["scd2_point_in_time"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_split_leakage_self_join_is_equi(spark):
+    """The leakage audit self-joins on the fingerprint hash — an
+    equi-join on a collision-bounded key, never a nested loop."""
+    plan = _plan(QS["split_leakage_audit"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
