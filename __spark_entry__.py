@@ -59,6 +59,11 @@ _CHECK_FIRST = (
     "corr_regression_stats",
     "scd2_point_in_time",
     "split_leakage_audit",
+    "abc_classification",
+    "forward_fill_locf",
+    "customer_rfm_segmentation",
+    "basket_brand_pairs",
+    "user_day_streaks",
     "boilerplate_removal",
     "tfidf_top_terms",
     "unigram_lm_score",

@@ -923,3 +923,259 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("n_shared_fingerprints"))
     )
+
+
+# ===========================================================================
+# Inventory analytics + time-series repair (batch 4)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# ABC classification: rank parts by revenue contribution and classify by
+# cumulative share (A = first 80%, B = next 15%, C = tail) — the classic
+# inventory/Pareto analysis. All arithmetic in exact integer cents; class
+# thresholds compared by integer cross-multiplication (cum * 100 vs
+# total * 80) so no float ever enters the classification.
+#
+# Scale: revenue per part is the one fact-sized hash aggregate; the
+# cumulative window runs over the |parts| aggregate output (documented
+# single-partition window over an aggregate, same discipline as the
+# Pareto frontier — at 10^9 parts switch to a two-phase partition-sum
+# prefix computation).
+# ---------------------------------------------------------------------------
+ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cents) OVER () AS total
+  FROM rev
+)
+SELECT l_partkey, CAST(cents AS BIGINT) AS revenue_cents,
+       CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@register("abc_classification", ABC_ORACLE)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias("cents")
+    )
+    w_cum = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    return ranked.select(
+        "l_partkey",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (LOCF — last observation carried forward): sensor-style
+# repair of missing measurements. A deterministic 25% of readings are
+# masked (event_id % 4 = 0), then each gap takes the most recent non-null
+# value of the same user. The canonical time-series repair before any
+# rolling computation.
+#
+# Scale: one shuffle on user_id; IGNORE NULLS last_value over the
+# running frame is O(1) state per row — never a self-join against the
+# "previous non-null" row.
+# ---------------------------------------------------------------------------
+LOCF_ORACLE = """
+SELECT event_id, user_id,
+       masked,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+FROM (
+  SELECT event_id, user_id, ts,
+         event_id % 4 = 0 AS masked,
+         CASE WHEN event_id % 4 = 0 THEN NULL
+              ELSE CAST(ROUND(value * 100) AS BIGINT) END AS v
+  FROM events
+)
+"""
+
+
+@register("forward_fill_locf", LOCF_ORACLE)
+def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    masked = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_id") % 4 == 0).alias("masked"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None))
+        .otherwise(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        "masked",
+        F.last("v", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+# ===========================================================================
+# Customer analytics (batch 5)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per-customer Recency (days since last order),
+# Frequency (order count), Monetary (lifetime cents), each scored into
+# quartiles, concatenated to the classic RFM segment code.
+#
+# Scale: one hash aggregate per customer, then three ntile windows over
+# the customer-level aggregate (dimension-sized, not the fact); ties
+# broken by custkey so the quartile boundaries are deterministic.
+# ---------------------------------------------------------------------------
+RFM_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey,
+         DATE_DIFF('day', MAX(o_orderdate), TIMESTAMP '2002-01-01') AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents,
+       r_score || f_score || m_score AS rfm_segment
+FROM (
+  SELECT *,
+         CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR) AS r_score,
+         CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR) AS f_score,
+         CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS VARCHAR) AS m_score
+  FROM agg
+)
+"""
+
+
+@register("customer_rfm_segmentation", RFM_ORACLE)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.expr("datediff(TIMESTAMP '2002-01-01', MAX(o_orderdate))")
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("monetary_cents"),
+    )
+    # ntile windows run over the per-customer aggregate (dimension-sized)
+    r = F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).cast("string")
+    f = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).cast("string")
+    m = F.ntile(4).over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey")).cast("string")
+    return agg.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary_cents").cast("long").alias("monetary_cents"),
+        F.concat(r, f, m).alias("rfm_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: brand pairs co-occurring within an order,
+# counted corpus-wide (the support counts behind association rules).
+#
+# Scale: the self-join is ON THE ORDER KEY — candidate pairs are bounded
+# by (items per order)^2, never |lineitem|^2; the distinct projection
+# before the join collapses same-brand repeats inside an order, and the
+# final count is a hash aggregate over a |brands|^2-bounded key space.
+# ---------------------------------------------------------------------------
+BASKET_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+"""
+
+
+@register("basket_brand_pairs", BASKET_ORACLE)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, (a.l_orderkey == b.ok_b) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user — the date-minus-
+# row_number gaps-and-islands trick: within a user, consecutive days all
+# share (day - row_number) as a constant island key, so streaks fall out
+# of two hash aggregates and one window, no self-join.
+#
+# Scale: distinct (user, day) is the fact-sized aggregate; everything
+# after runs on per-user-day rows with a single user_id shuffle reused
+# end to end.
+# ---------------------------------------------------------------------------
+STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - INTERVAL (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)) DAY
+           AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, MAX(streak_days) AS longest_streak_days
+FROM streaks GROUP BY user_id
+"""
+
+
+@register("user_day_streaks", STREAK_ORACLE)
+def user_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        "day",
+        F.expr("day - make_interval(0, 0, 0, row_number() over "
+               "(partition by user_id order by day))").alias("island"),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count("*").alias("streak_days"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak_days")
+    )
