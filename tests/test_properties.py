@@ -176,3 +176,98 @@ def test_salted_join_row_identity(spark, left, right, n_salt):
     got = sorted(map(tuple, salted_join(l, r, "k", "rid", n_salt).collect()))
     want = sorted(map(tuple, l.join(r, "k").collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Invariant checks for the round-3 quality/analytics operators (the oracle
+# tests prove cross-engine equality; these pin the semantic invariants
+# that both engines could get identically wrong).
+# ---------------------------------------------------------------------------
+
+
+def test_interval_islands_are_disjoint_and_cover(spark):
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    out = e.queries()["interval_coalesce"](spark, SF_DIR).toPandas()
+    # disjoint + ordered per user
+    for _, grp in out.groupby("user_id"):
+        g = grp.sort_values("island_id")
+        assert (g.island_start <= g.island_end).all()
+        # next island starts strictly after the previous one ends
+        # (touching spans merge by definition)
+        assert (g.island_start.iloc[1:].values > g.island_end.iloc[:-1].values).all()
+
+
+def test_pareto_frontier_no_dominated_rows(spark):
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    out = e.queries()["pareto_frontier"](spark, SF_DIR).toPandas()
+    part = load_table(spark, SF_DIR, "part").select("p_retailprice", "p_size").toPandas()
+    for _, r in out.iterrows():
+        # r["size"], not r.size — Series.size is the element count
+        price, size = r["price"], r["size"]
+        dominating = part[
+            (part.p_retailprice <= price)
+            & (part.p_size >= size)
+            & ((part.p_retailprice < price) | (part.p_size > size))
+        ]
+        assert dominating.empty, f"frontier row {r['p_partkey']} is dominated"
+
+
+def test_abc_classes_partition_by_cumulative_share(spark):
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    out = (
+        e.queries()["abc_classification"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["revenue_cents", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    cum = out.revenue_cents.cumsum()
+    total = out.revenue_cents.sum()
+    expected = cum.map(
+        lambda c: "A" if c * 100 <= total * 80 else ("B" if c * 100 <= total * 95 else "C")
+    )
+    assert (out.abc_class == expected).all()
+
+
+def test_rfm_quartiles_are_balanced(spark):
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    out = e.queries()["customer_rfm_segmentation"](spark, SF_DIR).toPandas()
+    n = len(out)
+    for pos in range(3):
+        scores = out.rfm_segment.str[pos].astype(int)
+        counts = scores.value_counts()
+        assert set(counts.index) <= {1, 2, 3, 4}
+        # ntile guarantees bucket sizes differ by at most 1
+        assert counts.max() - counts.min() <= 1, (pos, counts.to_dict())
+
+
+def test_streaks_bounded_by_distinct_days(spark):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+    from tests.conftest import SF_DIR
+
+    out = e.queries()["user_day_streaks"](spark, SF_DIR).toPandas().set_index("user_id")
+    days = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")
+    )
+    joined = out.join(days)
+    assert (joined.longest_streak_days >= 1).all()
+    assert (joined.longest_streak_days <= joined["count"]).all()
