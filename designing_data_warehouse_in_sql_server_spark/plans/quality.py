@@ -1179,3 +1179,121 @@ def user_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("streak_days").alias("longest_streak_days")
     )
+
+
+# ===========================================================================
+# Robust cleaning + vector HOF surface (batch 6)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization: cap each order's total at its priority
+# group's exact [p05, p95] — the robust-statistics alternative to the
+# reference's 3-sigma z-score capping (M3), immune to the outliers it
+# is removing. Quantiles are EXACT discrete ranks over integer cents
+# (value at rank ceil(q*n)), so both engines select the identical cent.
+#
+# Scale: one window pass (rank + count share the group partition) over
+# the fact, a |groups|x2-row quantile relation broadcast back, and the
+# cap itself is a projection. No sort of the whole fact: ordering is
+# within group partitions only.
+# ---------------------------------------------------------------------------
+WINSOR_ORACLE = """
+WITH cents AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY c, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cents
+), bounds AS (
+  SELECT o_orderpriority,
+         MIN(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN c END) AS lo,
+         MIN(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN c END) AS hi
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT c.o_orderkey, c.o_orderpriority, c.c AS cents,
+       CASE WHEN c.c < b.lo THEN b.lo WHEN c.c > b.hi THEN b.hi ELSE c.c END
+         AS winsorized_cents
+FROM cents c JOIN bounds b USING (o_orderpriority)
+"""
+
+
+@register("winsorize_percentile", WINSOR_ORACLE)
+def winsorize_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
+    )
+    wp = W.partitionBy("o_orderpriority")
+    ranked = cents.select(
+        "o_orderpriority",
+        "c",
+        F.row_number().over(wp.orderBy("c", "o_orderkey")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")), F.col("c"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("c"))).alias("hi"),
+    )
+    return cents.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("c").alias("cents"),
+        F.when(F.col("c") < F.col("lo"), F.col("lo"))
+        .when(F.col("c") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("c"))
+        .alias("winsorized_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector arithmetic via higher-order functions — the JVM-side array
+# surface (transform / filter / aggregate) that keeps embedding math out
+# of Python entirely: L2 norm, positive-component count, max |x|, all
+# per row inside whole-stage codegen.
+#
+# Scale: pure projection, zero shuffle; the same HOF pattern backs the
+# cosine/IVF similarity operators. Sums run in array order on both
+# engines (not partition order), so the float results match bitwise and
+# the ROUND(.,6) is safe.
+# ---------------------------------------------------------------------------
+VECTOR_HOF_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(SQRT(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 6)
+         AS l2_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       ROUND(list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max'), 6)
+         AS max_abs
+FROM embeddings
+"""
+
+
+@register("vector_arithmetic_hof", VECTOR_HOF_ORACLE)
+def vector_arithmetic_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                    "(acc, x) -> acc + CAST(x AS DOUBLE) * x)"
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+            ),
+            6,
+        ).alias("max_abs"),
+    )
