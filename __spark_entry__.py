@@ -69,6 +69,7 @@ _CHECK_FIRST = (
     "user_day_streaks",
     "winsorize_percentile",
     "vector_arithmetic_hof",
+    "multimodal_frame_sample",
     "boilerplate_removal",
     "tfidf_top_terms",
     "unigram_lm_score",

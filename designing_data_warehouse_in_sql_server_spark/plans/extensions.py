@@ -1513,3 +1513,54 @@ def pagerank_fixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixed(edges, iterations=2, scale=PAGERANK_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sampling plumbing as a driver-checked query: assets get a
+# synthetic duration (10 ms per char), the mapInPandas sampler fans out
+# 1 asset row -> N frame rows executor-side (Arrow both directions), and
+# the oracle reproduces the deterministic fake sampler's byte slices in
+# SQL. The real codec swaps in for ``fake_frame_sample`` on a cluster
+# with ffmpeg/av — the distributed shape (schema, fan-out, batching) is
+# exactly what this query pins.
+# ---------------------------------------------------------------------------
+FRAME_SAMPLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         text,
+         GREATEST(1, (n_chars * 10) // 1000) AS n
+  FROM documents
+), stepped AS (
+  SELECT doc_id, text, n,
+         GREATEST(1, length(text) // n) AS step
+  FROM base
+)
+SELECT doc_id AS asset_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS INT) AS ts_ms,
+       md5(substr(text, CAST(i * step + 1 AS INT), 16)) AS frame_md5
+FROM (SELECT doc_id, step, unnest(range(0, n)) AS i FROM stepped)
+JOIN stepped USING (doc_id, step)
+"""
+
+
+@register("multimodal_frame_sample", FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(assets, every_ms=1000)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        "ts_ms",
+        F.md5("frame").alias("frame_md5"),
+    )

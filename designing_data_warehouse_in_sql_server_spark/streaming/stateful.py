@@ -81,3 +81,61 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas form (Spark 4's successor API): the same
+# running per-user accounting expressed as a StatefulProcessor with
+# explicit ValueState. NOTE: executing it requires google.protobuf
+# (Spark's state-server protocol), absent from this sandbox — the twin
+# applyInPandasWithState operator above is the tested path here; the
+# batch-equivalence test for this form auto-skips without protobuf. Advantages over applyInPandasWithState at scale:
+# typed state handles (value/list/map) instead of one struct row, state
+# TTL configured per handle, and initial-state bootstrap support — the
+# API Spark 4 points new stateful pipelines at.
+# ---------------------------------------------------------------------------
+try:  # Spark >= 4.0 only
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """ValueState-backed (count, integer-cent sum) per grouping key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", RUNNING_STATS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            self._state.update((n, cents))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_tws(events: DataFrame) -> DataFrame:
+        """`transformWithStateInPandas` version of ``running_user_stats`` —
+        identical semantics, typed-state API. Same scale properties: state
+        partitioned by key in the state store, Arrow-batched transfer."""
+        return (
+            events.groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningStatsProcessor(),
+                outputStructType=RUNNING_STATS_OUTPUT,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover - Spark 3.x fallback
+    RunningStatsProcessor = None  # type: ignore[assignment]
+
+    def running_user_stats_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0; use "
+            "running_user_stats (applyInPandasWithState) instead"
+        )

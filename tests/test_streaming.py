@@ -193,3 +193,41 @@ def test_stream_stream_interval_join_matches_batch(spark):
     assert want, "batch join produced no pairs — fixture assumption broken"
     # availableNow drains everything, so the stream must find every batch pair
     assert got == want
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark):
+    """Spark 4's transformWithStateInPandas (typed ValueState) must land
+    on the identical final per-user totals as the applyInPandasWithState
+    form and the batch aggregate.
+
+    The runtime state-server protocol needs google.protobuf, which this
+    sandbox does not ship — skip (not fail) where it is absent; the
+    applyInPandasWithState twin above covers the same semantics."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from designing_data_warehouse_in_sql_server_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    _run_to_memory(
+        running_user_stats_tws(stream_events(spark, SF_DIR)), "t_tws", "update"
+    )
+    out = spark.table("t_tws")
+    latest = (
+        out.withColumn("__rn", F.monotonically_increasing_id())
+        .orderBy(F.col("__rn").desc())
+        .dropDuplicates(["user_id"])
+    )
+    got = {r.user_id: (r.n_events, r.sum_cents) for r in latest.collect()}
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
