@@ -330,6 +330,29 @@ class TableStore:
             self._append_changes(name, pre.unionByName(post), v)
         return v
 
+    def compact(self, name: str, target_files: int = 1) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the current
+        version's data into ``target_files`` files (per hive partition
+        when the table is partitioned) and commit it as a new version.
+
+        The append fast path hard-links every prior file, so a table that
+        ingests N increments accumulates O(N) small files — the classic
+        small-file problem that degrades scan parallelism bookkeeping and
+        footer-reading at scale. Compaction is pure maintenance: data is
+        unchanged, so NO change-feed entries are written (Delta's OPTIMIZE
+        has the same contract), and earlier versions remain time-travelable
+        because each version owns (links to) its own files."""
+        df = self.read(name)
+        spec = self.partition_spec(name)
+        # with a partition spec, shuffle by the partition columns so each
+        # hive partition is written by few tasks (bounded files/partition);
+        # unpartitioned tables get exactly target_files files
+        if spec:
+            df = df.repartition(target_files, *spec)
+        else:
+            df = df.repartition(target_files)
+        return self._write_version(name, df)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 

@@ -309,3 +309,43 @@ def test_append_rejects_schema_mismatch(spark, store):
     reordered = spark.createDataFrame([("c", 4)], "v string, id int")
     store.append("fail_loud", reordered)
     assert store.read("fail_loud").count() == 2
+
+
+def test_compact_shrinks_files_preserves_data_and_feed(spark, tmp_path):
+    """compact() must collapse the O(appends) hard-linked small files
+    into target_files, leave the data bit-identical, write NO change-feed
+    entries (pure maintenance), and keep earlier versions readable."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    store.overwrite("t", base)
+    store.enable_cdc("t")
+    for i in range(4):
+        inc = spark.range(100 + i * 10, 110 + i * 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        store.append("t", inc)
+
+    def n_files(version):
+        # `**` matches the empty path too, so this covers top-level files
+        return len(
+            glob.glob(str(tmp_path / "t" / f"v{version}" / "**" / "*.parquet"), recursive=True)
+        )
+
+    v_before = store.current_version("t")
+    feed_before = store.read_changes("t").count()
+    rows_before = sorted(store.read("t").collect())
+
+    v_after = store.compact("t", target_files=2)
+
+    assert v_after == v_before + 1
+    assert n_files(v_after) <= 2 < n_files(v_before)
+    assert sorted(store.read("t").collect()) == rows_before
+    # pure maintenance: no CDC entries, old version still time-travelable
+    assert store.read_changes("t").count() == feed_before
+    assert sorted(store.time_travel("t", v_before).collect()) == rows_before
