@@ -1168,7 +1168,6 @@ def user_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = events.select(
         "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
     ).distinct()
-    w = W.partitionBy("user_id").orderBy("day")
     isl = days.select(
         "user_id",
         "day",

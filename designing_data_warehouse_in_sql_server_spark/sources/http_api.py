@@ -268,5 +268,55 @@ try:  # pyspark >= 4: Python DataSource API
         def reader(self, schema):
             return WeatherApiReader(self.options)
 
+        def simpleStreamReader(self, schema):
+            return WeatherApiStreamReader(self.options)
+
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class WeatherApiStreamReader(SimpleDataSourceStreamReader):
+        """Streaming form of the API extract: each micro-batch fetches the
+        next ``window_days`` date window for every city and advances the
+        offset — the reference's nightly watermark loop
+        (extract_weather.py:24-68) become a continuously-running
+        `spark.readStream.format("weather_api")` source.
+
+        Offsets are the replayable contract: {"next": "YYYY-MM-DD"} is
+        checkpointed by the engine, so a restarted query resumes at the
+        exact date watermark with no duplicate fetch — the role
+        `is_processed` plays in the reference's batch design. A bounded
+        run (end_date reached) keeps returning the same offset with no
+        rows, which streaming triggers treat as 'no new data'."""
+
+        def __init__(self, options):
+            self.cities = [c for c in options.get("cities", "").split(",") if c]
+            self.start = options.get("start_date", "2000-01-01")
+            self.end = options.get("end_date", self.start)
+            self.window_days = int(options.get("window_days", "1"))
+            self.fetcher_spec = options["fetcher"]
+            self.attempts = int(options.get("attempts", "3"))
+
+        def initialOffset(self):
+            return {"next": self.start}
+
+        def read(self, start):
+            from datetime import date, timedelta
+
+            nxt = date.fromisoformat(start["next"])
+            end = date.fromisoformat(self.end)
+            if nxt > end:
+                return iter([]), dict(start)  # bounded: no new data
+            win_end = min(nxt + timedelta(days=self.window_days - 1), end)
+            fetcher = _import_fetcher(self.fetcher_spec)
+            rows = []
+            for city in self.cities:
+                payload = fetch_with_retry(
+                    fetcher, city, nxt.isoformat(), win_end.isoformat(),
+                    attempts=self.attempts,
+                )
+                if payload is not None:
+                    rows.append((city, payload))
+            return iter(rows), {"next": (win_end + timedelta(days=1)).isoformat()}
+
 except ImportError:  # pragma: no cover - pyspark < 4 fallback
     WeatherApiDataSource = None  # type: ignore[assignment]
+    WeatherApiStreamReader = None  # type: ignore[assignment]
