@@ -354,3 +354,47 @@ def test_split_leakage_self_join_is_equi(spark):
     equi-join on a collision-bounded key, never a nested loop."""
     plan = _plan(QS["split_leakage_audit"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """With runtime bloom filters on, a selective dim-side filter must
+    inject a might_contain() probe into the fact scan side — the runtime
+    row-level filter that cuts shuffle volume on selective fact-fact
+    joins at 100 TB. Thresholds are lowered here because sf0.1 relations
+    are below the production defaults (10 GB creation side); the plan
+    shape is what production-scale inputs get for free."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in _plan(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -271,3 +271,27 @@ def test_streaks_bounded_by_distinct_days(spark):
     joined = out.join(days)
     assert (joined.longest_streak_days >= 1).all()
     assert (joined.longest_streak_days <= joined["count"]).all()
+
+
+def test_winsorize_bounds_and_row_preservation(spark):
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    out = e.queries()["winsorize_percentile"](spark, SF_DIR).toPandas()
+    for _, g in out.groupby("o_orderpriority"):
+        lo, hi = g.winsorized_cents.min(), g.winsorized_cents.max()
+        # capped values stay inside the observed winsorized range, and
+        # uncapped rows pass through identically
+        inside = g[(g.cents >= lo) & (g.cents <= hi)]
+        assert (inside.winsorized_cents == inside.cents).all()
+        assert (g[g.cents < lo].winsorized_cents == lo).all()
+        assert (g[g.cents > hi].winsorized_cents == hi).all()
+
+
+def test_heavy_hitter_shares_are_consistent(spark):
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    out = e.queries()["heavy_hitter_users"](spark, SF_DIR).toPandas()
+    assert (out.share_bp > 50).all()  # definition: > 0.5% of volume
+    assert out.share_bp.sum() <= 10000  # shares cannot exceed the whole
