@@ -69,3 +69,86 @@ def assign_sequential_ids(
         .withColumn(id_col, (F.col("__local_rn") + F.coalesce("__offset", F.lit(int(start)))).cast("long"))
         .drop("__pid", "__local_rn", "__offset")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str | Column],
+    cum_col: str,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Two-phase global running sum of ``value_col`` in ``order_by`` order
+    — the distributed replacement for ``SUM() OVER (ORDER BY ...)``'s
+    Exchange SinglePartition (which serializes the whole relation through
+    one task at scale).
+
+    phase 1: range-partition by the sort key, per-partition running sum;
+    phase 2: per-partition totals (#partitions rows) prefix-summed on the
+    driver and broadcast back as offsets.
+
+    Optionally emits the grand total as ``total_col`` (a literal — it is
+    known exactly from the same partition totals)."""
+    order_cols = list(order_by)
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("__local_cum", F.sum(value_col).over(w)).localCheckpoint(
+        eager=False
+    )
+    totals = sorted(
+        ranged.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["__t"] or 0
+    offsets_df = ranged.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "__pid int, __offset long",
+    )
+    out = (
+        ranged.join(F.broadcast(offsets_df), "__pid", "left")
+        .withColumn(
+            cum_col,
+            (F.col("__local_cum") + F.coalesce("__offset", F.lit(0))).cast("long"),
+        )
+        .drop("__pid", "__local_cum", "__offset")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(int(acc)).cast("long"))
+    return out
+
+
+def exact_ntile(
+    df: DataFrame,
+    k: int,
+    order_by: Sequence[str | Column],
+    out_col: str,
+    n: int | None = None,
+) -> DataFrame:
+    """Two-phase NTILE(k): global dense rank via ``assign_sequential_ids``
+    (never a single-partition window), then SQL NTILE's exact bucket law —
+    the first n % k buckets get one extra row. Bit-identical to
+    ``NTILE(k) OVER (ORDER BY ...)`` for deterministic (tie-broken)
+    orderings."""
+    if n is None:
+        n = df.count()
+    ranked = assign_sequential_ids(df, "__rank", order_by)
+    q, rem = divmod(n, k)
+    big = q + 1
+    cut = rem * big  # ranks 1..cut live in the first `rem` (bigger) buckets
+    bucket = (
+        F.when(F.col("__rank") <= cut, ((F.col("__rank") - 1) / big).cast("long") + 1)
+        .otherwise(
+            F.lit(rem) + ((F.col("__rank") - cut - 1) / F.greatest(F.lit(q), F.lit(1))).cast("long") + 1
+        )
+        .cast("int")
+    )
+    return ranked.withColumn(out_col, bucket).drop("__rank")

@@ -192,9 +192,12 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
         .drop("prev_best")
     )
+    # no forced broadcast: a skyline is usually tiny but adversarially
+    # O(n) (all points non-dominated) — let AQE pick the strategy from
+    # measured sizes instead of forcing an unbounded build side
     return (
         part.join(
-            F.broadcast(frontier),
+            frontier,
             (part.p_retailprice == frontier.price) & (part.p_size == frontier.size),
         )
         .select("p_partkey", F.round("p_retailprice", 2).alias("price"), F.col("p_size").alias("size"))
@@ -937,10 +940,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total * 80) so no float ever enters the classification.
 #
 # Scale: revenue per part is the one fact-sized hash aggregate; the
-# cumulative window runs over the |parts| aggregate output (documented
-# single-partition window over an aggregate, same discipline as the
-# Pareto frontier — at 10^9 parts switch to a two-phase partition-sum
-# prefix computation).
+# cumulative sum uses the TWO-PHASE prefix computation (operators/ids.py
+# prefix_sum: range partition -> per-partition running sum -> broadcast
+# partition offsets), so no single-partition window exists anywhere in
+# the plan even at 10^9 parts.
 # ---------------------------------------------------------------------------
 ABC_ORACLE = """
 WITH rev AS (
@@ -963,19 +966,18 @@ FROM ranked
 
 @register("abc_classification", ABC_ORACLE)
 def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import prefix_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias("cents")
     )
-    w_cum = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = rev.select(
-        "l_partkey",
+    ranked = prefix_sum(
+        rev,
         "cents",
-        F.sum("cents").over(w_cum).alias("cum"),
-        F.sum("cents").over(w_all).alias("total"),
+        [F.col("cents").desc(), F.col("l_partkey")],
+        cum_col="cum",
+        total_col="total",
     )
     return ranked.select(
         "l_partkey",
@@ -1048,9 +1050,10 @@ def forward_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Frequency (order count), Monetary (lifetime cents), each scored into
 # quartiles, concatenated to the classic RFM segment code.
 #
-# Scale: one hash aggregate per customer, then three ntile windows over
-# the customer-level aggregate (dimension-sized, not the fact); ties
-# broken by custkey so the quartile boundaries are deterministic.
+# Scale: one hash aggregate per customer, then three TWO-PHASE exact
+# ntiles (operators/ids.py exact_ntile: range-partitioned global rank +
+# NTILE's bucket law — no single-partition window even at 10^9
+# customers); ties broken by custkey so boundaries are deterministic.
 # ---------------------------------------------------------------------------
 RFM_ORACLE = """
 WITH agg AS (
@@ -1083,16 +1086,30 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("monetary_cents"),
     )
-    # ntile windows run over the per-customer aggregate (dimension-sized)
-    r = F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).cast("string")
-    f = F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).cast("string")
-    m = F.ntile(4).over(W.orderBy(F.col("monetary_cents").desc(), "o_custkey")).cast("string")
-    return agg.select(
+    from ..operators.ids import exact_ntile
+
+    # one materialization + one count shared by all three ranking passes
+    # (each pass needs its own range shuffle — three global orderings —
+    # but never recomputes the aggregate)
+    agg = agg.localCheckpoint(eager=True)
+    n = agg.count()
+    scored = exact_ntile(agg, 4, ["recency_days", "o_custkey"], "r_score", n=n)
+    scored = exact_ntile(
+        scored, 4, [F.col("frequency").desc(), F.col("o_custkey")], "f_score", n=n
+    )
+    scored = exact_ntile(
+        scored, 4, [F.col("monetary_cents").desc(), F.col("o_custkey")], "m_score", n=n
+    )
+    return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         F.col("monetary_cents").cast("long").alias("monetary_cents"),
-        F.concat(r, f, m).alias("rfm_segment"),
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
     )
 
 

@@ -20,7 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # queries whose semantics/output changed: ignore previously committed minima
-FRESH = {"fuzzy_name_pairs"}
+FRESH = {"fuzzy_name_pairs", "abc_classification", "customer_rfm_segmentation"}
 
 BASELINE = "BASELINE.md"
 
