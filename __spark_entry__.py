@@ -70,6 +70,7 @@ _CHECK_FIRST = (
     "winsorize_percentile",
     "vector_arithmetic_hof",
     "multimodal_frame_sample",
+    "dedup_containment",
     "boilerplate_removal",
     "tfidf_top_terms",
     "unigram_lm_score",

@@ -260,6 +260,47 @@ def ngram_jaccard(
     )
 
 
+def shingle_containment(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment for candidate pairs:
+    containment_a = |A ∩ B| / |A| (and symmetrically for B) — the
+    measure that catches SUB-DOCUMENT duplication (a doc wholly quoted
+    inside a larger one scores containment ≈ 1 while its Jaccard can be
+    arbitrarily small). Same LSH-bounded join shape and shared shingle
+    materialization as ``ngram_jaccard``; integer set sizes divide to a
+    deterministic double on both engines."""
+    if shingled is None:
+        shingled = shingle_docs(docs, id_col, text_col, k).localCheckpoint(eager=False)
+    sh = shingled.withColumnRenamed(id_col, "__id")
+    a = sh.alias("ca")
+    b = sh.alias("cb")
+    return (
+        pairs.join(a, pairs.id_a == F.col("ca.__id"))
+        .join(b, pairs.id_b == F.col("cb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ca.__sh", "cb.__sh")).alias("n_common"),
+            F.size("ca.__sh").alias("n_a"),
+            F.size("cb.__sh").alias("n_b"),
+        )
+        .withColumn(
+            "containment_a",
+            F.round(F.col("n_common").cast("double") / F.col("n_a"), 6),
+        )
+        .withColumn(
+            "containment_b",
+            F.round(F.col("n_common").cast("double") / F.col("n_b"), 6),
+        )
+    )
+
+
 def simhash_fingerprint(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, bits: int = 16
 ) -> DataFrame:

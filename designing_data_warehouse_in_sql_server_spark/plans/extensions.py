@@ -186,6 +186,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric containment verification of the LSH candidates — catches
+# sub-document duplication that Jaccard under-scores (a short doc fully
+# contained in a long one).
+# ---------------------------------------------------------------------------
+CONTAINMENT_ORACLE = f"""
+WITH all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INT) AS n_common,
+       CAST(len(sa.shingles) AS INT) AS n_a,
+       CAST(len(sb.shingles) AS INT) AS n_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(sa.shingles), 6) AS containment_a,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(sb.shingles), 6) AS containment_b
+FROM pairs p
+JOIN sh sa ON p.id_a = sa.doc_id
+JOIN sh sb ON p.id_b = sb.doc_id
+"""
+
+
+@register("dedup_containment", CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import shingle_containment
+
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    shingled = shingle_docs(docs, "doc_id", "text", k=3).localCheckpoint(eager=False)
+    sigs = minhash_from_shingles(shingled, "doc_id", bands=BANDS, rows_per_band=ROWS_PER_BAND)
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    return shingle_containment(pairs, docs, "doc_id", "text", k=3, shingled=shingled)
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints (16-bit, majority vote over shingle md5 high bits).
 # ---------------------------------------------------------------------------
 def _simhash_oracle(bits: int = 16) -> str:
