@@ -71,6 +71,8 @@ _CHECK_FIRST = (
     "vector_arithmetic_hof",
     "multimodal_frame_sample",
     "dedup_containment",
+    "time_weighted_average",
+    "m4_downsample",
     "boilerplate_removal",
     "tfidf_top_terms",
     "unigram_lm_score",

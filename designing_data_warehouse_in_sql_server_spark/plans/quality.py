@@ -1313,3 +1313,115 @@ def vector_arithmetic_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_abs"),
     )
+
+
+# ===========================================================================
+# Time-series analytics (batch 7)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (hypertable-style): each reading holds until the
+# user's next event, so the mean weights each value by its holding duration
+# — the correct average for irregularly-sampled series (an arithmetic
+# mean over-weights bursts). Numerator/denominator are exact integers
+# (cents x microseconds, bounded well inside BIGINT); the ratio is an
+# exact integer floor division.
+#
+# Scale: one shuffle on user_id for the lead() window, then a hash
+# aggregate on the same key — partitioning reused, no second exchange.
+# ---------------------------------------------------------------------------
+TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         DATE_DIFF('microsecond', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(cents * dt_us) AS BIGINT) AS weighted_sum,
+       CAST(SUM(dt_us) AS BIGINT) AS total_us,
+       CAST(SUM(cents * dt_us) // SUM(dt_us) AS BIGINT) AS twap_cents
+FROM seq
+WHERE dt_us IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dt_us) > 0
+"""
+
+
+@register("time_weighted_average", TWAP_ORACLE)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, "
+            "lead(ts) over (partition by user_id order by ts, event_id))"
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt_us")).alias("weighted_sum"),
+            F.sum("dt_us").alias("total_us"),
+        )
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            F.col("weighted_sum").cast("long").alias("weighted_sum"),
+            F.col("total_us").cast("long").alias("total_us"),
+            F.expr("CAST(weighted_sum div total_us AS BIGINT)").alias("twap_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., VLDB 2014): per (series, pixel bucket)
+# keep min, max, first, and last — the four points that preserve a line
+# chart's exact rendering while shrinking the series by orders of
+# magnitude. The standard pre-aggregation for dashboarding a 100 TB
+# series store.
+#
+# Scale: pure hash aggregate on (user, bucket) with min/max/struct-min/
+# struct-max partial combine — one shuffle, no window, no sort. first/
+# last are encoded as (ts, event_id, cents) struct extremes so ties
+# break identically on both engines.
+# ---------------------------------------------------------------------------
+M4_ORACLE = """
+SELECT user_id,
+       CAST(DATE_DIFF('hour', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS bucket,
+       MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents,
+       MIN(ROW(ts, event_id, CAST(ROUND(value * 100) AS BIGINT)))[3] AS first_cents,
+       MAX(ROW(ts, event_id, CAST(ROUND(value * 100) AS BIGINT)))[3] AS last_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM events
+GROUP BY user_id, bucket
+"""
+
+
+@register("m4_downsample", M4_ORACLE)
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    point = F.struct(F.col("ts"), F.col("event_id"), cents.alias("c"))
+    return (
+        events.groupBy(
+            "user_id",
+            # NTZ interval arithmetic — identical on both engines and
+            # independent of the session timezone (EPOCH()/unix_seconds
+            # would shift under non-UTC sessions)
+            F.expr(
+                "CAST(timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+            F.min(point).getField("c").alias("first_cents"),
+            F.max(point).getField("c").alias("last_cents"),
+            F.count("*").alias("n_points"),
+        )
+    )
