@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # covered exactly the first 50 entries), so ordering decides which queries get
 # the official oracle check each round. Round 3 front-loads (a) the one red row
 # from round 2 (salted_aggregation — oracle typing fixed this round), (b) all
-# 45 queries registered this round (quality/event/corpus/warehouse batches plus
+# 49 queries registered this round (quality/event/corpus/warehouse batches plus
 # the early-round TPC-H completions and training ops; fuzzy_name_pairs was also
 # re-specified at the distinct-value level this round), (c) queries whose
 # shared operators changed this round (simhash width guard, log-round CC,
