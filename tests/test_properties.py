@@ -295,3 +295,50 @@ def test_heavy_hitter_shares_are_consistent(spark):
     out = e.queries()["heavy_hitter_users"](spark, SF_DIR).toPandas()
     assert (out.share_bp > 50).all()  # definition: > 0.5% of volume
     assert out.share_bp.sum() <= 10000  # shares cannot exceed the whole
+
+
+@PROP
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    k=st.sampled_from([2, 3, 4, 7]),
+)
+def test_exact_ntile_matches_window_ntile(spark, vals, k):
+    """Two-phase exact_ntile must reproduce NTILE(k) OVER (ORDER BY ...)
+    bit-for-bit for any data size and k (including n < k and ties)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import exact_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rid int, v int"
+    )
+    got = {
+        r.rid: r.b
+        for r in exact_ntile(df, k, [F.col("v"), F.col("rid")], "b").collect()
+    }
+    from pyspark.sql import Window
+
+    want = {
+        r.rid: r.b
+        for r in df.select(
+            "rid", F.ntile(k).over(Window.orderBy("v", "rid")).alias("b")
+        ).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40))
+def test_prefix_sum_matches_window_cumsum(spark, vals):
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import prefix_sum
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "rid int, v long")
+    out = prefix_sum(df, "v", [F.col("rid")], "cum", total_col="total")
+    got = {r.rid: (r.cum, r.total) for r in out.collect()}
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+    total = acc
+    acc = 0
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = (acc, total)
+    assert got == want

@@ -349,3 +349,28 @@ def test_compact_shrinks_files_preserves_data_and_feed(spark, tmp_path):
     # pure maintenance: no CDC entries, old version still time-travelable
     assert store.read_changes("t").count() == feed_before
     assert sorted(store.time_travel("t", v_before).collect()) == rows_before
+
+
+def test_compact_partitioned_table(spark, tmp_path):
+    """Compaction of a hive-partitioned table must preserve the partition
+    layout (spec directories survive) and the data."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(60).select(
+        (F.col("id") % 3).cast("int").alias("p"), F.col("id").alias("v")
+    )
+    store.overwrite("t", df, partition_by=["p"])
+    for i in range(3):
+        inc = spark.range(60 + i * 5, 65 + i * 5).select(
+            (F.col("id") % 3).cast("int").alias("p"), F.col("id").alias("v")
+        )
+        store.append("t", inc)
+    rows_before = sorted(store.read("t").collect())
+    v = store.compact("t", target_files=1)
+    vdir = str(tmp_path / "t" / f"v{v}")
+    part_dirs = {d.split("/")[-2] for d in glob.glob(vdir + "/p=*/*.parquet")}
+    assert part_dirs == {"p=0", "p=1", "p=2"}
+    assert sorted(store.read("t").collect()) == rows_before
