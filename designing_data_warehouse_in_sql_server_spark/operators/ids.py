@@ -88,7 +88,12 @@ def prefix_sum(
     driver and broadcast back as offsets.
 
     Optionally emits the grand total as ``total_col`` (a literal — it is
-    known exactly from the same partition totals)."""
+    known exactly from the same partition totals).
+
+    Measured: local-checkpointing the input before the range exchange
+    was tried and is a net loss at bench scale (the sampler's extra pass
+    over the cache costs more than re-running a hash aggregate), so the
+    upstream plan is deliberately left inline."""
     order_cols = list(order_by)
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -126,6 +131,60 @@ def prefix_sum(
     return out
 
 
+def prefix_max_exclusive(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str | Column],
+    out_col: str,
+) -> DataFrame:
+    """Two-phase global running max over the EXCLUSIVE frame
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` in ``order_by``
+    order — the distributed replacement for the single-partition
+    ``MAX() OVER (ORDER BY ...)`` window (skyline / record-to-date
+    computations). First row of the global order gets NULL, matching the
+    window form exactly.
+
+    Same shape as :func:`prefix_sum`: range partition on the sort key,
+    per-partition exclusive running max, per-partition maxima
+    (#partitions rows) folded on the driver into exclusive
+    cross-partition prefixes and broadcast back. MAX is a monoid, so
+    ``greatest(local_prev, preceding_partitions_max)`` (null-skipping,
+    like the window's frame-empty semantics) is exact.
+    """
+    order_cols = list(order_by)
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # value rides as long (integral contract, like exact_ntile_multi) so
+    # the broadcast offsets and the local prefix share one type
+    ranged = ranged.withColumn(
+        "__local_prev", F.max(F.col(value_col).cast("long")).over(w)
+    ).localCheckpoint(eager=False)
+    totals = sorted(
+        ranged.groupBy("__pid").agg(F.max(F.col(value_col).cast("long")).alias("__t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    rows, run = [], None
+    for r in totals:
+        rows.append((r["__pid"], run))
+        t = r["__t"]
+        if t is not None and (run is None or t > run):
+            run = t
+    offsets_df = ranged.sparkSession.createDataFrame(
+        rows or [(0, None)], "__pid int, __offset long"
+    )
+    return (
+        ranged.join(F.broadcast(offsets_df), "__pid", "left")
+        .withColumn(out_col, F.greatest("__local_prev", "__offset"))
+        .drop("__pid", "__local_prev", "__offset")
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     k: int,
@@ -152,3 +211,104 @@ def exact_ntile(
         .cast("int")
     )
     return ranked.withColumn(out_col, bucket).drop("__rank")
+
+
+def exact_ntile_multi(
+    df: DataFrame,
+    k: int,
+    specs: Sequence[tuple[str, Column]],
+    tiebreak: Sequence[str],
+) -> DataFrame:
+    """NTILE(k) under SEVERAL global orderings in ONE offsets job.
+
+    Running ``exact_ntile`` once per ordering costs one range-sample job
+    plus one count-collect job *per ordering* — for RFM's three scores
+    that is ~6 sequential driver barriers whose fixed latency dominates
+    small scale factors (round-3 bench: 5.7x baseline). This form batches
+    all orderings:
+
+      1. explode each row into one row per ordering, carrying a single
+         numeric ascending sort value ``__sv`` (callers negate for DESC);
+      2. ONE ``repartitionByRange(__ord, __sv, tiebreak)`` — orderings are
+         range-major, so every partition serves exactly one ordering's
+         contiguous key range (a partition that straddles two orderings
+         still ranks correctly because the local window re-partitions by
+         ``__ord``);
+      3. ONE counts job grouped by (ordering, partition), ONE collect of
+         #orderings x #partitions rows; per-ordering totals give n, so no
+         separate ``df.count()`` barrier either;
+      4. broadcast offsets back, apply SQL NTILE's exact bucket law per
+         ordering, and fold the tall relation back to one row per input
+         row with a hash aggregate on the original columns.
+
+    ``specs`` is a list of ``(out_col, sort_value_column)`` where the sort
+    value must be an INTEGRAL expression (cast to long — scale fractional
+    measures to cents/micros first, exactly like the engine's other exact
+    arithmetic) whose ASCENDING order (ties broken by ``tiebreak``,
+    ascending) is the desired NTILE ordering — negate the expression for
+    descending orders. Bit-identical to per-ordering
+    ``NTILE(k) OVER (ORDER BY sv, tiebreak)``.
+
+    Scale: the tall relation is |df| x #orderings rows — one range
+    exchange, one metadata-sized collect, one hash aggregate. No
+    Exchange SinglePartition at any row count. The post-shuffle ranked
+    relation is local-checkpointed (reused by the counts job and the
+    final join); the input plan is left inline — measured cheaper than
+    checkpointing it at bench scale.
+    """
+    tiebreak = list(tiebreak)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("__ord"), sv.cast("long").alias("__sv")
+            )
+            for i, (_out, sv) in enumerate(specs)
+        ]
+    )
+    src = df
+    tall = src.withColumn("__o", F.explode(arr)).select(
+        *[src[c] for c in src.columns],
+        F.col("__o.__ord").alias("__ord"),
+        F.col("__o.__sv").alias("__sv"),
+    )
+    ranged = tall.repartitionByRange("__ord", "__sv", *tiebreak).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = F.row_number().over(
+        Window.partitionBy("__pid", "__ord").orderBy("__sv", *tiebreak)
+    )
+    ranged = ranged.withColumn("__local_rn", local).localCheckpoint(eager=False)
+
+    counts = ranged.groupBy("__ord", "__pid").count().collect()
+    by_ord: dict[int, list] = {}
+    for r in counts:
+        by_ord.setdefault(r["__ord"], []).append(r)
+    rows = []
+    for o, rs in by_ord.items():
+        acc = 0
+        n_ord = sum(r["count"] for r in rs)
+        for r in sorted(rs, key=lambda r: r["__pid"]):
+            rows.append((o, r["__pid"], acc, n_ord))
+            acc += r["count"]
+    offsets_df = ranged.sparkSession.createDataFrame(
+        rows or [(0, 0, 0, 0)], "__ord int, __pid int, __offset long, __n long"
+    )
+    joined = ranged.join(F.broadcast(offsets_df), ["__ord", "__pid"], "left")
+    rank = F.col("__local_rn") + F.coalesce("__offset", F.lit(0))
+    # SQL NTILE bucket law from (rank, n, k): first n % k buckets get one
+    # extra row — all column arithmetic so per-ordering n rides the join.
+    q = F.floor(F.col("__n") / k)
+    rem = F.col("__n") % k
+    big = q + 1
+    cut = rem * big
+    bucket = (
+        F.when(rank <= cut, F.floor((rank - 1) / big) + 1)
+        .otherwise(rem + F.floor((rank - cut - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+    tagged = joined.withColumn("__bucket", bucket)
+    aggs = [
+        F.max(F.when(F.col("__ord") == i, F.col("__bucket"))).alias(out)
+        for i, (out, _sv) in enumerate(specs)
+    ]
+    return tagged.groupBy(*[F.col(c) for c in src.columns]).agg(*aggs)

@@ -184,11 +184,15 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("size")
     )
-    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
-    # single-partition window is safe: |distinct prices| << |part|, and the
-    # relation is one aggregate output, not the base table
+    # TWO-PHASE running max (operators/ids.py prefix_max_exclusive): the
+    # distinct-price relation is usually tiny but adversarially O(|part|)
+    # (near-unique prices) — the range-partitioned form keeps the skyline
+    # scan parallel at any price cardinality, with no Exchange
+    # SinglePartition anywhere in the plan.
+    from ..operators.ids import prefix_max_exclusive
+
     frontier = (
-        best.withColumn("prev_best", F.max("size").over(w))
+        prefix_max_exclusive(best, "size", ["price"], "prev_best")
         .filter(F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
         .drop("prev_best")
     )
@@ -1086,19 +1090,22 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("monetary_cents"),
     )
-    from ..operators.ids import exact_ntile
+    from ..operators.ids import exact_ntile_multi
 
-    # one materialization + one count shared by all three ranking passes
-    # (each pass needs its own range shuffle — three global orderings —
-    # but never recomputes the aggregate)
-    agg = agg.localCheckpoint(eager=True)
-    n = agg.count()
-    scored = exact_ntile(agg, 4, ["recency_days", "o_custkey"], "r_score", n=n)
-    scored = exact_ntile(
-        scored, 4, [F.col("frequency").desc(), F.col("o_custkey")], "f_score", n=n
-    )
-    scored = exact_ntile(
-        scored, 4, [F.col("monetary_cents").desc(), F.col("o_custkey")], "m_score", n=n
+    # all three global orderings ranked in ONE offsets job (one range
+    # exchange over the exploded (ordering, sortval) relation, one counts
+    # collect) — vs three sequential exact_ntile passes whose ~6 driver
+    # barriers dominated the round-3 bench (5.7x baseline at sf0.1).
+    # DESC orderings ride as negated sort values; ties by o_custkey.
+    scored = exact_ntile_multi(
+        agg,
+        4,
+        [
+            ("r_score", F.col("recency_days")),
+            ("f_score", -F.col("frequency")),
+            ("m_score", -F.col("monetary_cents")),
+        ],
+        tiebreak=["o_custkey"],
     )
     return scored.select(
         "o_custkey",

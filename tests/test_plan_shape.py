@@ -264,6 +264,15 @@ def test_no_forced_broadcast_of_per_user_side(spark, name):
     assert "ResolvedHint" not in analyzed, f"{name} forces a join-strategy hint"
 
 
+def test_pareto_frontier_no_single_partition_exchange(spark):
+    """The skyline's running max is the two-phase range-partitioned form
+    (prefix_max_exclusive) — no Exchange SinglePartition may appear even
+    though the distinct-price relation is usually small, because its
+    cardinality is adversarially O(|part|)."""
+    plan = _plan(QS["pareto_frontier"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
 def test_q2_min_cost_is_single_window_all_dims_broadcast(spark):
     """q2's min-cost-per-part must be a window over the joined rows (one
     shuffle on ps_partkey), with part/supplier/nation/region all broadcast

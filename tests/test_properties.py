@@ -326,6 +326,65 @@ def test_exact_ntile_matches_window_ntile(spark, vals, k):
 
 
 @PROP
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-50, 50)), min_size=1, max_size=40
+    ),
+    k=st.sampled_from([2, 4, 5]),
+)
+def test_exact_ntile_multi_matches_per_ordering_windows(spark, vals, k):
+    """Batched multi-ordering ntile must reproduce each ordering's
+    NTILE(k) OVER (ORDER BY ...) bit-for-bit — one ascending, one
+    descending (negated sort value) — including ties and n < k."""
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import (
+        exact_ntile_multi,
+    )
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(vals)], "rid int, a long, b long"
+    )
+    out = exact_ntile_multi(
+        df,
+        k,
+        [("ba", F.col("a")), ("bb", -F.col("b"))],
+        tiebreak=["rid"],
+    )
+    got = {r.rid: (r.ba, r.bb) for r in out.collect()}
+    want = {
+        r.rid: (r.ba, r.bb)
+        for r in df.select(
+            "rid",
+            F.ntile(k).over(Window.orderBy("a", "rid")).alias("ba"),
+            F.ntile(k).over(Window.orderBy(F.col("b").desc(), "rid")).alias("bb"),
+        ).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40))
+def test_prefix_max_exclusive_matches_window(spark, vals):
+    """Two-phase exclusive running max must reproduce
+    MAX() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+    including the NULL first row and ties."""
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import (
+        prefix_max_exclusive,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "rid int, v long")
+    got = {
+        r.rid: r.prev
+        for r in prefix_max_exclusive(df, "v", [F.col("rid")], "prev").collect()
+    }
+    want, run = {}, None
+    for i, v in enumerate(vals):
+        want[i] = run
+        run = v if run is None or v > run else run
+    assert got == want
+
+
+@PROP
 @given(vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40))
 def test_prefix_sum_matches_window_cumsum(spark, vals):
     from designing_data_warehouse_in_sql_server_spark.operators.ids import prefix_sum
