@@ -101,7 +101,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            # no broadcast hint: customer grows linearly with the fact
+            # tables (a segment filter keeps ~1/5 of it) — AQE broadcasts
+            # from measured sizes at dashboard scale and falls back to a
+            # shuffle join when the relation outgrows executors
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -151,9 +155,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer/supplier carry no broadcast hint (linear in scale
+        # factor; AQE picks the strategy from measured sizes) — only the
+        # true dimensions nation/region below are forced
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -501,7 +508,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer unhinted (linear in scale factor — AQE decides);
+        # nation is a true bounded dimension
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
@@ -552,7 +561,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qualifying.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -1056,7 +1065,10 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 
 def q19_brand_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # part is linear in scale factor — unhinted; Catalyst pushes the
+    # part-only arm of the disjunction into the scan and AQE picks the
+    # join strategy from the filtered size
+    j = l.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
@@ -1100,9 +1112,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     j = (
-        l.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier/customer projections are narrow but LINEAR in scale
+        # factor — no hint; the nation maps below stay forced broadcasts
+        l.join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -1216,9 +1230,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
     )
     return (
@@ -1311,7 +1325,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supplier.select("s_suppkey", "s_name"), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1694,7 +1708,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ps.join(
         F.broadcast(part.filter(F.col("p_type") == "SMALL").select("p_partkey")),
         F.col("ps_partkey") == F.col("p_partkey"),
-    ).join(F.broadcast(euro), F.col("ps_suppkey") == F.col("s_suppkey"))
+    ).join(euro, F.col("ps_suppkey") == F.col("s_suppkey"))
     w = W.partitionBy("ps_partkey")
     return (
         joined.withColumn("min_cost", F.min("ps_cost_cents").over(w))
@@ -1740,7 +1754,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(part.filter(F.col("p_name").like("%widget%")).select("p_partkey")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
@@ -1793,8 +1807,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
+    # euro_supp is supplier-derived (linear in scale factor) — no hint,
+    # AQE broadcasts from measured sizes when it fits
     euro_ps = _pseudo_partsupp(l).join(
-        F.broadcast(euro_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+        euro_supp, F.col("ps_suppkey") == F.col("s_suppkey")
     ).select("ps_partkey", (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents"))
     # one materialization feeds both the per-part aggregate and the
     # global average (two consumers, one computation)
@@ -1845,7 +1861,7 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(bad_supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -1912,7 +1928,7 @@ def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     return (
         supplier.join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(candidates), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .join(candidates, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
         .select("s_name", "n_name")
     )
 
@@ -1982,7 +1998,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
     )

@@ -52,7 +52,9 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by region/nation/returnflag across the full star join.
 
     Scale: lineitem⋈orders is the only big-big join (shuffle on orderkey);
-    customer/nation/region are broadcast so the fact side shuffles once.
+    nation/region (bounded dimensions) are broadcast so the fact side
+    shuffles once; customer is linear in scale factor and carries no
+    hint — AQE broadcasts it from measured sizes while it fits.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -62,7 +64,7 @@ def flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(

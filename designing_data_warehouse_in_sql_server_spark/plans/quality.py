@@ -706,8 +706,10 @@ WHERE rk <= 3
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # customer is linear in scale factor — no broadcast hint; AQE
+    # picks broadcast at dashboard scale from measured sizes
     joined = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         orders.o_custkey == F.col("c_custkey"),
     )
     w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -1146,7 +1148,8 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part grows linearly with scale factor — unhinted, AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )
