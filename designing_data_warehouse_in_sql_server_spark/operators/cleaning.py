@@ -136,54 +136,3 @@ def mad_outlier_stats(
             F.max("__mad2").alias("mad2_cents"),
         )
     )
-
-
-def mad_outlier_stats(
-    df: DataFrame,
-    group_key: str,
-    cents_col: Column,
-    k: float = 3.0,
-) -> DataFrame:
-    """Robust (median/MAD) outlier detection — the resistant sibling of
-    ``cap_outliers_zscore``: mean/stddev are themselves dragged by the
-    outliers they're meant to catch; median absolute deviation is not.
-
-    Returns per-group (n_total, n_outliers, med_cents, mad2_cents) where
-    an outlier is |x - median| > k * MAD. All arithmetic is exact:
-    ``cents_col`` must be integer cents; deviations are DOUBLED
-    (|2x - 2*med|) so the type-7 interpolated median (always x.0 or x.5
-    over integers) stays in exact int64, and k*MAD with k=3 multiplies
-    an exactly-representable x.0/x.5 double — bit-identical
-    cross-engine.
-
-    Shape at scale: two percentile aggregates (Spark's `percentile` is
-    an exact per-group sort-based aggregate — one shuffle each, no
-    window over the fact), each joined back via a GROUP-CARDINALITY
-    bounded broadcast (rows = number of groups, independent of data
-    size — unlike a per-user relation this cannot grow with the fact)."""
-    cents = df.select(F.col(group_key), cents_col.cast("bigint").alias("__c"))
-    med = cents.groupBy(group_key).agg(
-        F.percentile("__c", F.lit(0.5)).alias("__med")
-    )
-    dev = cents.join(F.broadcast(med), group_key).select(
-        F.col(group_key),
-        F.col("__med"),
-        F.abs(2 * F.col("__c") - (2 * F.col("__med")).cast("bigint")).alias("__dev2"),
-    )
-    mad = dev.groupBy(group_key).agg(
-        F.percentile("__dev2", F.lit(0.5)).alias("__mad2")
-    )
-    return (
-        dev.join(F.broadcast(mad), group_key)
-        .groupBy(group_key)
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(
-                F.when(F.col("__dev2").cast("double") > k * F.col("__mad2"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_outliers"),
-            F.max("__med").alias("med_cents"),
-            F.max("__mad2").alias("mad2_cents"),
-        )
-    )

@@ -1498,7 +1498,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "instance_pairs",
             F.when(
                 F.col("name_a") == F.col("name_b"),
-                (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long"),
+                # integer div, not double /: n*(n-1) exceeds a double's
+                # 53-bit mantissa at the multiplicities 100 TB implies,
+                # and the DuckDB oracle uses exact integer // division
+                F.expr("n_a * (n_a - 1) div 2"),
             ).otherwise(F.col("n_a") * F.col("n_b")),
         )
     )

@@ -365,9 +365,16 @@ LIMIT 25
 def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(words_col(F.col("text")).alias("t"))
+    # guard single-token docs: sequence(1, 0) is the DESCENDING [1, 0] in
+    # Spark, so t[i-1]/t[i] would index out of range (ANSI runtime error)
+    # while DuckDB's range(1, 1) is empty — emit an empty array instead,
+    # exactly like shingles_col does
     bigrams = toks.select(
         F.explode(
-            F.expr("transform(sequence(1, size(t) - 1), i -> t[i - 1] || ' ' || t[i])")
+            F.when(
+                F.size("t") >= 2,
+                F.expr("transform(sequence(1, size(t) - 1), i -> t[i - 1] || ' ' || t[i])"),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram")
     )
     return (

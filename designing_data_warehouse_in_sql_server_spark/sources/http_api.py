@@ -313,8 +313,19 @@ try:  # pyspark >= 4: Python DataSource API
                     fetcher, city, nxt.isoformat(), win_end.isoformat(),
                     attempts=self.attempts,
                 )
-                if payload is not None:
-                    rows.append((city, payload))
+                if payload is None:
+                    # Fail the micro-batch BEFORE the offset commits: a
+                    # silently-skipped window would be permanently lost
+                    # once {"next": ...} advances, unlike the batch path
+                    # where a re-run retries the same watermark window.
+                    # Raising here leaves the checkpoint at the current
+                    # offset, so Spark's restart retries this window.
+                    raise RuntimeError(
+                        f"weather_api stream: fetch failed for {city} "
+                        f"window {nxt.isoformat()}..{win_end.isoformat()} "
+                        f"after {self.attempts} attempts; offset not advanced"
+                    )
+                rows.append((city, payload))
             return iter(rows), {"next": (win_end + timedelta(days=1)).isoformat()}
 
 except ImportError:  # pragma: no cover - pyspark < 4 fallback

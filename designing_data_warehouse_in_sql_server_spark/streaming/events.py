@@ -29,17 +29,56 @@ EVENTS_RAW_SCHEMA = (
     "value double, props string"
 )
 
+# nanos-encoded rounds: ts arrives as INT64 TIMESTAMP(NANOS), which the
+# vectorized reader rejects — stream it as long and rebuild (mirrors
+# sources/parquet._load_events exactly)
+EVENTS_RAW_SCHEMA_NANOS = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Probe the parquet footer: the driver's testdata has shipped ts as
+    both INT64 TIMESTAMP(NANOS) and plain timestamp[us] NTZ across
+    rounds; the batch loader branches at read time, and the streaming
+    source must match or it breaks on a re-encode while batch keeps
+    working."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{sf_dir}/events.parq*"))
+    if not files:
+        return False
+    ts_type = pq.read_schema(files[0]).field("ts").type
+    return getattr(ts_type, "unit", None) == "ns"
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (parquet timestamp[us] NTZ,
-    matching sources/parquet._load_events)."""
+    """File-source stream over the events table, normalizing ``ts`` to
+    TIMESTAMP the same way the batch loader does for either physical
+    encoding (footer-probed; see _events_ts_is_nanos)."""
+    nanos = _events_ts_is_nanos(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # a glob (not an exact file path) keeps the source's basePath a
     # directory, which the file streaming source requires
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            EVENTS_RAW_SCHEMA_NANOS if nanos else EVENTS_RAW_SCHEMA
+        )
         .format("parquet")
         .load(f"{sf_dir}/events.parq*")
     )
+    if nanos:
+        raw = raw.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     # withWatermark only accepts TIMESTAMP (LTZ), so the batch reader's
     # TIMESTAMP_NTZ column is not usable directly; the LTZ values only
     # coincide with the batch NTZ values when the session timezone is

@@ -212,6 +212,40 @@ def test_open_meteo_fetcher_url_contract(spark):
         fetch("Atlantis", "2024-02-01", "2024-02-01")
 
 
+def failing_fetcher(city: str, start: str, end: str) -> str:
+    raise RuntimeError("api down")
+
+
+def test_weather_api_stream_fails_batch_on_fetch_failure():
+    """An exhausted retry must RAISE (failing the micro-batch before its
+    offset commits) so Spark retries the same window on restart — a
+    silently-skipped window would be permanently lost once the offset
+    advances, unlike the batch path where a re-run retries the
+    watermark window."""
+    import pytest as _pytest
+
+    from designing_data_warehouse_in_sql_server_spark.sources.http_api import (
+        WeatherApiStreamReader,
+    )
+
+    reader = WeatherApiStreamReader(
+        {
+            "cities": "London",
+            "start_date": "2024-02-01",
+            "end_date": "2024-02-02",
+            "window_days": "1",
+            "fetcher": "tests.test_pipeline:failing_fetcher",
+            "attempts": "1",
+        }
+    )
+    with _pytest.raises(RuntimeError, match="offset not advanced"):
+        reader.read({"next": "2024-02-01"})
+    # a healthy fetcher advances past the same window
+    reader.fetcher_spec = "tests.test_pipeline:fake_fetcher"
+    rows, offset = reader.read({"next": "2024-02-01"})
+    assert offset == {"next": "2024-02-02"} and len(list(rows)) == 1
+
+
 def test_weather_api_streaming_source(spark, tmp_path):
     """The streaming form of the API extract: micro-batches advance the
     date-window offset (checkpointed by the engine — the streaming
