@@ -28,97 +28,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_revenue(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness harness verifies the registry front-to-back (round 1
-# covered exactly the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 3 front-loads (a) the one red row
-# from round 2 (salted_aggregation — oracle typing fixed this round), (b) all
-# 49 queries registered this round (quality/event/corpus/warehouse batches plus
-# the early-round TPC-H completions and training ops; fuzzy_name_pairs was also
-# re-specified at the distinct-value level this round), (c) queries whose
-# shared operators changed this round (simhash width guard, log-round CC,
-# de-broadcast cohort/funnel, scd2 guard hardening, q21 window rewrite), then
-# (d) queries whose only green driver row is from round 1 so their greens
-# refresh. Entries rotated to the back all have green rows in
-# CORRECTNESS_r02.json. Every query is oracle-diffed locally in
-# tests/test_oracle_parity.py regardless of order.
+# The driver's correctness harness verifies the registry front-to-back (each
+# round covers the first 50 entries), so ordering decides which queries get
+# the official oracle check each round. Round 4 front-loads (a) queries with
+# NO green driver row yet: the 7 registered this round plus the two approx
+# sketches, which gained deterministic verified-approximate oracles this round
+# (previously `no_oracle` by design); (b) queries whose implementation changed
+# this round (batched multi-ordering ntile for RFM, two-phase pareto skyline,
+# single-token bigram guard, integer-div fuzzy pair counts, and every star plan
+# whose forced customer/supplier broadcast was dropped in favor of AQE); then
+# (c) queries whose only green driver row is from round 1, oldest first, per
+# the round-3 verdict's rotation ask. Entries rotated behind the window all
+# have green rows in CORRECTNESS_r02/r03.json; every query is also
+# oracle-diffed locally in tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
-    # (a) the round-2 red row, fixed
-    "salted_aggregation",
-    # (b) new this round
-    "data_quality_profile",
-    "interval_coalesce",
-    "pareto_frontier",
-    "rolling_anomaly_zscore",
-    "session_paths_topk",
-    "corpus_bigram_topk",
-    "token_entropy_quality",
-    "bm25_search",
-    "zorder_layout_key",
-    "heavy_hitter_users",
-    "events_hourly_unique_users",
-    "cumulative_distinct_users",
-    "topk_per_group",
-    "event_transition_matrix",
-    "corr_regression_stats",
-    "scd2_point_in_time",
-    "split_leakage_audit",
-    "abc_classification",
-    "forward_fill_locf",
+    # (a) never driver-checked: new round-4 queries
+    "last_touch_attribution",
+    "dyadic_ewma",
+    "percent_rank_global",
+    "triangle_count",
+    "repeat_purchase_interval",
+    "late_event_ratio",
+    "inverted_index_postings",
+    # (a) approx sketches, oracle-verified for the first time
+    "approx_distinct",
+    "approx_percentiles",
+    # (b) implementation changed this round
     "customer_rfm_segmentation",
-    "basket_brand_pairs",
-    "user_day_streaks",
-    "winsorize_percentile",
-    "vector_arithmetic_hof",
-    "multimodal_frame_sample",
-    "dedup_containment",
-    "time_weighted_average",
-    "m4_downsample",
-    "boilerplate_removal",
-    "tfidf_top_terms",
-    "unigram_lm_score",
-    "embedding_decontaminate",
-    "kmeans_embeddings",
-    "quantile_cont",
-    "file_format_roundtrip",
-    "pagerank_fixed",
-    "mad_outliers",
-    "vocab_coverage",
+    "abc_classification",
+    "pareto_frontier",
+    "corpus_bigram_topk",
     "fuzzy_name_pairs",
-    "incremental_agg_refresh",
+    "mad_outliers",
     "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q9_product_profit",
+    "q10_returned_items",
     "q11_important_stock",
+    "q15_top_supplier",
     "q16_supplier_relationship",
+    "q18_large_orders",
+    "q19_brand_discounts",
     "q20_promotion_candidates",
     "q21_waiting_supplier",
-    "domain_cap_sample",
-    "time_grain_rollup",
-    "weighted_sample",
-    # (c) shared-operator changes this round
-    "simhash_near_pairs",
-    "dedup_connected_components",
-    "dedup_keep_best",
-    "prepare_corpus",
-    "cohort_retention",
-    "funnel_conversion",
-    "scd2_dimension",
-    "merge_insert_only",
-    "merge_upsert_full_outer",
-    # (d) r1-only greens whose operators were reworked in round 2
+    "flagship_revenue",
+    "topk_per_group",
+    "basket_brand_pairs",
+    # (c) r1-only greens, oldest first
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sessionize_events",
     "json_extract_events",
-    # r1 headliners (r1-only rows)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "flagship_revenue",
     "q4_order_priority",
-    "q10_returned_items",
-    "q18_large_orders",
-    # remaining r1-only rows, oldest greens first
     "dedup_exact_hash",
     "events_tumbling_window",
     "events_sliding_window",
@@ -130,6 +96,7 @@ _CHECK_FIRST = (
     "set_operations",
     "rollup_aggregate",
     "grouping_sets_aggregate",
+    # --- 50-query window boundary is here ---
     "pivot_event_counts",
     "unpivot_event_counts",
     "distinct_count",

@@ -414,15 +414,59 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (rows-only: HLL implementations differ by engine,
-# so no value oracle — the driver records the weaker check by design).
+# Approximate distinct, VERIFIED form: HLL sketch values are
+# engine-specific (DuckDB cannot reproduce Spark's HLL++), so the
+# hashable output folds the sketch's proven error bound into the query —
+# exact distinct counts ride alongside booleans asserting the sketch
+# landed within 5 standard errors (rsd=0.01 -> 5%). The oracle computes
+# the exact counts and literal TRUEs: a sketch outside its bound turns
+# the row red. Production use at 100 TB is the sketch alone (one pass,
+# fixed memory); the exact twin here is the ground truth the check needs.
+# Spark's HLL++ is hash-based and deterministic for fixed data, so the
+# flags are stable across runs.
 # ---------------------------------------------------------------------------
-@register("approx_distinct")
+APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       TRUE AS parts_within_bound,
+       TRUE AS orders_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("approx_distinct", APPROX_DISTINCT_ORACLE)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    # sketch and exact run as SEPARATE aggregations joined on the
+    # (|groups|-bounded) key: mixing approx_count_distinct(rsd=0.01)
+    # into the same agg as two countDistincts makes Spark's
+    # RewriteDistinctAggregates expand the input and drag the dense
+    # ~2^14-register HLL buffer through every expanded copy — measured
+    # 38 s vs 3.3 s for this two-aggregate form at sf0.1
+    approx = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__ap"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("__ao"),
+    )
+    exact = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
+    # 5-sigma bound with a small absolute floor for tiny groups
+    def ok(approx, exact):
+        bound = F.greatest(F.col(exact) * 0.05, F.lit(20.0))
+        return (F.abs(F.col(approx) - F.col(exact)) <= bound).alias(
+            exact.replace("n_", "") + "_within_bound"
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n_parts",
+        "n_orders",
+        ok("__ap", "n_parts"),
+        ok("__ao", "n_orders"),
     )
 
 
@@ -931,18 +975,52 @@ def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate percentiles (extension; rows-only check — sketch outputs are
-# engine-specific by design, like approx_distinct). The scale rationale:
-# one pass, fixed memory, no full sort — the 100 TB path for quantiles.
+# Approximate percentiles, VERIFIED form (like approx_distinct): the
+# KLL/GK-style sketch values are engine-specific, so the hashable output
+# is (group size + booleans) asserting each approximate percentile lies
+# inside the exact quantile window [q - 0.01, q + 0.01], computed in
+# exact integer cents so the window endpoints are cross-engine stable.
+# The window is deliberately ~100x the sketch's nominal rank error
+# (accuracy=10000 -> 1e-4): Spark's GK partial-sketch merge is
+# partition-layout dependent and measured to exceed the nominal bound,
+# so a tight window would flake across sessions — +-1% still catches any
+# gross sketch regression deterministically.
+# Oracle emits literal TRUEs; a sketch outside its window turns the row
+# red. Scale rationale unchanged: the sketch is one pass / fixed memory,
+# no full sort — the exact percentiles here exist only as ground truth
+# for the bound check.
 # ---------------------------------------------------------------------------
-@register("approx_percentiles")
+APPROX_PCT_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS p50_within_bound, TRUE AS p90_within_bound,
+       TRUE AS p99_within_bound
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("approx_percentiles", APPROX_PCT_ORACLE)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    pct = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
-    return orders.groupBy("o_orderpriority").agg(
-        pct.getItem(0).alias("p50"),
-        pct.getItem(1).alias("p90"),
-        pct.getItem(2).alias("p99"),
+    cents = orders.select(
+        "o_orderpriority",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("__c"),
+    )
+    pa = F.percentile_approx("__c", [0.5, 0.9, 0.99], 10_000)
+    lo = F.percentile("__c", F.array(F.lit(0.49), F.lit(0.89), F.lit(0.98)))
+    hi = F.percentile("__c", F.array(F.lit(0.51), F.lit(0.91), F.lit(1.0)))
+    agg = cents.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), pa.alias("__pa"), lo.alias("__lo"), hi.alias("__hi")
+    )
+
+    def ok(i: int, name: str):
+        return (
+            (F.col("__pa").getItem(i) >= F.col("__lo").getItem(i))
+            & (F.col("__pa").getItem(i) <= F.col("__hi").getItem(i))
+        ).alias(f"{name}_within_bound")
+
+    return agg.select(
+        "o_orderpriority", "n", ok(0, "p50"), ok(1, "p90"), ok(2, "p99")
     )
 
 

@@ -24,6 +24,7 @@ from ..operators.dedup_text import (
     shingle_docs,
     simhash_fingerprint,
     simhash_near_pairs,
+    words_col,
 )
 from ..operators.multimodal import documents_as_assets, extract_features
 from ..operators.similarity import (
@@ -1605,4 +1606,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "ts_ms",
         F.md5("frame").alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index construction (round 4): token -> document-frequency +
+# the first 20 postings (sorted doc_ids), for tokens appearing in >= 5
+# documents, top 100 by df. The build step of BM25/boolean retrieval —
+# bm25_search (plans/quality.py) scores against exactly this posting
+# structure.
+#
+# Scale: explode -> per-doc distinct -> ONE hash aggregate on token;
+# collect_set is bounded per token by the posting CAP (the slice keeps
+# 20), and the top-100 is TakeOrderedAndProject, never a global sort.
+# At 100 TB the full (uncapped) index would be written table-partitioned
+# by token-hash instead of collected — the capped form here is the
+# driver-checkable contract of the same plan.
+# ---------------------------------------------------------------------------
+INVERTED_INDEX_ORACLE = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), postings AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         array_to_string(list_sort(list(doc_id))[1:20], ',') AS first_postings
+  FROM toks
+  GROUP BY tok
+)
+SELECT tok, df, first_postings
+FROM postings
+WHERE df >= 5
+ORDER BY df DESC, tok
+LIMIT 100
+"""
+
+
+@register("inverted_index_postings", INVERTED_INDEX_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("tok")
+    )
+    postings = toks.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("first_postings"),
+    )
+    return (
+        postings.filter(F.col("df") >= 5)
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(100)
     )

@@ -1442,3 +1442,319 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_points"),
         )
     )
+
+
+# ===========================================================================
+# Event attribution, arrival-quality, and graph analytics (round-4 batch)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase is credited to the same user's
+# most recent preceding click/view within a 1-hour lookback, else
+# 'none' — the standard marketing-attribution fold over a raw event log.
+#
+# Scale: ONE shuffle on user_id; the "most recent touch" is an
+# IGNORE-NULLS last_value over the running frame (O(1) window state per
+# row), never a self-join of purchases against touches. The final
+# aggregate is bounded by |event types| + 1.
+# ---------------------------------------------------------------------------
+ATTRIBUTION_ORACLE = """
+WITH tagged AS (
+  SELECT event_type, ts,
+         LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+           OVER w AS touch_ts,
+         LAST_VALUE(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+           OVER w AS touch_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 1 HOUR
+            THEN touch_type ELSE 'none' END AS attributed_channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("last_touch_attribution", ATTRIBUTION_ORACLE)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = events.select(
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        F.col("touch_type"),
+    ).otherwise("none")
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("attributed_channel"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic-weighted moving average (EWMA with alpha=1/2 truncated at
+# horizon 8): smoothed value per event in EXACT integer arithmetic —
+# numerator = sum_{k=0..7} lag_k(cents) * 2^(7-k), denominator = sum of
+# the weights whose lag exists. Floating EWMA is order-sensitive and
+# never hash-stable cross-engine; the dyadic form is bit-exact on both
+# (weights are powers of two, everything stays int64: |value| <= 1e7
+# cents * 255 < 2^40).
+#
+# Scale: one shuffle on user_id; the 8 LAG expressions share one window
+# frame (single sort, O(1) state) — the same plan shape at any row
+# count. The truncation at 8 terms bounds the weight of history exactly
+# like EWMA's geometric decay does asymptotically (residual mass 2^-8).
+# ---------------------------------------------------------------------------
+_EWMA_H = 8
+
+DYADIC_EWMA_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       {" + ".join(f"COALESCE(LAG(cents, {k}) OVER w * {2 ** (_EWMA_H - 1 - k)}, 0)" for k in range(_EWMA_H))} AS ewma_num,
+       {" + ".join(f"CASE WHEN LAG(cents, {k}) OVER w IS NOT NULL THEN {2 ** (_EWMA_H - 1 - k)} ELSE 0 END" for k in range(_EWMA_H))} AS ewma_den
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("dyadic_ewma", DYADIC_EWMA_ORACLE)
+def dyadic_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        F.coalesce(F.lag("cents", k).over(w) * (2 ** (_EWMA_H - 1 - k)), F.lit(0))
+        for k in range(_EWMA_H)
+    )
+    den = sum(
+        F.when(F.lag("cents", k).over(w).isNotNull(), 2 ** (_EWMA_H - 1 - k)).otherwise(0)
+        for k in range(_EWMA_H)
+    )
+    return c.select(
+        "event_id",
+        "user_id",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global percent rank of parts by retail price — the two-phase
+# sequential-ids operator (operators/ids.py assign via prefix_sum)
+# registered as its own driver-checked query: rank and n are emitted as
+# exact integers (percent_rank's (rank-1)/(n-1) double is derivable but
+# not hash-stable, so the exact pair IS the contract).
+#
+# Scale: rank assignment is range partition -> per-partition window ->
+# broadcast offsets; no Exchange SinglePartition at any part count (the
+# naive RANK() OVER (ORDER BY ...) serializes the relation through one
+# task).
+# ---------------------------------------------------------------------------
+PERCENT_RANK_ORACLE = """
+SELECT p_partkey,
+       ROW_NUMBER() OVER (ORDER BY CAST(ROUND(p_retailprice * 100) AS BIGINT), p_partkey) AS price_rank,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_parts
+FROM part
+"""
+
+
+@register("percent_rank_global", PERCENT_RANK_ORACLE)
+def percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import prefix_sum
+
+    part = load_table(spark, sf_dir, "part")
+    cents = part.select(
+        "p_partkey",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("__c"),
+        F.lit(1).alias("__one"),
+    )
+    ranked = prefix_sum(
+        cents,
+        "__one",
+        [F.col("__c"), F.col("p_partkey")],
+        cum_col="price_rank",
+        total_col="n_parts",
+    )
+    return ranked.select("p_partkey", "price_rank", "n_parts")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the user co-occurrence graph (users sharing the
+# same (event_type, MINUTE) bucket are connected): the classic graph
+# statistic behind clustering-coefficient / community features.
+#
+# Scale: edges are generated by an EQUI-join on the bucket key (bounded
+# by per-bucket membership, never |users|^2); triangles close with two
+# more equi-joins on vertex keys over id-oriented edges (u < v < w, so
+# each triangle counts exactly once and the join graph is acyclic).
+# Bucket granularity is load-bearing: HOUR buckets make this fixture's
+# graph near-complete at sf0.1 (789k of 1.1M possible edges -> wedge
+# count ~1e9, measured 26 s); minute buckets keep membership — and
+# therefore Sum(deg^2), the triangle-join frontier — bounded. The
+# production refinement at extreme skew is degree-orientation (orient
+# edges from low to high degree — one extra aggregate); id-orientation
+# keeps the identical join shape.
+# ---------------------------------------------------------------------------
+TRIANGLE_ORACLE = """
+WITH membership AS (
+  SELECT DISTINCT event_type, DATE_TRUNC('minute', ts) AS h, user_id
+  FROM events
+), edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM membership a
+  JOIN membership b ON a.event_type = b.event_type AND a.h = b.h
+                   AND a.user_id < b.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.v
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+
+@register("triangle_count", TRIANGLE_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    membership = events.select(
+        "event_type", F.date_trunc("minute", "ts").alias("h"), "user_id"
+    ).distinct()
+    a = membership.select("event_type", "h", F.col("user_id").alias("u"))
+    b = membership.select(
+        F.col("event_type").alias("et2"), F.col("h").alias("h2"), F.col("user_id").alias("v")
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("h") == F.col("h2"))
+            & (F.col("u") < F.col("v")),
+        )
+        .select("u", "v")
+        .distinct()
+        # three consumers (e1/e2/e3) of one edge relation: materialize once
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tri = (
+        e1.join(e2, F.col("u2") == F.col("v"))
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("v3") == F.col("v2")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return tri.crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase intervals: per customer, the gaps in days between
+# consecutive orders — lifecycle input for churn/frequency models. All
+# integers (datediff of date-grain timestamps), so the output is
+# hash-exact.
+#
+# Scale: one shuffle on o_custkey; LAG + aggregate reuse the same
+# partitioning (the aggregate happens where the window left the rows).
+# ---------------------------------------------------------------------------
+REPEAT_INTERVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         DATE_DIFF('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps
+GROUP BY o_custkey
+"""
+
+
+@register("repeat_purchase_interval", REPEAT_INTERVAL_ORACLE)
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias("gap_days"),
+    )
+    return gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.count("gap_days").alias("n_gaps"),
+        F.sum("gap_days").alias("sum_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival quantification: an event is "late" when it carries an
+# event time EARLIER than something the same user already emitted
+# (arrival order = event_id). The per-type late ratio is the number a
+# streaming deployment uses to size its watermark delay — this batch
+# form is the calibration query for streaming/events.py's withWatermark
+# horizons.
+#
+# Scale: one shuffle on user_id; the running max is an O(1)-state frame,
+# and the final aggregate is |event types|-bounded. Ratio is emitted as
+# the exact (n_late, n_total) pair, not a float.
+# ---------------------------------------------------------------------------
+LATE_EVENT_ORACLE = """
+WITH flagged AS (
+  SELECT event_type,
+         ts < MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS is_late
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM flagged
+GROUP BY event_type
+"""
+
+
+@register("late_event_ratio", LATE_EVENT_ORACLE)
+def late_event_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = events.select(
+        "event_type", (F.col("ts") < F.max("ts").over(w)).alias("is_late")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).cast("long").alias("n_late"),
+        F.count("*").alias("n_total"),
+    )

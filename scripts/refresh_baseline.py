@@ -27,6 +27,11 @@ FRESH = {
     "abc_classification",
     "customer_rfm_segmentation",
     "pareto_frontier",
+    # round 4: verified-approximate forms compute the exact ground truth
+    # alongside the sketch — strictly more work than the old rows-only
+    # sketch queries
+    "approx_distinct",
+    "approx_percentiles",
 }
 
 BASELINE = "BASELINE.md"

@@ -111,7 +111,98 @@ def run_suite(spark, scale: int) -> dict[str, float]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Heavies mode (round-4 verdict ask): probe the registered heavy queries
+# — two-phase rfm/abc, pagerank, M4, time-weighted average, triangle
+# count — at SCALE x row count by materializing a synthetic scaled
+# testdata directory (every fact/entity table replicated with per-copy
+# key offsets so referential integrity holds per copy; bounded dims are
+# passed through). The registered queries run unmodified against the
+# probe dir, so the measured plan is exactly the driver-checked plan.
+#
+# Expected shape: per-row work linear; the two-phase forms' fixed driver
+# barriers (range-sample + counts collect) must stay CONSTANT — their
+# cost is #partitions-bounded, so the 10x ratio should sit well under
+# 10 for barrier-dominated queries and near-linear for scan-dominated.
+# ---------------------------------------------------------------------------
+HEAVIES = (
+    "customer_rfm_segmentation",
+    "abc_classification",
+    "pareto_frontier",
+    "percent_rank_global",
+    "pagerank_fixed",
+    "m4_downsample",
+    "time_weighted_average",
+    "triangle_count",
+)
+
+# (table, key columns to offset per copy) — offsets keep per-copy FK
+# integrity; nation/region/documents/embeddings pass through unscaled
+_SCALED_TABLES = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+_PASSTHROUGH = ("region", "nation", "documents", "embeddings")
+_OFFSET = 100_000_000
+
+
+def build_scaled_dir(spark, out_dir: str, n_copies: int) -> None:
+    copies = spark.range(n_copies).select(F.col("id").alias("__copy"))
+    for name, keys in _SCALED_TABLES.items():
+        df = load_table(spark, SF_DIR, name)
+        scaled = df.crossJoin(F.broadcast(copies))
+        for k in keys:
+            scaled = scaled.withColumn(k, F.col(k) + F.col("__copy") * _OFFSET)
+        scaled.drop("__copy").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for name in _PASSTHROUGH:
+        load_table(spark, SF_DIR, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+
+def run_heavies(spark, sf_dir: str, scale: int) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in HEAVIES:
+        if name not in qs:
+            continue
+        start = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - start, 2)
+        print(json.dumps({"op": name, "scale": scale, "sec": out[name]}), flush=True)
+    return out
+
+
+def main_heavies() -> None:
+    import tempfile
+
+    spark = get_spark("ddw-scaling-probe-heavies")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = run_heavies(spark, SF_DIR, 1)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_sf1_") as tmp:
+        build_scaled_dir(spark, tmp, SCALE)
+        scaled = run_heavies(spark, tmp, SCALE)
+    summary = {
+        "mode": "heavies",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
+        main_heavies()
+        return
     spark = get_spark("ddw-scaling-probe")
     # warm-up
     spark.range(1_000_000).selectExpr("sum(id)").collect()
