@@ -62,15 +62,25 @@ def main() -> None:
     # a single pass by up to 2x; the minimum is the steady-state number a
     # dedicated node reproduces. N is small so the full bench stays fast.
     n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    # Host-load telemetry (round-4 lesson: a pass taken on a loaded
+    # shared host showed uniform ~1.5x inflation that looked like code
+    # regressions; these fields make such a pass self-identifying so a
+    # reader can adjudicate noise mechanically).
+    load_before = os.getloadavg()
+    spread_worst = 0.0  # max over queries of (worst trial / best trial)
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(n_trials):
             start = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            sec = time.perf_counter() - start
+            best, worst = min(best, sec), max(worst, sec)
         timings[name] = round(best, 3)
+        if n_trials > 1 and best > 0:
+            spread_worst = max(spread_worst, worst / best)
+    load_after = os.getloadavg()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -80,12 +90,21 @@ def main() -> None:
     # stdout, and round 2's single long line (89 queries) overflowed it,
     # cutting the head of the JSON ("parsed": null in BENCH_r02.json).
     queries_file = os.path.join(REPO, "bench_queries.json")
+    host_meta = {
+        "trials_per_query": n_trials,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cpus": os.cpu_count(),
+        # >2 on many queries means trials disagreed wildly: loaded host
+        "max_trial_spread": round(spread_worst, 2),
+    }
     per_query = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host": host_meta,
     }
     with open(queries_file, "w") as f:
         json.dump(per_query, f)
@@ -99,6 +118,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries_file": "bench_queries.json",
+                "host": host_meta,
             }
         ),
         flush=True,

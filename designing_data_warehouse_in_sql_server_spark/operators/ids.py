@@ -23,10 +23,31 @@ matching what the single-partition window would have produced.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Size-adaptive form selection: below this many input rows the
+# single-window plan (one Exchange SinglePartition, but only over a
+# provably small relation) beats the two-phase plan's fixed driver
+# barriers (range sampler + counts collect + offsets join) — measured
+# ~0.3 s vs ~1.0-1.4 s at sf0.1. Callers opt in by passing ``n_hint``,
+# an UPPER BOUND on the input row count obtained from a cheap
+# metadata-scale count (e.g. the parquet row count of the dimension
+# that bounds the aggregate's key space). With no hint — or a hint
+# above the threshold — the two-phase form runs, so an unhinted call
+# is always scale-safe. 4M rows x ~50 B is ~200 MB through one task:
+# comfortably within one executor's sort budget, far below the point
+# where the single task becomes the job.
+WINDOW_FORM_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_WINDOW_FORM_MAX_ROWS", 4_000_000)
+)
+
+
+def _window_form_ok(n_hint: int | None) -> bool:
+    return n_hint is not None and 0 <= n_hint <= WINDOW_FORM_MAX_ROWS
 
 
 def assign_sequential_ids(
@@ -34,6 +55,7 @@ def assign_sequential_ids(
     id_col: str,
     order_by: Sequence[str | Column],
     start: int = 0,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Add ``id_col`` = start+1, start+2, ... dense and globally ordered
     by ``order_by``, without ever collapsing to one partition.
@@ -41,8 +63,20 @@ def assign_sequential_ids(
     Scale: one range-exchange of the data plus one partition-count
     aggregate whose result (#partitions rows) is collected and
     broadcast back. No task sees more than its own partition.
+
+    ``n_hint``: optional UPPER BOUND on ``df``'s row count; when at most
+    ``WINDOW_FORM_MAX_ROWS`` the single-window form runs instead (same
+    result bit-for-bit, property-tested) — its one small-relation
+    SinglePartition sort is cheaper than this form's driver barriers.
     """
     order_cols = list(order_by)
+    if _window_form_ok(n_hint):
+        return df.withColumn(
+            id_col,
+            (F.row_number().over(Window.orderBy(*order_cols)) + F.lit(int(start))).cast(
+                "long"
+            ),
+        )
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -77,6 +111,7 @@ def prefix_sum(
     order_by: Sequence[str | Column],
     cum_col: str,
     total_col: str | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Two-phase global running sum of ``value_col`` in ``order_by`` order
     — the distributed replacement for ``SUM() OVER (ORDER BY ...)``'s
@@ -93,8 +128,23 @@ def prefix_sum(
     Measured: local-checkpointing the input before the range exchange
     was tried and is a net loss at bench scale (the sampler's extra pass
     over the cache costs more than re-running a hash aggregate), so the
-    upstream plan is deliberately left inline."""
+    upstream plan is deliberately left inline.
+
+    ``n_hint``: optional row-count upper bound; at most
+    ``WINDOW_FORM_MAX_ROWS`` selects the bit-identical single-window
+    form (see :func:`assign_sequential_ids`)."""
     order_cols = list(order_by)
+    if _window_form_ok(n_hint):
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = df.withColumn(cum_col, F.sum(value_col).over(w).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(
+                total_col,
+                F.sum(value_col).over(Window.partitionBy()).cast("long"),
+            )
+        return out
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -136,6 +186,7 @@ def prefix_max_exclusive(
     value_col: str,
     order_by: Sequence[str | Column],
     out_col: str,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Two-phase global running max over the EXCLUSIVE frame
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` in ``order_by``
@@ -150,8 +201,17 @@ def prefix_max_exclusive(
     cross-partition prefixes and broadcast back. MAX is a monoid, so
     ``greatest(local_prev, preceding_partitions_max)`` (null-skipping,
     like the window's frame-empty semantics) is exact.
+
+    ``n_hint``: optional row-count upper bound; at most
+    ``WINDOW_FORM_MAX_ROWS`` selects the bit-identical single-window
+    form (see :func:`assign_sequential_ids`).
     """
     order_cols = list(order_by)
+    if _window_form_ok(n_hint):
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn(
+            out_col, F.max(F.col(value_col).cast("long")).over(w)
+        )
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -191,12 +251,20 @@ def exact_ntile(
     order_by: Sequence[str | Column],
     out_col: str,
     n: int | None = None,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Two-phase NTILE(k): global dense rank via ``assign_sequential_ids``
     (never a single-partition window), then SQL NTILE's exact bucket law —
     the first n % k buckets get one extra row. Bit-identical to
     ``NTILE(k) OVER (ORDER BY ...)`` for deterministic (tie-broken)
-    orderings."""
+    orderings.
+
+    ``n_hint``: optional row-count upper bound; at most
+    ``WINDOW_FORM_MAX_ROWS`` selects the plain NTILE window form."""
+    if _window_form_ok(n_hint):
+        return df.withColumn(
+            out_col, F.ntile(k).over(Window.orderBy(*list(order_by)))
+        )
     if n is None:
         n = df.count()
     ranked = assign_sequential_ids(df, "__rank", order_by)
@@ -218,6 +286,7 @@ def exact_ntile_multi(
     k: int,
     specs: Sequence[tuple[str, Column]],
     tiebreak: Sequence[str],
+    n_hint: int | None = None,
 ) -> DataFrame:
     """NTILE(k) under SEVERAL global orderings in ONE offsets job.
 
@@ -255,8 +324,27 @@ def exact_ntile_multi(
     relation is local-checkpointed (reused by the counts job and the
     final join); the input plan is left inline — measured cheaper than
     checkpointing it at bench scale.
+
+    Duplicate input rows are preserved: each row gets a private
+    ``__rid`` (monotonically_increasing_id, pinned by the
+    local checkpoint) before the explode, and the final fold groups by
+    it — so two identical rows come back as two rows, each with its own
+    bucket assignment, exactly like the per-ordering window form.
+
+    ``n_hint``: optional row-count upper bound; at most
+    ``WINDOW_FORM_MAX_ROWS`` selects the plain per-ordering NTILE
+    window forms (same single small sort partition serves all
+    orderings).
     """
     tiebreak = list(tiebreak)
+    if _window_form_ok(n_hint):
+        out = df
+        for out_col, sv in specs:
+            out = out.withColumn(
+                out_col,
+                F.ntile(k).over(Window.orderBy(sv.cast("long"), *tiebreak)),
+            )
+        return out
     arr = F.array(
         *[
             F.struct(
@@ -265,7 +353,7 @@ def exact_ntile_multi(
             for i, (_out, sv) in enumerate(specs)
         ]
     )
-    src = df
+    src = df.withColumn("__rid", F.monotonically_increasing_id())
     tall = src.withColumn("__o", F.explode(arr)).select(
         *[src[c] for c in src.columns],
         F.col("__o.__ord").alias("__ord"),
@@ -311,4 +399,6 @@ def exact_ntile_multi(
         F.max(F.when(F.col("__ord") == i, F.col("__bucket"))).alias(out)
         for i, (out, _sv) in enumerate(specs)
     ]
-    return tagged.groupBy(*[F.col(c) for c in src.columns]).agg(*aggs)
+    # group by __rid (part of src.columns) so duplicate input rows stay
+    # distinct output rows; drop the private id afterwards
+    return tagged.groupBy(*[F.col(c) for c in src.columns]).agg(*aggs).drop("__rid")

@@ -1616,12 +1616,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bm25_search (plans/quality.py) scores against exactly this posting
 # structure.
 #
-# Scale: explode -> per-doc distinct -> ONE hash aggregate on token;
-# collect_set is bounded per token by the posting CAP (the slice keeps
-# 20), and the top-100 is TakeOrderedAndProject, never a global sort.
-# At 100 TB the full (uncapped) index would be written table-partitioned
-# by token-hash instead of collected — the capped form here is the
-# driver-checkable contract of the same plan.
+# Scale: explode -> per-doc distinct -> a plain count(*) hash aggregate
+# gives df (constant aggregation state per token — no list is ever
+# buffered there); the top-100 selection is TakeOrderedAndProject, never
+# a global sort. Postings are then computed ONLY for the surviving
+# tokens (broadcast semi-join of the 100-token list back onto the token
+# stream) and BOUNDED BEFORE COLLECTING: row_number() OVER (PARTITION BY
+# tok ORDER BY doc_id) <= CAP keeps <= 20 rows per token, so the
+# collect_list that follows aggregates at most 20 elements per token.
+# A heavy-hitter token ("the") never materializes its full document
+# list in any aggregation buffer — its rows flow through the window
+# operator's spillable sort instead. At 100 TB the full (uncapped)
+# index would be written table-partitioned by token-hash with the same
+# row_number bound per posting page.
 # ---------------------------------------------------------------------------
 INVERTED_INDEX_ORACLE = r"""
 WITH toks AS (
@@ -1644,18 +1651,38 @@ LIMIT 100
 
 @register("inverted_index_postings", INVERTED_INDEX_ORACLE)
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("tok")
     )
-    postings = toks.groupBy("tok").agg(
-        F.count("*").alias("df"),
-        F.array_join(
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20), ","
-        ).alias("first_postings"),
-    )
-    return (
-        postings.filter(F.col("df") >= 5)
+    # df from a constant-state aggregate; top-100 is TakeOrderedAndProject
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 5)
         .orderBy(F.col("df").desc(), "tok")
         .limit(100)
+    )
+    # postings only for surviving tokens, bounded BEFORE any collect:
+    # row_number keeps <=20 rows/token through a spillable window sort,
+    # so the collect_list below aggregates at most 20 elements per token
+    survivors = toks.join(F.broadcast(top.select("tok")), "tok", "left_semi")
+    first20 = (
+        survivors.withColumn(
+            "__rn", F.row_number().over(W.partitionBy("tok").orderBy("doc_id"))
+        )
+        .filter(F.col("__rn") <= 20)
+        .groupBy("tok")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "first_postings"
+            )
+        )
+    )
+    return (
+        top.join(first20, "tok")
+        .select("tok", "df", "first_postings")
+        .orderBy(F.col("df").desc(), "tok")
     )

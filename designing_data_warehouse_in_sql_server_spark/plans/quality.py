@@ -184,15 +184,16 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("size")
     )
-    # TWO-PHASE running max (operators/ids.py prefix_max_exclusive): the
-    # distinct-price relation is usually tiny but adversarially O(|part|)
-    # (near-unique prices) — the range-partitioned form keeps the skyline
-    # scan parallel at any price cardinality, with no Exchange
-    # SinglePartition anywhere in the plan.
+    # SIZE-ADAPTIVE running max (operators/ids.py prefix_max_exclusive):
+    # the distinct-price relation is bounded by |part|, known from a
+    # metadata-cheap parquet count — small inputs take the single-window
+    # plan (one tiny sort partition), large ones the range-partitioned
+    # two-phase form with no Exchange SinglePartition anywhere. Both are
+    # property-tested bit-identical.
     from ..operators.ids import prefix_max_exclusive
 
     frontier = (
-        prefix_max_exclusive(best, "size", ["price"], "prev_best")
+        prefix_max_exclusive(best, "size", ["price"], "prev_best", n_hint=part.count())
         .filter(F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
         .drop("prev_best")
     )
@@ -985,12 +986,15 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias("cents")
     )
+    # size-adaptive: distinct l_partkey is FK-bounded by |part| — a
+    # metadata-cheap count picks single-window vs two-phase (bit-identical)
     ranked = prefix_sum(
         rev,
         "cents",
         [F.col("cents").desc(), F.col("l_partkey")],
         cum_col="cum",
         total_col="total",
+        n_hint=load_table(spark, sf_dir, "part").count(),
     )
     return ranked.select(
         "l_partkey",
@@ -1106,6 +1110,8 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect) — vs three sequential exact_ntile passes whose ~6 driver
     # barriers dominated the round-3 bench (5.7x baseline at sf0.1).
     # DESC orderings ride as negated sort values; ties by o_custkey.
+    # size-adaptive: distinct o_custkey is FK-bounded by |customer| — a
+    # metadata-cheap count picks single-window vs two-phase (bit-identical)
     scored = exact_ntile_multi(
         agg,
         4,
@@ -1115,6 +1121,7 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("m_score", -F.col("monetary_cents")),
         ],
         tiebreak=["o_custkey"],
+        n_hint=load_table(spark, sf_dir, "customer").count(),
     )
     return scored.select(
         "o_custkey",
@@ -1593,12 +1600,15 @@ def percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("__c"),
         F.lit(1).alias("__one"),
     )
+    # size-adaptive: the input IS part, so its own metadata-cheap count
+    # picks single-window vs two-phase (bit-identical)
     ranked = prefix_sum(
         cents,
         "__one",
         [F.col("__c"), F.col("p_partkey")],
         cum_col="price_rank",
         total_col="n_parts",
+        n_hint=part.count(),
     )
     return ranked.select("p_partkey", "price_rank", "n_parts")
 
@@ -1610,15 +1620,28 @@ def percent_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: edges are generated by an EQUI-join on the bucket key (bounded
 # by per-bucket membership, never |users|^2); triangles close with two
-# more equi-joins on vertex keys over id-oriented edges (u < v < w, so
-# each triangle counts exactly once and the join graph is acyclic).
-# Bucket granularity is load-bearing: HOUR buckets make this fixture's
-# graph near-complete at sf0.1 (789k of 1.1M possible edges -> wedge
-# count ~1e9, measured 26 s); minute buckets keep membership — and
-# therefore Sum(deg^2), the triangle-join frontier — bounded. The
-# production refinement at extreme skew is degree-orientation (orient
-# edges from low to high degree — one extra aggregate); id-orientation
-# keeps the identical join shape.
+# more equi-joins whose ORIENTATION is SKEW-ADAPTIVE (round 5):
+#
+#   id-orientation (u < v < w): zero extra passes; wedge frontier
+#   Sum(out_deg^2) is fine when degrees are near-uniform — measured on
+#   this near-regular fixture degree-orientation is pure overhead
+#   (minute grain 0.44 s -> 1.50 s, hour grain 23 s -> 40 s), because
+#   with equal degrees the (deg, id) order IS the id order plus two
+#   vertex joins.
+#
+#   degree-orientation (edges point from lower-(deg, id) to higher):
+#   out-degree is bounded by O(sqrt(m)) / arboricity (Chiba–Nishizeki),
+#   so a planted hub of degree d contributes O(d^2) wedges under
+#   id-orientation but only its low-degree neighbors' fan-outs under
+#   degree-orientation — the difference between a job that finishes and
+#   one that doesn't on power-law graphs.
+#
+# The dispatch reads two numbers from a degree aggregate (max degree,
+# edge count — a metadata-sized collect) and orients only when
+# max_deg > 2*sqrt(2m), i.e. when some vertex's wedge count alone
+# rivals the whole near-regular frontier. Both closures are exact and
+# count each triangle exactly once (total vertex order either way);
+# the oracle keeps the simpler id-oriented closure.
 # ---------------------------------------------------------------------------
 TRIANGLE_ORACLE = """
 WITH membership AS (
@@ -1636,6 +1659,80 @@ FROM edges e1
 JOIN edges e2 ON e2.u = e1.v
 JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 """
+
+
+def _pick_orientation(max_d: int, two_m: int) -> str:
+    """Skew dispatch: degree-orient iff max_deg > 2*sqrt(2m) — the hub's
+    own wedge count (max_d^2) rivals a near-regular graph's whole
+    frontier, so the orientation's two extra joins pay for themselves."""
+    return "degree" if max_d * max_d > 4 * two_m else "id"
+
+
+def count_triangles(edges: DataFrame, orient: str = "auto") -> DataFrame:
+    """One-row ``n_triangles`` over an undirected edge relation given as
+    id-oriented distinct pairs ``(u, v)`` with ``u < v``.
+
+    ``orient``: ``"id"`` closes wedges over the id order directly;
+    ``"degree"`` first orients every edge from its lower-(degree, id)
+    endpoint to the higher; ``"auto"`` measures skew (one degree
+    aggregate, two collected numbers) and orients only when
+    ``max_deg > 2*sqrt(2m)`` — see the block comment above.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    if orient == "auto":
+        deg_stats = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count("*").alias("d"))
+            .agg(F.max("d").alias("max_d"), F.sum("d").alias("two_m"))
+            .collect()[0]
+        )
+        orient = _pick_orientation(
+            deg_stats["max_d"] or 0, deg_stats["two_m"] or 0
+        )
+    if orient == "id":
+        e1 = edges
+        e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+        e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+        return (
+            e1.join(e2, F.col("u2") == F.col("v"))
+            .join(e3, (F.col("u3") == F.col("u")) & (F.col("v3") == F.col("v2")))
+            .agg(F.count("*").alias("n_triangles"))
+        )
+    # degree orientation: s -> t where (deg, id) of s < (deg, id) of t
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    with_deg = edges.join(
+        deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    ).localCheckpoint(eager=False)
+    e2 = oriented.select(
+        F.col("s").alias("s2"), F.col("t").alias("t2"), F.col("dt").alias("dt2")
+    )
+    e3 = oriented.select(F.col("s").alias("s3"), F.col("t").alias("t3"))
+    # wedge at the minimum-(deg, id) vertex: two out-edges s->t, s->t2
+    # with (dt, t) < (dt2, t2); the closing probe looks up the oriented
+    # edge t -> t2 (the order is total, so that IS the edge's key)
+    wedge_order = (F.col("dt") < F.col("dt2")) | (
+        (F.col("dt") == F.col("dt2")) & (F.col("t") < F.col("t2"))
+    )
+    return (
+        oriented.join(e2, (F.col("s2") == F.col("s")) & wedge_order)
+        .join(e3, (F.col("s3") == F.col("t")) & (F.col("t3") == F.col("t2")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
 
 
 @register("triangle_count", TRIANGLE_ORACLE)
@@ -1657,17 +1754,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v")
         .distinct()
-        # three consumers (e1/e2/e3) of one edge relation: materialize once
+        # multiple consumers of one edge relation: materialize once
         .localCheckpoint(eager=False)
     )
-    e1 = edges
-    e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
-    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
-    tri = (
-        e1.join(e2, F.col("u2") == F.col("v"))
-        .join(e3, (F.col("u3") == F.col("u")) & (F.col("v3") == F.col("v2")))
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    tri = count_triangles(edges, orient="auto")
     return tri.crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
 
 

@@ -39,11 +39,15 @@ EVENTS_RAW_SCHEMA_NANOS = (
 
 
 def _events_ts_is_nanos(sf_dir: str) -> bool:
-    """Probe the parquet footer: the driver's testdata has shipped ts as
-    both INT64 TIMESTAMP(NANOS) and plain timestamp[us] NTZ across
+    """Probe the parquet footers: the driver's testdata has shipped ts
+    as both INT64 TIMESTAMP(NANOS) and plain timestamp[us] NTZ across
     rounds; the batch loader branches at read time, and the streaming
     source must match or it breaks on a re-encode while batch keeps
-    working."""
+    working. EVERY file is probed (footers only — metadata reads) and a
+    mixed-encoding directory is rejected up front: one schema serves
+    the whole stream, so half the files would otherwise misparse
+    mid-stream. At warehouse scale the same check reads the table
+    manifest instead of globbing footers."""
     import glob
 
     import pyarrow.parquet as pq
@@ -51,8 +55,15 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     files = sorted(glob.glob(f"{sf_dir}/events.parq*"))
     if not files:
         return False
-    ts_type = pq.read_schema(files[0]).field("ts").type
-    return getattr(ts_type, "unit", None) == "ns"
+    units = {
+        getattr(pq.read_schema(f).field("ts").type, "unit", None) for f in files
+    }
+    if len(units) > 1:
+        raise ValueError(
+            f"mixed ts encodings across events files in {sf_dir}: {units} "
+            "— re-encode to one physical type before streaming"
+        )
+    return units == {"ns"}
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,6 +72,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding (footer-probed; see _events_ts_is_nanos)."""
     nanos = _events_ts_is_nanos(sf_dir)
     if nanos:
+        # DELIBERATELY session-lived, exactly like the batch loader
+        # (sources/parquet._load_events): the conf must still be set
+        # when each MICROBATCH executes, so a set/restore scoped to
+        # this builder would break the running stream. It is a legacy
+        # read-compat flag with no effect on non-nanos tables.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # a glob (not an exact file path) keeps the source's basePath a
     # directory, which the file streaming source requires

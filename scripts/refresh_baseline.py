@@ -24,14 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # round-3's rfm/abc gate misses were vs minima of deleted code)
 FRESH = {
     "fuzzy_name_pairs",
+    # round 5: size-adaptive dispatch (operators/ids.py) — these take
+    # the single-window plan at sf0.1 again, so measure from scratch
     "abc_classification",
     "customer_rfm_segmentation",
     "pareto_frontier",
+    "percent_rank_global",
     # round 4: verified-approximate forms compute the exact ground truth
     # alongside the sketch — strictly more work than the old rows-only
     # sketch queries
     "approx_distinct",
     "approx_percentiles",
+    # round 5: bounded-before-collect postings; skew-adaptive triangles
+    "inverted_index_postings",
+    "triangle_count",
 }
 
 BASELINE = "BASELINE.md"
@@ -57,13 +63,22 @@ def main() -> None:
         for m in re.finditer(r"^\| (\w+) \| ([0-9.]+) \|$", src, re.M)
     )
 
+    # provenance is tracked explicitly during the merge (which source
+    # won per query) — inferring it afterwards from float equality would
+    # mislabel a fresh run that happens to tie a prior minimum
     merged: dict[str, float] = {}
+    won_by_prior: set[str] = set()
     for name in registered:
-        cands = [r["queries"][name] for r in runs if name in r["queries"]]
-        if name in old and name not in FRESH:
-            cands.append(old[name])
-        if cands:
-            merged[name] = min(cands)
+        run_vals = [r["queries"][name] for r in runs if name in r["queries"]]
+        run_best = min(run_vals) if run_vals else None
+        prior = old.get(name) if name not in FRESH else None
+        if run_best is None and prior is None:
+            continue
+        if prior is not None and (run_best is None or prior < run_best):
+            merged[name] = prior
+            won_by_prior.add(name)
+        else:
+            merged[name] = run_best
 
     total = sum(merged.values())
     median = sorted(merged.values())[len(merged) // 2]
@@ -78,13 +93,12 @@ def main() -> None:
     # label derives from what was actually merged: each bench pass is
     # itself best-of-$SPARK_GRAFT_BENCH_TRIALS per query, minima are then
     # taken across passes (+ prior committed minima except FRESH entries)
-    kept_prior = any(
-        name in old and name not in FRESH and merged[name] == old[name]
-        for name in merged
-    )
     label = f"per-query min over {len(runs)} bench pass(es), each best-of-2"
-    if kept_prior:
-        label += ", merged with prior committed minima (FRESH entries excluded)"
+    if won_by_prior:
+        label += (
+            f", {len(won_by_prior)} merged from prior committed minima "
+            "(FRESH entries excluded)"
+        )
     src = re.sub(
         r"\| All \d+ registered queries, total wall-clock @ sf0\.1 \| \*\*~\d+ s\*\* \(per-query [^;]*; median [0-9.]+ s/query\)",
         f"| All {len(merged)} registered queries, total wall-clock @ sf0.1 | **~{round(total)} s** "

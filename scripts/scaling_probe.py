@@ -134,6 +134,7 @@ HEAVIES = (
     "m4_downsample",
     "time_weighted_average",
     "triangle_count",
+    "incremental_agg_refresh",
 )
 
 # (table, key columns to offset per copy) — offsets keep per-copy FK
@@ -157,6 +158,16 @@ def build_scaled_dir(spark, out_dir: str, n_copies: int) -> None:
         scaled = df.crossJoin(F.broadcast(copies))
         for k in keys:
             scaled = scaled.withColumn(k, F.col(k) + F.col("__copy") * _OFFSET)
+        if name == "events":
+            # shift each copy's timestamps by 10 years so copies occupy
+            # DISJOINT (event_type, time-bucket) keys — real linear
+            # growth. Without this, every copy's users pile into the
+            # same buckets and bucket-joined queries (triangle_count)
+            # grow quadratically by construction, falsely flagging
+            # superlinear scaling.
+            scaled = scaled.withColumn(
+                "ts", F.timestamp_add("YEAR", F.col("__copy") * 10, F.col("ts"))
+            )
         scaled.drop("__copy").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
@@ -183,6 +194,13 @@ def run_heavies(spark, sf_dir: str, scale: int) -> dict[str, float]:
 
 def main_heavies() -> None:
     import tempfile
+
+    # the claim under test is the TWO-PHASE forms' barrier behavior (the
+    # 100 TB side of the size-adaptive dispatch) — force it regardless
+    # of the probe's row counts, which sit below the dispatch threshold
+    from designing_data_warehouse_in_sql_server_spark.operators import ids
+
+    ids.WINDOW_FORM_MAX_ROWS = -1
 
     spark = get_spark("ddw-scaling-probe-heavies")
     spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -227,3 +227,38 @@ def test_approx_percentiles_within_rank_bound(spark):
     assert len(rows) == 5
     for r in rows:
         assert r.p50_within_bound and r.p90_within_bound and r.p99_within_bound, r
+
+
+def test_triangle_orientation_dispatch_and_equivalence(spark):
+    """Skew-adaptive triangle closure: both orientations count the same
+    triangles on a planted-hub graph AND on a near-regular one; the
+    dispatch orients exactly when the hub's wedge count dominates."""
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        _pick_orientation,
+        count_triangles,
+    )
+
+    # planted hub: vertex 0 joined to 1..300, path edges (i, i+1) for
+    # i in 1..49 -> triangles (0, i, i+1), 49 of them
+    hub_edges = [(0, i) for i in range(1, 301)] + [(i, i + 1) for i in range(1, 50)]
+    hub = spark.createDataFrame(hub_edges, "u long, v long")
+    got = {
+        o: count_triangles(hub, orient=o).collect()[0]["n_triangles"]
+        for o in ("id", "degree", "auto")
+    }
+    assert got == {"id": 49, "degree": 49, "auto": 49}
+    # ring: near-regular, no triangles
+    ring = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)] + [(0, 29)], "u long, v long"
+    )
+    got_ring = {
+        o: count_triangles(ring, orient=o).collect()[0]["n_triangles"]
+        for o in ("id", "degree", "auto")
+    }
+    assert got_ring == {"id": 0, "degree": 0, "auto": 0}
+    # dispatch: hub (max_d=300, 2m=698) orients; ring (max_d=2) doesn't
+    assert _pick_orientation(300, 698) == "degree"
+    assert _pick_orientation(2, 60) == "id"
+    # near-complete graph (hour-grain regime): high Sum(deg^2) but NO
+    # skew -> orientation is pure overhead, dispatch must stay "id"
+    assert _pick_orientation(999, 999 * 1000) == "id"

@@ -332,13 +332,57 @@ def test_no_forced_broadcast_of_linear_relations(spark, name):
         )
 
 
-def test_pareto_frontier_no_single_partition_exchange(spark):
-    """The skyline's running max is the two-phase range-partitioned form
-    (prefix_max_exclusive) — no Exchange SinglePartition may appear even
-    though the distinct-price relation is usually small, because its
-    cardinality is adversarially O(|part|)."""
-    plan = _plan(QS["pareto_frontier"](spark, SF_DIR))
-    assert "Exchange SinglePartition" not in plan, plan[:2000]
+def test_pareto_frontier_no_single_partition_exchange_above_threshold(spark):
+    """The skyline's running max is SIZE-ADAPTIVE: above
+    WINDOW_FORM_MAX_ROWS the two-phase range-partitioned form
+    (prefix_max_exclusive) must be chosen — no Exchange SinglePartition
+    may appear, because the distinct-price cardinality is adversarially
+    O(|part|). Forcing the threshold to -1 simulates the 100 TB side of
+    the dispatch on the sf0.1 fixture."""
+    from designing_data_warehouse_in_sql_server_spark.operators import ids
+
+    saved = ids.WINDOW_FORM_MAX_ROWS
+    ids.WINDOW_FORM_MAX_ROWS = -1
+    try:
+        plan = _plan(QS["pareto_frontier"](spark, SF_DIR))
+    finally:
+        ids.WINDOW_FORM_MAX_ROWS = saved
+    # formatted explain prints the exchange mode on its own Arguments
+    # line, so match the bare token (the "Exchange SinglePartition"
+    # spelling only appears in simple-mode explain)
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_two_phase_family_adaptive_dispatch(spark):
+    """Size-adaptive dispatch, both sides, for every two-phase caller:
+    BELOW the threshold (sf0.1 fixture counts) the single-window plan
+    runs — exactly one small SinglePartition sort and NO broadcast
+    offsets join; ABOVE it (threshold forced to -1) the two-phase plan
+    runs with no SinglePartition anywhere. Both forms are
+    property-tested bit-identical (tests/test_properties.py)."""
+    from designing_data_warehouse_in_sql_server_spark.operators import ids
+
+    names = [
+        "pareto_frontier",
+        "abc_classification",
+        "customer_rfm_segmentation",
+        "percent_rank_global",
+    ]
+    for name in names:
+        small = _plan(QS[name](spark, SF_DIR))
+        assert "SinglePartition" in small, (
+            f"{name}: expected the cheap single-window form at sf0.1"
+        )
+    saved = ids.WINDOW_FORM_MAX_ROWS
+    ids.WINDOW_FORM_MAX_ROWS = -1
+    try:
+        for name in names:
+            big = _plan(QS[name](spark, SF_DIR))
+            assert "SinglePartition" not in big, (
+                f"{name}: two-phase form must avoid SinglePartition\n" + big[:2000]
+            )
+    finally:
+        ids.WINDOW_FORM_MAX_ROWS = saved
 
 
 def test_q2_min_cost_is_single_window_all_dims_broadcast(spark):
@@ -482,3 +526,24 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_inverted_index_bounds_postings_before_collect(spark):
+    """Postings must be capped BEFORE any list aggregation: a row_number
+    window filter (<= 20 rows/token) feeds the collect_list, so no
+    aggregation buffer ever holds a heavy-hitter token's full document
+    list. Spark additionally plans a WindowGroupLimit (Partial),
+    bounding each token to 20 rows MAP-SIDE before the window shuffle —
+    pin that too. In formatted-explain details, children print before
+    parents, so the bounding Filter must precede the first
+    partial_collect_list."""
+    plan = _plan(QS["inverted_index_postings"](spark, SF_DIR))
+    assert "partial_collect_list" in plan
+    assert re.search(r"row_number\(\), 20, Partial", plan), (
+        "map-side WindowGroupLimit missing"
+    )
+    m = re.search(r"__rn#\d+ <= 20", plan)
+    assert m, plan[:3000]
+    assert m.start() < plan.index("partial_collect_list"), (
+        "collect_list aggregates rows that were never __rn-bounded"
+    )

@@ -401,3 +401,87 @@ def test_prefix_sum_matches_window_cumsum(spark, vals):
         acc += v
         want[i] = (acc, total)
     assert got == want
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-5, 5)), min_size=1, max_size=30
+    ),
+    k=st.sampled_from([2, 4]),
+)
+def test_exact_ntile_multi_preserves_duplicate_rows(spark, vals, k):
+    """Non-distinct inputs (no unique id column at all) must come back
+    with the SAME cardinality (the pre-fix form collapsed duplicates),
+    and per ordering the multiset of (sort-key, bucket) pairs must match
+    the window form's — which specific row of a fully-tied set gets
+    which bucket is arbitrary on both sides, so the comparison is per
+    ordering key, not per row."""
+    from pyspark.sql import Window
+
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import (
+        exact_ntile_multi,
+    )
+
+    df = spark.createDataFrame(vals, "a long, b long")
+    out = exact_ntile_multi(
+        df, k, [("ba", F.col("a")), ("bb", -F.col("b"))], tiebreak=["b"]
+    ).collect()
+    assert len(out) == len(vals)
+    assert sorted((r.a, r.b) for r in out) == sorted(vals)
+    want = df.select(
+        "a",
+        "b",
+        F.ntile(k).over(Window.orderBy("a", "b")).alias("ba"),
+        F.ntile(k).over(Window.orderBy((-F.col("b")).cast("long"), "b")).alias("bb"),
+    ).collect()
+    assert sorted((r.a, r.b, r.ba) for r in out) == sorted(
+        (r.a, r.b, r.ba) for r in want
+    )
+    assert sorted((r.b, r.bb) for r in out) == sorted((r.b, r.bb) for r in want)
+
+
+@PROP
+@given(vals=st.lists(st.integers(-100, 100), min_size=1, max_size=25))
+def test_window_form_bit_identical_to_two_phase(spark, vals):
+    """The size-adaptive dispatch's two implementations of every ids
+    operator must agree bit-for-bit: n_hint below the threshold (window
+    form) vs no hint (two-phase form) on the same input."""
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import (
+        assign_sequential_ids,
+        exact_ntile,
+        exact_ntile_multi,
+        prefix_max_exclusive,
+        prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rid int, v long"
+    )
+    order = [F.col("v"), F.col("rid")]
+    pairs = [
+        (
+            assign_sequential_ids(df, "x", order, n_hint=len(vals)),
+            assign_sequential_ids(df, "x", order),
+        ),
+        (
+            prefix_sum(df, "v", order, "x", total_col="t", n_hint=len(vals)),
+            prefix_sum(df, "v", order, "x", total_col="t"),
+        ),
+        (
+            prefix_max_exclusive(df, "v", order, "x", n_hint=len(vals)),
+            prefix_max_exclusive(df, "v", order, "x"),
+        ),
+        (
+            exact_ntile(df, 3, order, "x", n_hint=len(vals)),
+            exact_ntile(df, 3, order, "x"),
+        ),
+        (
+            exact_ntile_multi(df, 3, [("x", F.col("v"))], ["rid"], n_hint=len(vals)),
+            exact_ntile_multi(df, 3, [("x", F.col("v"))], ["rid"]),
+        ),
+    ]
+    for fast, safe in pairs:
+        a = sorted(tuple(r) for r in fast.collect())
+        b = sorted(tuple(r) for r in safe.collect())
+        assert a == b, (fast.columns, a[:5], b[:5])
