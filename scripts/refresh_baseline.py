@@ -93,7 +93,10 @@ def main() -> None:
     # label derives from what was actually merged: each bench pass is
     # itself best-of-$SPARK_GRAFT_BENCH_TRIALS per query, minima are then
     # taken across passes (+ prior committed minima except FRESH entries)
-    label = f"per-query min over {len(runs)} bench pass(es), each best-of-2"
+    trials = max(
+        (r.get("host", {}).get("trials_per_query", 2) for r in runs), default=2
+    )
+    label = f"per-query min over {len(runs)} bench pass(es), each best-of-{trials}"
     if won_by_prior:
         label += (
             f", {len(won_by_prior)} merged from prior committed minima "
