@@ -41,6 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # every query is also oracle-diffed locally in tests/test_oracle_parity.py
 # on every run.
 _CHECK_FIRST = (
+    # (a0) registered this round — never driver-checked
+    "reservoir_sample_per_group",
+    "decontaminate_bloom",
+    "categorical_label_encode",
+    "linear_interpolate",
     # (a) implementation changed this round
     "customer_rfm_segmentation",
     "abc_classification",

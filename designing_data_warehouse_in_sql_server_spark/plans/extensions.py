@@ -1686,3 +1686,244 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "df", "first_postings")
         .orderBy(F.col("df").desc(), "tok")
     )
+
+
+# ===========================================================================
+# Round-5 additions
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Deterministic reservoir sample: exactly k rows per group, chosen by a
+# multiplicative hash of the key (Knuth's 2654435761) — the reproducible
+# per-stratum sample a training pipeline uses for eval slices and data
+# cards. Exact integer arithmetic, so the "random" order is
+# cross-engine-identical and oracle-checkable.
+#
+# Scale: Spark plans the rank filter as a WindowGroupLimit — every task
+# keeps at most k rows PER GROUP map-side before the single shuffle, so
+# shuffle volume is #tasks x #groups x k rows no matter how large the
+# input (pinned by test_plan_shape.py). Never a per-group collect.
+# ---------------------------------------------------------------------------
+RESERVOIR_ORACLE = """
+SELECT o_orderpriority, o_orderkey, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 5
+"""
+
+
+@register("reservoir_sample_per_group", RESERVOIR_ORACLE)
+def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    w = W.partitionBy("o_orderpriority").orderBy(h, "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: same exact n-gram contamination
+# semantics as decontaminate_ngrams (bit-identical output — the filter
+# only PRUNES; an exact join confirms every hit), but the benchmark
+# shingle set is first folded into an EXPLICIT reusable bloom bitset
+# (operators/bloom.py) probed as pure codegen'd expressions on the
+# corpus side.
+#
+# Scale: this is the cross-JOB version of the runtime bloom filters
+# Spark injects within one query — at 100 TB the filter is built once
+# from the bounded benchmark side (driver traffic = the bitset, never
+# the data) and pushed into every corpus scan of a recurring
+# decontamination run; only surviving (maybe-contaminated) shingles pay
+# the exact verify join. FP rate is a pruning-efficiency knob, not a
+# correctness one.
+# ---------------------------------------------------------------------------
+DECONTAM_BLOOM_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 2),
+                i -> array_to_string(words[i:i+3], ' ')))) AS s
+  FROM w WHERE len(words) >= 4
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 89 <> 0)
+SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id
+"""
+
+
+@register("decontaminate_bloom", DECONTAM_BLOOM_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import build_bloom_bits, might_contain
+    from ..operators.dedup_text import shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 4  # 4-word shingles (distinct from decontaminate_ngrams' 5)
+    bench_sh = (
+        shingle_docs(docs.filter(F.col("doc_id") % 89 == 0), "doc_id", "text", k=4)
+        .select(F.explode("__sh").alias("__s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # built once, used twice (bits + verify)
+    )
+    # ~14 bits/element at this fixture's benchmark size; at production
+    # scale size from a count of the bounded benchmark side the same way
+    n = bench_sh.count()
+    n_bits = 1 << max(14, (8 * n).bit_length())
+    words = build_bloom_bits(bench_sh, "__s", n_bits=n_bits)
+    corpus = shingle_docs(
+        docs.filter(F.col("doc_id") % 89 != 0), "doc_id", "text", k=4
+    ).select("doc_id", F.explode("__sh").alias("__s"))
+    pruned = corpus.filter(might_contain(F.col("__s"), words))
+    return (
+        pruned.join(F.broadcast(bench_sh), "__s")  # exact verify kills FPs
+        .groupBy("doc_id")
+        .agg(F.count_distinct("__s").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical label encoding: map each distinct category to a dense
+# integer id in lexicographic order (feature-store prep for any model
+# that wants integer categoricals). The id assignment REUSES the
+# size-adaptive sequential-id operator: dictionary-sized inputs take
+# the single-window plan; adversarially large category spaces the
+# two-phase range-partitioned form — never a single-partition window
+# over the FACT side either way, because ids are assigned on the
+# distinct relation and joined back.
+#
+# Scale: distinct -> id assignment on the dictionary -> broadcast join
+# back (a label dictionary is bounded by definition; for an unbounded
+# "categorical" drop the hint and let AQE decide).
+# ---------------------------------------------------------------------------
+LABEL_ENCODE_ORACLE = """
+SELECT p_partkey, p_brand,
+       DENSE_RANK() OVER (ORDER BY p_brand) AS brand_id
+FROM part
+"""
+
+
+@register("categorical_label_encode", LABEL_ENCODE_ORACLE)
+def categorical_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import assign_sequential_ids
+
+    part = load_table(spark, sf_dir, "part")
+    brands = part.select(F.col("p_brand").alias("__brand")).distinct()
+    encoded = assign_sequential_ids(
+        brands, "brand_id", [F.col("__brand")], n_hint=part.count()
+    )
+    return (
+        part.join(F.broadcast(encoded), part.p_brand == encoded.__brand)
+        .select("p_partkey", "p_brand", "brand_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of masked sensor values (the two-sided upgrade of
+# forward_fill_locf): each masked reading is reconstructed from its
+# nearest non-null neighbors on both sides, time-weighted. Emitted as
+# the EXACT integer pair (num, den) with num/den = the interpolated
+# cents value — num = prev*us_to_next + next*us_from_prev,
+# den = us_between_neighbors — so the output is hash-stable across
+# engines (the float division is the caller's last step).
+#
+# Scale: one shuffle on user_id; both neighbor lookups are
+# IGNORE-NULLS first/last over running frames — O(1) state per row,
+# never a self-join against the nearest non-null row.
+# ---------------------------------------------------------------------------
+LINEAR_INTERP_ORACLE = """
+WITH masked AS (
+  SELECT event_id, user_id, ts,
+         event_id % 4 = 0 AS masked,
+         CASE WHEN event_id % 4 = 0 THEN NULL
+              ELSE CAST(ROUND(value * 100) AS BIGINT) END AS v
+  FROM events
+), nbr AS (
+  SELECT event_id, user_id, ts, masked, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM masked
+)
+SELECT event_id, user_id, masked,
+       CASE WHEN masked
+            THEN prev_v * date_diff('microseconds', ts, next_ts)
+                 + next_v * date_diff('microseconds', prev_ts, ts)
+            ELSE v END AS filled_num,
+       CASE WHEN masked
+            THEN date_diff('microseconds', prev_ts, next_ts)
+            ELSE 1 END AS filled_den
+FROM nbr
+"""
+
+
+@register("linear_interpolate", LINEAR_INTERP_ORACLE)
+def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    masked = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_id") % 4 == 0).alias("masked"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None))
+        .otherwise(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .alias("v"),
+    )
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = base.rowsBetween(W.unboundedPreceding, -1)
+    wn = base.rowsBetween(1, W.unboundedFollowing)
+    nn_ts = F.when(F.col("v").isNotNull(), F.col("ts"))
+    nbr = masked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "masked",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(nn_ts, ignorenulls=True).over(wp).alias("prev_ts"),
+        F.first("v", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(nn_ts, ignorenulls=True).over(wn).alias("next_ts"),
+    )
+    us_to_next = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    us_from_prev = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    us_span = F.expr("timestampdiff(MICROSECOND, prev_ts, next_ts)")
+    return nbr.select(
+        "event_id",
+        "user_id",
+        "masked",
+        F.when(
+            F.col("masked"),
+            F.col("prev_v") * us_to_next + F.col("next_v") * us_from_prev,
+        )
+        .otherwise(F.col("v"))
+        .alias("filled_num"),
+        F.when(F.col("masked"), us_span).otherwise(F.lit(1)).cast("long").alias("filled_den"),
+    )

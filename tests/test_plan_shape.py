@@ -547,3 +547,42 @@ def test_inverted_index_bounds_postings_before_collect(spark):
     assert m.start() < plan.index("partial_collect_list"), (
         "collect_list aggregates rows that were never __rn-bounded"
     )
+
+
+def test_reservoir_sample_bounds_groups_map_side(spark):
+    """k-per-group sampling must plan a WindowGroupLimit (Partial):
+    each task keeps <= k rows per group BEFORE the shuffle, so shuffle
+    volume is #tasks x #groups x k regardless of input size."""
+    plan = _plan(QS["reservoir_sample_per_group"](spark, SF_DIR))
+    assert re.search(r"row_number\(\), 5, Partial", plan), plan[:3000]
+    assert _n_exchanges(plan) == 1, plan[:3000]
+
+
+def test_decontaminate_bloom_probe_before_exact_verify(spark):
+    """The bloom probe (shiftright over the literal bitset) must sit on
+    the corpus side BELOW the exact-verify join, and the verify join
+    must still exist (broadcast) — prune-then-confirm, bit-identical
+    output to the exact form."""
+    plan = _plan(QS["decontaminate_bloom"](spark, SF_DIR))
+    assert "shiftright" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # details print children first: the probe Filter precedes the join
+    assert plan.index("shiftright") < plan.rindex("BroadcastHashJoin")
+
+
+def test_label_encode_assigns_on_dictionary_not_fact(spark):
+    """Ids are assigned on the distinct-category relation and joined
+    back broadcast — the fact side must never pass through a window."""
+    plan = _plan(QS["categorical_label_encode"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the window's input is the post-distinct dictionary: an aggregate
+    # appears below the window in the same subtree
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_linear_interpolate_single_shuffle(spark):
+    """Both neighbor windows share one (user_id) partitioning: exactly
+    one exchange, O(1)-state running frames, no self-join."""
+    plan = _plan(QS["linear_interpolate"](spark, SF_DIR))
+    assert "Join" not in plan, plan[:3000]
+    assert _n_exchanges(plan) == 1, plan[:3000]
