@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # on every run.
 _CHECK_FIRST = (
     # (a0) registered this round — never driver-checked
+    "approx_distinct_rollup",
+    "k_anonymity_audit",
+    "dedup_incremental_lsh",
     "reservoir_sample_per_group",
     "decontaminate_bloom",
     "categorical_label_encode",

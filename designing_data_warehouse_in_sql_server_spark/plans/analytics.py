@@ -2210,3 +2210,60 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return mad_outlier_stats(orders, "o_orderpriority", cents, k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Sketch-merge rollup (round 5): per-group HLL sketches built ONCE are
+# UNIONED to the all-groups level without rescanning the fact table —
+# the mergeability property that makes sketches the 100 TB rollup
+# primitive (daily sketches -> monthly/total estimates for free, while
+# exact rollups of DISTINCT must rescan: distincts don't add). Same
+# verified-approximate contract as approx_distinct: the hashable output
+# is the exact count + a boolean asserting the (deterministic) sketch
+# estimate landed within 5 standard errors; the merged ALL row proves
+# the union path. Production use is the sketch alone.
+# ---------------------------------------------------------------------------
+APPROX_ROLLUP_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS within_bound
+FROM events
+"""
+
+
+@register("approx_distinct_rollup", APPROX_ROLLUP_ORACLE)
+def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # one pass builds both the per-type sketches and the exact twins;
+    # the ALL row's ESTIMATE comes purely from hll_union_agg over the
+    # per-type sketches (no rescan) — only its exact twin rescans,
+    # because exact distinct cannot be rolled up
+    per = (
+        events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("__sk"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # default lgConfigK=12 -> rsd ~1.6%; 5 SE ~8% with a small floor
+    def within(est, exact):
+        bound = F.greatest(F.col(exact) * 0.08, F.lit(20.0))
+        return (F.abs(est - F.col(exact)) <= bound).alias("within_bound")
+
+    typed = per.select(
+        "event_type",
+        "n_users",
+        within(F.hll_sketch_estimate("__sk"), "n_users"),
+    )
+    merged = per.agg(F.hll_union_agg("__sk").alias("__sk"))
+    all_exact = events.agg(F.count_distinct("user_id").alias("n_users"))
+    all_row = all_exact.crossJoin(F.broadcast(merged)).select(
+        F.lit("ALL").alias("event_type"),
+        "n_users",
+        within(F.hll_sketch_estimate("__sk"), "n_users"),
+    )
+    return typed.unionAll(all_row)

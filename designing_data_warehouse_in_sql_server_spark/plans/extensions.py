@@ -1927,3 +1927,53 @@ def linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("filled_num"),
         F.when(F.col("masked"), us_span).otherwise(F.lit(1)).cast("long").alias("filled_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (round 5): a NEW batch of documents deduplicated
+# against the EXISTING corpus via the persisted signature store — the
+# daily-crawl shape of minhash dedup. The corpus side self-join never
+# happens: only batch bands probe corpus bands (asymmetric equi-join),
+# so each increment costs O(|batch| + collisions), not O(|corpus|^2)
+# or even O(|corpus|) pair work. In production the corpus signature
+# relation is the persisted store (sources/table_store.py) appended
+# per batch; here both sides recompute from the same fixture so the
+# oracle can mirror them. Same planted near-copies and band law as
+# dedup_minhash_lsh (operators/dedup_text.py).
+# ---------------------------------------------------------------------------
+INCREMENTAL_LSH_ORACLE = f"""
+WITH all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))})
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+FROM sigs n JOIN sigs c
+  ON n.band = c.band AND n.bucket = c.bucket
+WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+"""
+
+
+@register("dedup_incremental_lsh", INCREMENTAL_LSH_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    sig_batch = minhash_signatures(
+        batch, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    # the corpus signature store: persisted in production, recomputed
+    # here; the join below touches it only at its (band, bucket) keys
+    sig_corpus = minhash_signatures(
+        corpus, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    return (
+        sig_batch.alias("n")
+        .join(
+            sig_corpus.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )

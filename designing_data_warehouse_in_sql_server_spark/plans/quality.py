@@ -1848,3 +1848,33 @@ def late_event_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_late"), 1).otherwise(0)).cast("long").alias("n_late"),
         F.count("*").alias("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 5): groups over the quasi-identifier tuple
+# with fewer than k members — the rows a privacy review must suppress
+# or generalize before release (companion to pii_scrub, which handles
+# direct identifiers; this handles re-identification by combination).
+# Realizes the reference's planned "further validation checks post-ETL"
+# (reference README.md:393) for the privacy dimension.
+#
+# Scale: ONE hash aggregate over the quasi-identifier key with map-side
+# partial aggregation; the risky-group output is bounded by k x |small
+# groups|. No windows, no joins.
+# ---------------------------------------------------------------------------
+K_ANONYMITY_ORACLE = """
+SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) < 8
+"""
+
+
+@register("k_anonymity_audit", K_ANONYMITY_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < 8)
+    )

@@ -586,3 +586,30 @@ def test_linear_interpolate_single_shuffle(spark):
     plan = _plan(QS["linear_interpolate"](spark, SF_DIR))
     assert "Join" not in plan, plan[:3000]
     assert _n_exchanges(plan) == 1, plan[:3000]
+
+
+def test_approx_rollup_merges_sketches_without_rescan(spark):
+    """The ALL row's estimate must come from hll_union_agg over the
+    per-type sketches; only the exact twin rescans (exact distinct is
+    not mergeable) — so exactly two parquet scans of events appear."""
+    plan = _plan(QS["approx_distinct_rollup"](spark, SF_DIR))
+    assert "hll_union_agg" in plan, plan[:3000]
+    scan_ids = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 2, plan[:3000]
+
+
+def test_k_anonymity_single_aggregate(spark):
+    """One hash aggregate, no joins/windows — the audit is a pure
+    grouped count with map-side partials."""
+    plan = _plan(QS["k_anonymity_audit"](spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert _n_exchanges(plan) == 1, plan[:2000]
+
+
+def test_incremental_lsh_single_asymmetric_join(spark):
+    """Batch bands probe corpus bands through exactly ONE equi-join —
+    no corpus self-join anywhere in the increment path."""
+    plan = _plan(QS["dedup_incremental_lsh"](spark, SF_DIR))
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 1, plan[:3000]
