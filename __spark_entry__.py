@@ -42,6 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # on every run.
 _CHECK_FIRST = (
     # (a0) registered this round — never driver-checked
+    "asof_join_forward",
+    "topk_per_group_with_ties",
+    "feature_minmax_scale",
+    "events_session_window",
     "approx_distinct_rollup",
     "k_anonymity_audit",
     "dedup_incremental_lsh",

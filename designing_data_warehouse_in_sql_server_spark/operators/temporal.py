@@ -31,35 +31,49 @@ def asof_join(
     ts: str,
     values: list[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, the most recent right row with the same keys
-    and right.ts <= left.ts (ties include equality, matching DuckDB /
-    pandas merge_asof defaults). Left rows with no prior right row keep
-    NULL asof columns (left-join semantics).
+    """For every left row, the nearest right row with the same keys:
+    ``direction="backward"`` (default) takes the most recent right row
+    with right.ts <= left.ts; ``direction="forward"`` the earliest right
+    row with right.ts >= left.ts (ties include equality either way,
+    matching DuckDB / pandas merge_asof defaults). Left rows with no
+    matching right row keep NULL asof columns (left-join semantics).
 
     Requires the right side unique per (on..., ts) — aggregate it first
     if not (same contract as merge_asof's 'allow_exact_matches' path).
 
     Output: all left columns + ``<prefix><ts>`` and ``<prefix><v>`` for
-    each value column."""
+    each value column.
+
+    Scale: never a per-row range join — both directions are ONE
+    union + ONE (keys)-partitioned ordered window with an O(1)
+    IGNORE-NULLS frame."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carried = [f"{prefix}{ts}"] + [f"{prefix}{c}" for c in values]
+    fwd = direction == "forward"
+    # equality must match: right rows sort before left at equal ts for
+    # the backward (preceding-inclusive) frame, AFTER left for the
+    # forward (following-inclusive) frame
     r = right.select(
         *[F.col(c) for c in on],
         F.col(ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(2 if fwd else 0).alias("__side"),
         F.col(ts).alias(f"{prefix}{ts}"),
         *[F.col(c).alias(f"{prefix}{c}") for c in values],
     )
     l = left.withColumn("__ts", F.col(ts)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts, so equality matches
-    w = (
-        W.partitionBy(*on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base = W.partitionBy(*on).orderBy("__ts", "__side")
+    if fwd:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        u = u.withColumn(c, pick(c))
     return u.filter(F.col("__side") == 1).drop("__ts", "__side")
 
 

@@ -2267,3 +2267,65 @@ def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.hll_sketch_estimate("__sk"), "n_users"),
     )
     return typed.unionAll(all_row)
+
+
+# ---------------------------------------------------------------------------
+# Native session-window aggregation (round 5): Spark's session_window
+# operator — the SAME code shape runs in Structured Streaming with a
+# watermark, which is why it exists next to the manual gaps-and-islands
+# form (sessionize_events): islands need two ordered windows; the
+# native operator is a single (dynamically merging) aggregation and is
+# the only sessionization usable under streaming state eviction.
+# Semantics: each event opens [ts, ts+gap); overlapping windows merge,
+# so a new session starts when the inter-event gap is >= the 10-minute
+# horizon; window end = last event + gap. The oracle mirrors that with
+# the islands formulation.
+#
+# Scale: one shuffle on (user_id); per-key state is the open session
+# only. Exact integer cents for the measure.
+# ---------------------------------------------------------------------------
+SESSION_WINDOW_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR date_diff('microseconds',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                   >= 600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts, cents,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM seq
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@register("events_session_window", SESSION_WINDOW_ORACLE)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )

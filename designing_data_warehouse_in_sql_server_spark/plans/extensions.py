@@ -1977,3 +1977,121 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (round 5): view-to-NEXT-purchase conversion — the
+# time-to-convert companion of asof_join_attribution's last-view
+# lookback, via the same operator's direction="forward" mode (one
+# union + one ordered window, never a range join).
+# ---------------------------------------------------------------------------
+ASOF_FWD_ORACLE = """
+SELECT v.event_id, v.user_id, v.ts, p.ts AS next_ts, p.value AS next_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+"""
+
+
+@register("asof_join_forward", ASOF_FWD_ORACLE)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        ts="ts",
+        values=["value"],
+        prefix="next_",
+        direction="forward",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group WITH TIES (round 5): RANK-based group limit — unlike
+# topk_per_group's row_number cut, boundary ties all survive, which is
+# the semantically right "top 3 prices" when several orders share the
+# 3rd price. Spark plans the rank filter as a map-side WindowGroupLimit
+# too (rank mode): each task keeps its own potential top-k (plus ties)
+# before the single shuffle.
+# ---------------------------------------------------------------------------
+TOPK_TIES_ORACLE = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(rk AS INT) AS price_rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_orderpriority
+                      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+@register("topk_per_group_with_ties", TOPK_TIES_ORACLE)
+def topk_per_group_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    w = W.partitionBy("o_orderpriority").orderBy(cents.desc())
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            cents.alias("price_cents"),
+            F.rank().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-max feature scaling per group (round 5): the standard
+# normalization before distance-based models, emitted as the EXACT
+# integer pair (v - min, max - min) so the output is hash-stable — the
+# float division is the caller's last step; constant groups yield
+# den = 0 (callers map to 0 or drop, both engines agree on the pair).
+#
+# Scale: ONE grouped aggregate for the (min, max) dictionary joined
+# back broadcast — never a per-row window over the fact side, so the
+# fact table is touched by exactly one scan + one map-side join.
+# ---------------------------------------------------------------------------
+MINMAX_ORACLE = """
+WITH stats AS (
+  SELECT l_returnflag,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS mn,
+         MAX(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS mx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) - s.mn AS scaled_num,
+       s.mx - s.mn AS scaled_den
+FROM lineitem l JOIN stats s USING (l_returnflag)
+"""
+
+
+@register("feature_minmax_scale", MINMAX_ORACLE)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min(cents).alias("__mn"), F.max(cents).alias("__mx")
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (cents - F.col("__mn")).alias("scaled_num"),
+            (F.col("__mx") - F.col("__mn")).alias("scaled_den"),
+        )
+    )

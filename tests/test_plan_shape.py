@@ -613,3 +613,32 @@ def test_incremental_lsh_single_asymmetric_join(spark):
     plan = _plan(QS["dedup_incremental_lsh"](spark, SF_DIR))
     n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
     assert n_joins == 1, plan[:3000]
+
+
+def test_topk_with_ties_rank_group_limit(spark):
+    """RANK-based top-k must also bound map-side (WindowGroupLimit in
+    rank mode) — boundary ties survive, volume stays #tasks x groups x
+    ~k."""
+    plan = _plan(QS["topk_per_group_with_ties"](spark, SF_DIR))
+    assert re.search(r"rank\([^)]*\), 3, Partial", plan), plan[:3000]
+    assert _n_exchanges(plan) == 1, plan[:3000]
+
+
+def test_minmax_scale_single_fact_scan_broadcast_stats(spark):
+    """The (min,max) dictionary joins back broadcast; the fact side is
+    scanned twice at most (stats + probe) with no window and no shuffle
+    of the probe side."""
+    plan = _plan(QS["feature_minmax_scale"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Window" not in plan
+    # stats aggregate shuffles; the probe side must not
+    assert _n_exchanges(plan) <= 1, plan[:3000]
+
+
+def test_asof_forward_no_join_one_exchange(spark):
+    """Both as-of directions are union + one ordered window — never a
+    range join; one (user_id) exchange."""
+    for name in ("asof_join_attribution", "asof_join_forward"):
+        plan = _plan(QS[name](spark, SF_DIR))
+        assert "Join" not in plan, f"{name}\n" + plan[:2000]
+        assert "Window" in plan

@@ -485,3 +485,54 @@ def test_window_form_bit_identical_to_two_phase(spark, vals):
         a = sorted(tuple(r) for r in fast.collect())
         b = sorted(tuple(r) for r in safe.collect())
         assert a == b, (fast.columns, a[:5], b[:5])
+
+
+@PROP
+@given(
+    present=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=30, unique=True),
+    absent=st.lists(st.text(min_size=9, max_size=12), min_size=1, max_size=30, unique=True),
+)
+def test_bloom_never_false_negative(spark, present, absent):
+    """The bloom contract: every built value must probe true (no false
+    negatives, the correctness half); absent values may probe true only
+    at the budgeted FP rate (pruning half — not asserted per-example,
+    just bounded loosely to catch a broken hash)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.bloom import (
+        build_bloom_bits,
+        might_contain,
+    )
+
+    ref = spark.createDataFrame([(s,) for s in present], "s string")
+    words = build_bloom_bits(ref, "s", n_bits=1 << 12)
+    both = spark.createDataFrame([(s,) for s in present + absent], "s string")
+    hits = {r.s for r in both.filter(might_contain(F.col("s"), words)).collect()}
+    assert set(present) <= hits
+    # 4096 bits for <=30 elements: FP rate is tiny; allow a generous slack
+    assert len(hits - set(present)) <= max(2, len(absent) // 3)
+
+
+@PROP
+@given(
+    left_ts=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
+    right_ts=st.lists(st.integers(0, 100), min_size=1, max_size=15, unique=True),
+)
+def test_asof_forward_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    lpdf = pd.DataFrame(
+        {"id": range(len(left_ts)), "ts": pd.to_datetime(left_ts, unit="m"), "k": 1}
+    )
+    rpdf = pd.DataFrame(
+        {"ts": pd.to_datetime(right_ts, unit="m"), "value": [float(t) for t in right_ts], "k": 1}
+    )
+    left = spark.createDataFrame(lpdf).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(rpdf).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = asof_join(left, right, ["k"], "ts", ["value"], direction="forward")
+    got = {r.id: r.asof_value for r in out.collect()}
+    want_df = pd.merge_asof(
+        lpdf.sort_values("ts"), rpdf.sort_values("ts"), on="ts", by="k",
+        direction="forward",
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.value) else float(r.value))
+        for r in want_df.itertuples()
+    }
+    assert got == want
