@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # on every run.
 _CHECK_FIRST = (
     # (a0) registered this round — never driver-checked
+    "recursive_month_spine",
+    "rolling_range_window",
     "asof_join_forward",
     "topk_per_group_with_ties",
     "feature_minmax_scale",

@@ -2329,3 +2329,99 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive month spine (round 5): the reference's planned date
+# dimension (reference README.md:49) expressed through Spark 4's
+# WITH RECURSIVE — the declarative alternative to date_dimension's
+# spark.range generator, and the engine's SQL-surface proof of
+# recursive CTE support (the iterative operators — connected
+# components, pagerank — keep their driver-loop forms, which bound
+# rounds explicitly). Gaps in the fact table appear as zero-filled
+# months, which a range-generated spine is the only way to see.
+#
+# Scale: the recursion generates the SPINE only (one row per month —
+# #months iterations of a 1-row frontier); facts aggregate once and
+# left-join the tiny spine. Never a recursive scan of the fact table.
+# ---------------------------------------------------------------------------
+RECURSIVE_SPINE_ORACLE = """
+WITH RECURSIVE spine(mo) AS (
+  SELECT TIMESTAMP '1992-01-01'
+  UNION ALL
+  SELECT mo + INTERVAL 1 MONTH FROM spine WHERE mo < TIMESTAMP '1998-12-01'
+),
+m AS (
+  SELECT DATE_TRUNC('month', o_orderdate) AS mo,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT s.mo AS month_start,
+       COALESCE(m.n_orders, 0) AS n_orders,
+       CAST(COALESCE(m.cents, 0) AS BIGINT) AS revenue_cents
+FROM spine s LEFT JOIN m ON m.mo = s.mo
+"""
+
+
+@register("recursive_month_spine", RECURSIVE_SPINE_ORACLE)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__spine_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(mo) AS (
+          SELECT TIMESTAMP_NTZ '1992-01-01'
+          UNION ALL
+          SELECT mo + INTERVAL 1 MONTH FROM spine
+          WHERE mo < TIMESTAMP_NTZ '1998-12-01'
+        ),
+        m AS (
+          SELECT DATE_TRUNC('month', o_orderdate) AS mo,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM __spine_orders GROUP BY 1
+        )
+        SELECT s.mo AS month_start,
+               COALESCE(m.n_orders, 0) AS n_orders,
+               COALESCE(m.cents, 0) AS revenue_cents
+        FROM spine s LEFT JOIN m ON m.mo = s.mo
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-based rolling window (round 5): per-customer trailing-30-day
+# order stats through a RANGE BETWEEN INTERVAL frame — the VALUE-based
+# frame the rows-frame window suite can't express (peers at the same
+# date share one frame; the window widens and narrows with actual time
+# gaps, the semantics dashboards mean by "last 30 days").
+#
+# Scale: one shuffle on o_custkey; the range frame is a sliding
+# two-pointer over each partition — O(1) amortized state per row, no
+# self-join against the 30-day neighborhood.
+# ---------------------------------------------------------------------------
+ROLLING_RANGE_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("rolling_range_window", ROLLING_RANGE_ORACLE)
+def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    frame = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW"
+    )
+    return orders.selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        f"COUNT(*) OVER ({frame}) AS n_orders_30d",
+        f"SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ({frame}) AS cents_30d",
+    )
