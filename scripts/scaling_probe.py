@@ -135,6 +135,13 @@ HEAVIES = (
     "time_weighted_average",
     "triangle_count",
     "incremental_agg_refresh",
+    # round-5 additions over the scaled fact/event tables (documents is
+    # passthrough, so the text-dedup round-5 queries are covered by the
+    # dedup-suite probe's replicated corpus instead)
+    "reservoir_sample_per_group",
+    "rolling_range_window",
+    "events_session_window",
+    "recursive_month_spine",
 )
 
 # (table, key columns to offset per copy) — offsets keep per-copy FK

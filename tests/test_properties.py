@@ -536,3 +536,38 @@ def test_asof_forward_matches_pandas_merge_asof(spark, left_ts, right_ts):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("parts", ["1", "3", "17"])
+def test_two_phase_forms_invariant_to_partition_count(spark, parts):
+    """The two-phase operators' broadcast offsets depend on the physical
+    partition count; their OUTPUT must not. Force the two-phase path
+    and compare bit-for-bit across shuffle-partition settings."""
+    from designing_data_warehouse_in_sql_server_spark.operators import ids
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(300)], "rid int, v long"
+    )
+    order = [F.col("v"), F.col("rid")]
+    saved_thresh = ids.WINDOW_FORM_MAX_ROWS
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    ids.WINDOW_FORM_MAX_ROWS = -1
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        got = {
+            "seq": sorted(tuple(r) for r in ids.assign_sequential_ids(df, "x", order).collect()),
+            "psum": sorted(tuple(r) for r in ids.prefix_sum(df, "v", order, "x", total_col="t").collect()),
+            "pmax": sorted(tuple(r) for r in ids.prefix_max_exclusive(df, "v", order, "x").collect()),
+            "ntile": sorted(tuple(r) for r in ids.exact_ntile_multi(df, 4, [("x", F.col("v"))], ["rid"]).collect()),
+        }
+    finally:
+        ids.WINDOW_FORM_MAX_ROWS = saved_thresh
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    # reference: the window forms (partition-count-independent by construction)
+    want = {
+        "seq": sorted(tuple(r) for r in ids.assign_sequential_ids(df, "x", order, n_hint=300).collect()),
+        "psum": sorted(tuple(r) for r in ids.prefix_sum(df, "v", order, "x", total_col="t", n_hint=300).collect()),
+        "pmax": sorted(tuple(r) for r in ids.prefix_max_exclusive(df, "v", order, "x", n_hint=300).collect()),
+        "ntile": sorted(tuple(r) for r in ids.exact_ntile_multi(df, 4, [("x", F.col("v"))], ["rid"], n_hint=300).collect()),
+    }
+    assert got == want
