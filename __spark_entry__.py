@@ -35,8 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rfm/abc/pareto/percent_rank via operators/ids.py dispatch), the
 # skew-adaptive triangle closure, and the bounded-before-collect inverted
 # index; then (b) every query by STALENESS of its latest green driver row —
-# all 15 r1-only greens, then the r2 block alphabetically (44 r2 queries
-# exist; the ~21 that do not fit this window rotate in next round). Entries
+# all 15 r1-only greens, then the r2 block alphabetically as far as the
+# 50-entry window reaches (44 r2 queries exist; the ~27 that do not fit
+# rotate in next round). Entries
 # rotated behind the window all have green rows in CORRECTNESS_r02-r04.json;
 # every query is also oracle-diffed locally in tests/test_oracle_parity.py
 # on every run.
@@ -95,6 +96,9 @@ _CHECK_FIRST = (
     "embedding_neardup_pairs",
     "funnel_conversion",
     "impute_group_mean",
+    # --- 50-query window boundary is here (13 round-5 queries + 6
+    # changed + 15 r1 + the r2 block through impute_group_mean);
+    # the ~27 remaining r2 greens below rotate in next round ---
     "lang_id_ngram",
     "merge_insert_only",
     "merge_upsert_full_outer",
@@ -108,7 +112,6 @@ _CHECK_FIRST = (
     "q14_promo_effect",
     "q17_small_quantity",
     "q22_dormant_customers",
-    # --- 50-query window boundary is here ---
     "q6_revenue_forecast",
     "salted_aggregation",
     "salted_skew_join",

@@ -1656,7 +1656,8 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("tok")
-    )
+    # two consumers (df aggregate + postings branch): tokenize once
+    ).localCheckpoint(eager=False)
     # df from a constant-state aggregate; top-100 is TakeOrderedAndProject
     top = (
         toks.groupBy("tok")
@@ -1704,13 +1705,31 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle volume is #tasks x #groups x k rows no matter how large the
 # input (pinned by test_plan_shape.py). Never a per-group collect.
 # ---------------------------------------------------------------------------
-RESERVOIR_ORACLE = """
+# Knuth multiplicative hash computed MOD 2^32 with the multiplication
+# decomposed into 16-bit halves so no intermediate exceeds 2^49 — a
+# direct key*2654435761 overflows BIGINT (ANSI error) once keys pass
+# ~3.5e9, i.e. exactly at the scale this operator exists for. The
+# decomposition is bit-identical to (key * C) mod 2^32 for every
+# non-negative 64-bit key, in both engines:
+#   ((key mod 2^32) div 2^16 * C mod 2^32) * 2^16 + (key mod 2^16) * C
+# all taken mod 2^32.
+_RESERVOIR_HASH_DUCK = (
+    "((((o_orderkey % 4294967296) // 65536) * 2654435761 % 4294967296)"
+    " * 65536 + (o_orderkey % 65536) * 2654435761) % 4294967296"
+)
+_RESERVOIR_HASH_SPARK = (
+    "pmod(pmod((pmod(o_orderkey, 4294967296) div 65536) * 2654435761,"
+    " 4294967296) * 65536 + pmod(o_orderkey, 65536) * 2654435761,"
+    " 4294967296)"
+)
+
+RESERVOIR_ORACLE = f"""
 SELECT o_orderpriority, o_orderkey, CAST(rn AS INT) AS sample_rank
 FROM (
   SELECT o_orderpriority, o_orderkey,
          ROW_NUMBER() OVER (
            PARTITION BY o_orderpriority
-           ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+           ORDER BY {_RESERVOIR_HASH_DUCK}, o_orderkey
          ) AS rn
   FROM orders
 )
@@ -1723,7 +1742,7 @@ def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = load_table(spark, sf_dir, "orders")
-    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    h = F.expr(_RESERVOIR_HASH_SPARK)
     w = W.partitionBy("o_orderpriority").orderBy(h, "o_orderkey")
     return (
         orders.select(
@@ -1778,7 +1797,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k = 4  # 4-word shingles (distinct from decontaminate_ngrams' 5)
     bench_sh = (
-        shingle_docs(docs.filter(F.col("doc_id") % 89 == 0), "doc_id", "text", k=4)
+        shingle_docs(docs.filter(F.col("doc_id") % 89 == 0), "doc_id", "text", k=k)
         .select(F.explode("__sh").alias("__s"))
         .distinct()
         .localCheckpoint(eager=False)  # built once, used twice (bits + verify)
@@ -1789,7 +1808,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bits = 1 << max(14, (8 * n).bit_length())
     words = build_bloom_bits(bench_sh, "__s", n_bits=n_bits)
     corpus = shingle_docs(
-        docs.filter(F.col("doc_id") % 89 != 0), "doc_id", "text", k=4
+        docs.filter(F.col("doc_id") % 89 != 0), "doc_id", "text", k=k
     ).select("doc_id", F.explode("__sh").alias("__s"))
     pruned = corpus.filter(might_contain(F.col("__s"), words))
     return (
@@ -1825,9 +1844,14 @@ def categorical_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ids import assign_sequential_ids
 
     part = load_table(spark, sf_dir, "part")
-    brands = part.select(F.col("p_brand").alias("__brand")).distinct()
+    brands = part.select(F.col("p_brand").alias("__brand")).distinct().localCheckpoint(
+        eager=False
+    )
+    # hint with the DICTIONARY's own cardinality (|part| would flip a
+    # constant 25-brand dictionary onto the two-phase path at sf>=20);
+    # the distinct relation is materialized once for the count + ids
     encoded = assign_sequential_ids(
-        brands, "brand_id", [F.col("__brand")], n_hint=part.count()
+        brands, "brand_id", [F.col("__brand")], n_hint=brands.count()
     )
     return (
         part.join(F.broadcast(encoded), part.p_brand == encoded.__brand)

@@ -1668,26 +1668,38 @@ def _pick_orientation(max_d: int, two_m: int) -> str:
     return "degree" if max_d * max_d > 4 * two_m else "id"
 
 
-def count_triangles(edges: DataFrame, orient: str = "auto") -> DataFrame:
+def count_triangles(
+    edges: DataFrame, orient: str = "auto", materialized: bool = False
+) -> DataFrame:
     """One-row ``n_triangles`` over an undirected edge relation given as
     id-oriented distinct pairs ``(u, v)`` with ``u < v``.
 
     ``orient``: ``"id"`` closes wedges over the id order directly;
     ``"degree"`` first orients every edge from its lower-(degree, id)
-    endpoint to the higher; ``"auto"`` measures skew (one degree
+    endpoint to the higher; ``"auto"`` measures skew (the degree
     aggregate, two collected numbers) and orients only when
-    ``max_deg > 2*sqrt(2m)`` — see the block comment above.
+    ``max_deg > 2*sqrt(2m)`` — see the block comment above. The degree
+    relation is materialized ONCE and shared between the dispatch
+    decision and the orientation join.
+
+    ``materialized``: pass True when the caller already checkpointed
+    ``edges`` (avoids persisting a redundant second copy).
     """
-    edges = edges.localCheckpoint(eager=False)
-    if orient == "auto":
-        deg_stats = (
+    if not materialized:
+        edges = edges.localCheckpoint(eager=False)
+    deg = None
+    if orient in ("auto", "degree"):
+        deg = (
             edges.select(F.col("u").alias("x"))
             .unionAll(edges.select(F.col("v").alias("x")))
             .groupBy("x")
             .agg(F.count("*").alias("d"))
-            .agg(F.max("d").alias("max_d"), F.sum("d").alias("two_m"))
-            .collect()[0]
+            .localCheckpoint(eager=False)
         )
+    if orient == "auto":
+        deg_stats = deg.agg(
+            F.max("d").alias("max_d"), F.sum("d").alias("two_m")
+        ).collect()[0]
         orient = _pick_orientation(
             deg_stats["max_d"] or 0, deg_stats["two_m"] or 0
         )
@@ -1701,12 +1713,6 @@ def count_triangles(edges: DataFrame, orient: str = "auto") -> DataFrame:
             .agg(F.count("*").alias("n_triangles"))
         )
     # degree orientation: s -> t where (deg, id) of s < (deg, id) of t
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("d"))
-    )
     with_deg = edges.join(
         deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
     ).join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
@@ -1757,7 +1763,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # multiple consumers of one edge relation: materialize once
         .localCheckpoint(eager=False)
     )
-    tri = count_triangles(edges, orient="auto")
+    tri = count_triangles(edges, orient="auto", materialized=True)
     return tri.crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
 
 

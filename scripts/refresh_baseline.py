@@ -93,10 +93,15 @@ def main() -> None:
     # label derives from what was actually merged: each bench pass is
     # itself best-of-$SPARK_GRAFT_BENCH_TRIALS per query, minima are then
     # taken across passes (+ prior committed minima except FRESH entries)
-    trials = max(
-        (r.get("host", {}).get("trials_per_query", 2) for r in runs), default=2
+    trial_counts = sorted(
+        {r.get("host", {}).get("trials_per_query", 2) for r in runs}
     )
-    label = f"per-query min over {len(runs)} bench pass(es), each best-of-{trials}"
+    trials_txt = (
+        f"best-of-{trial_counts[0]}"
+        if len(trial_counts) == 1
+        else "best-of-" + "/".join(str(t) for t in trial_counts)
+    )
+    label = f"per-query min over {len(runs)} bench pass(es), each {trials_txt}"
     if won_by_prior:
         label += (
             f", {len(won_by_prior)} merged from prior committed minima "

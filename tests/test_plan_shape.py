@@ -575,9 +575,10 @@ def test_label_encode_assigns_on_dictionary_not_fact(spark):
     back broadcast — the fact side must never pass through a window."""
     plan = _plan(QS["categorical_label_encode"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan[:3000]
-    # the window's input is the post-distinct dictionary: an aggregate
-    # appears below the window in the same subtree
-    assert "Window" in plan and "HashAggregate" in plan
+    # the window's input is the materialized-once distinct dictionary
+    # (the checkpoint hides the distinct aggregate behind ExistingRDD);
+    # the dictionary subtree carries exactly the 1 dictionary column
+    assert "Window" in plan and "Scan ExistingRDD" in plan, plan[:3000]
 
 
 def test_linear_interpolate_single_shuffle(spark):
@@ -594,9 +595,13 @@ def test_approx_rollup_merges_sketches_without_rescan(spark):
     not mergeable) — so exactly two parquet scans of events appear."""
     plan = _plan(QS["approx_distinct_rollup"](spark, SF_DIR))
     assert "hll_union_agg" in plan, plan[:3000]
-    scan_ids = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    # the per-type sketch relation is checkpointed (built once — its
+    # parquet scan is inside the ExistingRDD); the ONLY parquet scan in
+    # this plan is the exact ALL twin's, proving the merged estimate
+    # itself never rescans the fact table
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
-    assert n_scans <= 2, plan[:3000]
+    assert n_scans == 1, plan[:3000]
+    assert "Scan ExistingRDD" in plan, plan[:3000]
 
 
 def test_k_anonymity_single_aggregate(spark):
@@ -642,3 +647,4 @@ def test_asof_forward_no_join_one_exchange(spark):
         plan = _plan(QS[name](spark, SF_DIR))
         assert "Join" not in plan, f"{name}\n" + plan[:2000]
         assert "Window" in plan
+        assert _n_exchanges(plan) == 1, f"{name}\n" + plan[:3000]
