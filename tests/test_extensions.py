@@ -262,3 +262,60 @@ def test_triangle_orientation_dispatch_and_equivalence(spark):
     # near-complete graph (hour-grain regime): high Sum(deg^2) but NO
     # skew -> orientation is pure overhead, dispatch must stay "id"
     assert _pick_orientation(999, 999 * 1000) == "id"
+
+
+def test_incremental_lsh_against_persisted_signature_store(spark, tmp_path):
+    """The production path of dedup_incremental_lsh: the corpus
+    signature relation is PERSISTED (TableStore), each daily batch
+    appends its own signatures after probing — and probing the stored
+    relation must give exactly the candidates a full recompute gives.
+    Also exercises the append path: after batch 1 is absorbed into the
+    store, batch 2 probes corpus+batch1."""
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        minhash_signatures,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        TableStore,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow today",
+        "how vexingly quick daft zebras jump here",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # two daily batches; batch1 doc 100 duplicates corpus doc 0,
+    # batch2 doc 200 duplicates batch1 doc 100 (only findable if the
+    # store absorbed batch 1)
+    batch1 = spark.createDataFrame([(100, texts[0]), (101, "totally novel words appear in this one")], "doc_id long, text string")
+    batch2 = spark.createDataFrame([(200, texts[0])], "doc_id long, text string")
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("sig_store", minhash_signatures(corpus, "doc_id", "text"))
+
+    def probe(batch):
+        sig_b = minhash_signatures(batch, "doc_id", "text")
+        sig_c = store.read("sig_store")
+        pairs = (
+            sig_b.alias("n")
+            .join(
+                sig_c.alias("c"),
+                (F.col("n.band") == F.col("c.band"))
+                & (F.col("n.bucket") == F.col("c.bucket")),
+            )
+            .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id"))
+            .distinct()
+        )
+        got = {(r.new_id, r.corpus_id) for r in pairs.collect()}
+        store.append("sig_store", sig_b)
+        return got
+
+    got1 = probe(batch1)
+    assert (100, 0) in got1  # exact dup of corpus doc 0
+    assert not any(nid == 101 for nid, _ in got1)  # novel doc pairs with nothing
+    got2 = probe(batch2)
+    assert (200, 0) in got2 and (200, 100) in got2  # sees corpus AND absorbed batch1
