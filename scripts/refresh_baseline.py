@@ -38,6 +38,11 @@ FRESH = {
     # round 5: bounded-before-collect postings; skew-adaptive triangles
     "inverted_index_postings",
     "triangle_count",
+    # round-5 review fixes changed these implementations (overflow-safe
+    # decomposed hash; dictionary-count hint + materialize-once): their
+    # rows must come from post-fix passes only
+    "reservoir_sample_per_group",
+    "categorical_label_encode",
 }
 
 BASELINE = "BASELINE.md"
