@@ -43,6 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # on every run.
 _CHECK_FIRST = (
     # (a0) registered this round — never driver-checked
+    "revenue_gini",
+    "peak_concurrency",
     "recursive_month_spine",
     "rolling_range_window",
     "asof_join_forward",

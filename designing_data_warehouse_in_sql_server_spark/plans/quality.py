@@ -1884,3 +1884,144 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (round 5): per-nation Gini coefficient of
+# customer revenue — the inequality statistic behind "whales vs
+# long-tail" analyses, emitted as the EXACT integer pair
+# num = sum_i (2i - n - 1) * v_i (v ascending, i = 1..n),
+# den = n * sum(v), with Gini = num/den left to the caller.
+#
+# Scale: one shuffle on the nation key; rank/count/sum are windows over
+# the same partitioning (one exchange serves all three), and the final
+# fold is a |nations|-bounded hash aggregate. No global ordering
+# anywhere — every window is nation-partitioned.
+# ---------------------------------------------------------------------------
+GINI_ORACLE = """
+WITH rev AS (
+  SELECT c_nationkey, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey
+), ranked AS (
+  SELECT c_nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+         SUM(cents) OVER (PARTITION BY c_nationkey) AS total
+  FROM rev
+)
+SELECT c_nationkey,
+       CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
+       CAST(MAX(n * total) AS BIGINT) AS gini_den,
+       CAST(MAX(n) AS BIGINT) AS n_customers
+FROM ranked
+GROUP BY c_nationkey
+"""
+
+
+@register("revenue_gini", GINI_ORACLE)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("cents"))
+    )
+    wp = W.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "o_custkey")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("total"),
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias("gini_num"),
+        F.max(F.col("n") * F.col("total")).alias("gini_den"),
+        F.max("n").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (round 5): the maximum number of simultaneously open
+# user sessions (30-minute-gap sessionization), by sweep line — +1 at
+# each session start, -1 at each end, running-sum the deltas in time
+# order, take the max. Touching sessions (one ends exactly when another
+# starts) count as concurrent (starts sort before ends at equal ts).
+#
+# Scale: sessions reduce the fact table first; the sweep's global
+# running sum is the SIZE-ADAPTIVE prefix operator (operators/ids.py) —
+# single-window below the row threshold, two-phase range-partitioned
+# above it, so no single-partition exchange at any session count — and
+# the answer is a max AGGREGATE over prefix values, not a row-wise
+# output. Tie order among equal (ts, delta) rows permutes prefix values
+# within a run of identical deltas only, leaving the max invariant.
+# ---------------------------------------------------------------------------
+PEAK_CONCURRENCY_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR date_diff('microseconds',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), tagged AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM seq
+), sess AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+  FROM tagged GROUP BY user_id, sid
+), deltas AS (
+  SELECT s AS ts, 1 AS d FROM sess
+  UNION ALL
+  SELECT e AS ts, -1 AS d FROM sess
+), run AS (
+  SELECT SUM(d) OVER (ORDER BY ts, d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM deltas
+)
+SELECT CAST((SELECT MAX(c) FROM run) AS BIGINT) AS peak_concurrent,
+       CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions
+"""
+
+
+@register("peak_concurrency", PEAK_CONCURRENCY_ORACLE)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import prefix_sum
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over "
+        "(partition by user_id order by ts, event_id), ts)"
+    )
+    seq = events.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    tagged = seq.withColumn(
+        "sid",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sess = tagged.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = sess.select(F.col("s").alias("ts"), F.lit(1).alias("d")).unionAll(
+        sess.select(F.col("e").alias("ts"), F.lit(-1).alias("d"))
+    )
+    # 2 deltas per session <= 2 x event count: a metadata-cheap bound
+    run = prefix_sum(
+        deltas,
+        "d",
+        [F.col("ts"), F.col("d").desc()],
+        cum_col="c",
+        n_hint=2 * events.count(),
+    )
+    peak = run.agg(F.max("c").alias("peak_concurrent"))
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
+    return peak.crossJoin(F.broadcast(n_sess))

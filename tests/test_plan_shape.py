@@ -648,3 +648,11 @@ def test_asof_forward_no_join_one_exchange(spark):
         assert "Join" not in plan, f"{name}\n" + plan[:2000]
         assert "Window" in plan
         assert _n_exchanges(plan) == 1, f"{name}\n" + plan[:3000]
+
+
+def test_revenue_gini_all_windows_partitioned(spark):
+    """Every Gini window is nation-partitioned — no global ordering, no
+    single-partition exchange anywhere."""
+    plan = _plan(QS["revenue_gini"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "Window" in plan
