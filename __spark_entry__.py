@@ -96,11 +96,11 @@ _CHECK_FIRST = (
     "doc_fingerprint",
     "embedding_centroids",
     "embedding_neardup_pairs",
+    # --- 50-query window boundary is here (15 round-5 queries + 6
+    # changed + 15 r1 + the r2 block through embedding_neardup_pairs);
+    # the ~29 remaining r2 greens below rotate in next round ---
     "funnel_conversion",
     "impute_group_mean",
-    # --- 50-query window boundary is here (13 round-5 queries + 6
-    # changed + 15 r1 + the r2 block through impute_group_mean);
-    # the ~27 remaining r2 greens below rotate in next round ---
     "lang_id_ngram",
     "merge_insert_only",
     "merge_upsert_full_outer",

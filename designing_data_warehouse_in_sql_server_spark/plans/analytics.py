@@ -2286,7 +2286,7 @@ def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SESSION_WINDOW_ORACLE = """
 WITH seq AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR date_diff('microseconds',
@@ -2296,7 +2296,7 @@ WITH seq AS (
   FROM events
 ), sess AS (
   SELECT user_id, ts, cents,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM seq
 )

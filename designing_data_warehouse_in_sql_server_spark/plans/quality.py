@@ -1912,8 +1912,8 @@ WITH rev AS (
   FROM rev
 )
 SELECT c_nationkey,
-       CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS gini_num,
-       CAST(MAX(n * total) AS BIGINT) AS gini_den,
+       CAST(CAST(SUM(CAST((2 * i - n - 1) AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+       CAST(CAST(MAX(CAST(n AS DECIMAL(38,0)) * total) AS DECIMAL(38,0)) AS VARCHAR) AS gini_den,
        CAST(MAX(n) AS BIGINT) AS n_customers
 FROM ranked
 GROUP BY c_nationkey
@@ -1937,9 +1937,22 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wp).alias("n"),
         F.sum("cents").over(wp).alias("total"),
     )
+    # num/den grow as n x sum(cents): quadratic in nation size, past
+    # BIGINT by ~sf30 — the arithmetic runs in DECIMAL(38,0) to keep
+    # the exact-integer contract at every scale factor, and the pair is
+    # EMITTED AS STRINGS (decimal dtypes don't round-trip the
+    # cross-engine compare; the digits do)
     return ranked.groupBy("c_nationkey").agg(
-        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias("gini_num"),
-        F.max(F.col("n") * F.col("total")).alias("gini_den"),
+        F.sum(
+            (2 * F.col("i") - F.col("n") - 1).cast("decimal(38,0)") * F.col("cents")
+        )
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("gini_num"),
+        F.max(F.col("n").cast("decimal(38,0)") * F.col("total"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("gini_den"),
         F.max("n").alias("n_customers"),
     )
 
@@ -1961,7 +1974,7 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 PEAK_CONCURRENCY_ORACLE = """
 WITH seq AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR date_diff('microseconds',
                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
@@ -1970,7 +1983,7 @@ WITH seq AS (
   FROM events
 ), tagged AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM seq
 ), sess AS (
@@ -1981,12 +1994,14 @@ WITH seq AS (
   UNION ALL
   SELECT e AS ts, -1 AS d FROM sess
 ), run AS (
-  SELECT SUM(d) OVER (ORDER BY ts, d DESC
+  SELECT d,
+         SUM(d) OVER (ORDER BY ts, d DESC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
   FROM deltas
 )
-SELECT CAST((SELECT MAX(c) FROM run) AS BIGINT) AS peak_concurrent,
-       CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions
+SELECT CAST(MAX(c) AS BIGINT) AS peak_concurrent,
+       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM run
 """
 
 
@@ -2022,6 +2037,9 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_col="c",
         n_hint=2 * events.count(),
     )
-    peak = run.agg(F.max("c").alias("peak_concurrent"))
-    n_sess = sess.agg(F.count("*").alias("n_sessions"))
-    return peak.crossJoin(F.broadcast(n_sess))
+    # one aggregate serves both outputs (n_sessions = the +1 deltas in
+    # run) — a second branch would re-execute the whole sessionization
+    return run.agg(
+        F.max("c").alias("peak_concurrent"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_sessions"),
+    )
