@@ -43,6 +43,10 @@ FRESH = {
     # rows must come from post-fix passes only
     "reservoir_sample_per_group",
     "categorical_label_encode",
+    # round-5 follow-up review changed these two after their first rows
+    # were measured (single-aggregate peak; decimal/string gini)
+    "revenue_gini",
+    "peak_concurrency",
 }
 
 BASELINE = "BASELINE.md"
