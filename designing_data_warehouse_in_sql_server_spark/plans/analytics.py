@@ -2276,10 +2276,13 @@ def approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # form (sessionize_events): islands need two ordered windows; the
 # native operator is a single (dynamically merging) aggregation and is
 # the only sessionization usable under streaming state eviction.
-# Semantics: each event opens [ts, ts+gap); overlapping windows merge,
-# so a new session starts when the inter-event gap is >= the 10-minute
-# horizon; window end = last event + gap. The oracle mirrors that with
-# the islands formulation.
+# Semantics: each event opens [ts, ts+gap]; touching windows merge
+# (verified empirically: an event at exactly last_ts + gap joins the
+# session), so a new session starts only when the inter-event gap
+# STRICTLY exceeds the horizon; window end = last event + gap. The
+# oracle mirrors that with the islands formulation — the strict ">" is
+# load-bearing and pinned by a planted exact-gap test
+# (tests/test_extensions.py).
 #
 # Scale: one shuffle on (user_id); per-key state is the open session
 # only. Exact integer cents for the measure.
@@ -2291,7 +2294,7 @@ WITH seq AS (
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR date_diff('microseconds',
                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
-                   >= 600000000
+                   > 600000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
 ), sess AS (

@@ -319,3 +319,45 @@ def test_incremental_lsh_against_persisted_signature_store(spark, tmp_path):
     assert not any(nid == 101 for nid, _ in got1)  # novel doc pairs with nothing
     got2 = probe(batch2)
     assert (200, 0) in got2 and (200, 100) in got2  # sees corpus AND absorbed batch1
+
+
+def test_sessionization_parity_on_duplicate_timestamps(spark, tmp_path):
+    """Two planted edge cases the sf fixtures never hit:
+    (a) duplicate (user_id, ts) rows straddling a session boundary —
+    pins the event_id tiebreak in the sessionization oracles (the
+    pre-fix oracles ordered the session-id window by ts alone, leaving
+    tied rows' session assignment to engine whim); and
+    (b) an inter-event gap of EXACTLY the session horizon (10 min /
+    events at minutes 150 and 160, 0 and 10) — pins that the native
+    session_window MERGES touching windows, so the oracle must start a
+    new session only on a strictly larger gap (this caught a real
+    boundary bug in SESSION_WINDOW_ORACLE's ">=")."""
+    import datetime as dt
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: two events at the SAME ts (boundary after a 2h gap), then
+    # a duplicate-ts pair again inside the next session
+    for eid, (user, minutes) in enumerate(
+        [(1, 0), (1, 0), (1, 150), (1, 150), (1, 160), (2, 0), (2, 10), (2, 10)]
+    ):
+        rows.append((eid, t0 + dt.timedelta(minutes=minutes), user, "view", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "sf_dup"
+    d.mkdir()
+    # single parquet FILE (not a Spark directory) so the DuckDB side of
+    # the harness can read the same path; microsecond timestamps match
+    # the fixture encoding
+    pdf = events.toPandas().astype({"ts": "datetime64[us]"})
+    pdf.to_parquet(str(d / "events.parquet"), index=False)
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in ("sessionize_events", "peak_concurrency", "events_session_window"):
+        problems = compare(qs[name](spark, str(d)), oracles[name], str(d))
+        assert not problems, f"{name}: {problems}"
