@@ -361,3 +361,49 @@ def test_sessionization_parity_on_duplicate_timestamps(spark, tmp_path):
     for name in ("sessionize_events", "peak_concurrency", "events_session_window"):
         problems = compare(qs[name](spark, str(d)), oracles[name], str(d))
         assert not problems, f"{name}: {problems}"
+
+
+def test_linear_interpolate_edges_on_planted_data(spark, tmp_path):
+    """Planted edges the fixture may never hit: a masked FIRST row (no
+    prev -> NULL pair), a masked LAST row (no next -> NULL pair),
+    duplicate (user_id, ts) rows around a masked one, and a masked row
+    whose neighbors share its timestamp (den = 0, num = 0 — emitted,
+    not divided). Cross-engine parity on exactly these shapes."""
+    import datetime as dt
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    t0 = dt.datetime(2024, 1, 1)
+    # event_id % 4 == 0 is the masking law; ids chosen to mask 0,4,8,12
+    rows = [
+        (0, t0, 1, "view", 1.00, "{}"),                                   # masked, no prev
+        (1, t0 + dt.timedelta(seconds=10), 1, "view", 2.00, "{}"),
+        (4, t0 + dt.timedelta(seconds=20), 1, "view", 9.99, "{}"),        # masked, both sides
+        (5, t0 + dt.timedelta(seconds=40), 1, "view", 4.00, "{}"),
+        (8, t0 + dt.timedelta(seconds=50), 1, "view", 5.55, "{}"),        # masked, no next
+        # within equal ts, event_id orders the rows: 11 < 16 < 19 puts
+        # the masked row BETWEEN two same-ts neighbors (den = 0)
+        (11, t0, 2, "view", 1.50, "{}"),
+        (16, t0, 2, "view", 7.77, "{}"),                                  # masked, ts == both neighbors
+        (19, t0, 2, "view", 2.50, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "sf_interp"
+    d.mkdir()
+    pdf = events.toPandas().astype({"ts": "datetime64[us]"})
+    pdf.to_parquet(str(d / "events.parquet"), index=False)
+    qs, oracles = e.queries(), e.oracle_sql()
+    name = "linear_interpolate"
+    problems = compare(qs[name](spark, str(d)), oracles[name], str(d))
+    assert not problems, f"{name}: {problems}"
+    out = {r.event_id: (r.filled_num, r.filled_den) for r in qs[name](spark, str(d)).collect()}
+    assert out[0] == (None, None)        # no prev neighbor
+    assert out[8] == (None, None)        # no next neighbor
+    assert out[16] == (0, 0)             # zero-width gap: exact pair, no division
+    # interior: prev=200 cents @10s, next=400 @40s, at 20s -> (200*20e6+400*10e6)/30e6
+    assert out[4] == (200 * 20_000_000 + 400 * 10_000_000, 30_000_000)
