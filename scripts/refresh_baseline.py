@@ -22,32 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # queries whose implementation changed performance class: ignore
 # previously committed minima (a baseline must describe CURRENT code —
 # round-3's rfm/abc gate misses were vs minima of deleted code)
-FRESH = {
-    "fuzzy_name_pairs",
-    # round 5: size-adaptive dispatch (operators/ids.py) — these take
-    # the single-window plan at sf0.1 again, so measure from scratch
-    "abc_classification",
-    "customer_rfm_segmentation",
-    "pareto_frontier",
-    "percent_rank_global",
-    # round 4: verified-approximate forms compute the exact ground truth
-    # alongside the sketch — strictly more work than the old rows-only
-    # sketch queries
-    "approx_distinct",
-    "approx_percentiles",
-    # round 5: bounded-before-collect postings; skew-adaptive triangles
-    "inverted_index_postings",
-    "triangle_count",
-    # round-5 review fixes changed these implementations (overflow-safe
-    # decomposed hash; dictionary-count hint + materialize-once): their
-    # rows must come from post-fix passes only
-    "reservoir_sample_per_group",
-    "categorical_label_encode",
-    # round-5 follow-up review changed these two after their first rows
-    # were measured (single-aggregate peak; decimal/string gini)
-    "revenue_gini",
-    "peak_concurrency",
-}
+# FRESH lifecycle: add a query here when its implementation changes
+# performance class; the NEXT refresh then ignores its prior committed
+# minimum and re-measures from the given passes. Once the committed row
+# describes current code, REMOVE the entry — leaving it would discard a
+# valid minimum on every subsequent refresh. All round-5 entries were
+# cleared 2026-08-14 after their rows were re-measured from post-change
+# passes (rfm/abc/pareto/percent_rank size-adaptive forms, verified
+# approx sketches, bounded inverted index, skew-adaptive triangles,
+# overflow-safe reservoir hash, dictionary-hinted label encode,
+# single-aggregate peak concurrency, decimal-exact gini,
+# distinct-level fuzzy pairs).
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 
