@@ -24,8 +24,21 @@ reference transform_load.sql:43-70); this is a labeled 100 TB extension.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+class BloomBits(NamedTuple):
+    """A built bitset WITH its build parameters. ``might_contain`` takes
+    this struct (not a bare word list) so the probe can never run with a
+    mismatched ``n_hashes`` — probing with fewer/different hash functions
+    than the build silently yields false negatives, breaking the
+    never-false-for-present contract."""
+
+    words: list[int]
+    n_hashes: int
 
 
 def _position(col: Column, seed: int, n_bits: int) -> Column:
@@ -35,10 +48,11 @@ def _position(col: Column, seed: int, n_bits: int) -> Column:
 
 def build_bloom_bits(
     df: DataFrame, col: str, n_bits: int, n_hashes: int = 4
-) -> list[int]:
+) -> BloomBits:
     """Fold ``df[col]``'s hash positions into a bitset of ``n_bits``
-    (must be a multiple of 64). Returns the n_bits/64 little-endian
-    words. One hash aggregate; driver traffic = the bitset itself."""
+    (must be a multiple of 64). Returns a :class:`BloomBits` carrying
+    the n_bits/64 little-endian words AND the ``n_hashes`` they were
+    built with. One hash aggregate; driver traffic = the bitset itself."""
     assert n_bits % 64 == 0
     positions = df.select(
         F.explode(
@@ -53,14 +67,16 @@ def build_bloom_bits(
     words = [0] * (n_bits // 64)
     for r in rows:
         words[r["__w"]] = r["__bits"]
-    return words
+    return BloomBits(words=words, n_hashes=n_hashes)
 
 
-def might_contain(col: Column, words: list[int], n_hashes: int = 4) -> Column:
+def might_contain(col: Column, bloom: BloomBits) -> Column:
     """Membership predicate against a :func:`build_bloom_bits` bitset.
     May return true for absent values (false-positive rate set by the
     caller's bits-per-element budget); never false for present ones —
-    always pair with an exact verify when exactness matters."""
+    always pair with an exact verify when exactness matters. The hash
+    count comes from the struct, so probe and build cannot diverge."""
+    words, n_hashes = bloom.words, bloom.n_hashes
     n_bits = len(words) * 64
     bitset = F.lit(words)
     cond = None

@@ -140,9 +140,18 @@ def prefix_sum(
         )
         out = df.withColumn(cum_col, F.sum(value_col).over(w).cast("long"))
         if total_col is not None:
+            # same ordering as the running-sum window, full frame: both
+            # frames share ONE sort partition (a Window.partitionBy()
+            # total would add a second whole-relation pass — ADVICE r5)
             out = out.withColumn(
                 total_col,
-                F.sum(value_col).over(Window.partitionBy()).cast("long"),
+                F.sum(value_col)
+                .over(
+                    Window.orderBy(*order_cols).rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                .cast("long"),
             )
         return out
     ranged = df.repartitionByRange(*order_cols).withColumn(
@@ -322,14 +331,14 @@ def exact_ntile_multi(
     exchange, one metadata-sized collect, one hash aggregate. No
     Exchange SinglePartition at any row count. The post-shuffle ranked
     relation is local-checkpointed (reused by the counts job and the
-    final join); the input plan is left inline — measured cheaper than
-    checkpointing it at bench scale.
+    final join).
 
     Duplicate input rows are preserved: each row gets a private
-    ``__rid`` (monotonically_increasing_id, pinned by the
-    local checkpoint) before the explode, and the final fold groups by
-    it — so two identical rows come back as two rows, each with its own
-    bucket assignment, exactly like the per-ordering window form.
+    ``__rid`` (monotonically_increasing_id, pinned by an EAGER local
+    checkpoint immediately after assignment) before the explode, and
+    the final fold groups by it — so two identical rows come back as
+    two rows, each with its own bucket assignment, exactly like the
+    per-ordering window form.
 
     ``n_hint``: optional row-count upper bound; at most
     ``WINDOW_FORM_MAX_ROWS`` selects the plain per-ordering NTILE
@@ -353,7 +362,17 @@ def exact_ntile_multi(
             for i, (_out, sv) in enumerate(specs)
         ]
     )
-    src = df.withColumn("__rid", F.monotonically_increasing_id())
+    # EAGER checkpoint: __rid comes from monotonically_increasing_id, an
+    # indeterminate expression when the upstream plan ends in a shuffle —
+    # pinning the blocks here, before the explode / range sampler / range
+    # exchange, confines the indeterminate region to this one job (a
+    # stage retry later would otherwise reassign ids and force Spark's
+    # indeterminate-stage job abort — an availability hazard on large
+    # runs, ADVICE r5). This branch only runs above WINDOW_FORM_MAX_ROWS,
+    # where one materialization is noise next to the range exchange.
+    src = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
     tall = src.withColumn("__o", F.explode(arr)).select(
         *[src[c] for c in src.columns],
         F.col("__o.__ord").alias("__ord"),

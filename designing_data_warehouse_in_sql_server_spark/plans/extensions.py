@@ -1806,11 +1806,11 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale size from a count of the bounded benchmark side the same way
     n = bench_sh.count()
     n_bits = 1 << max(14, (8 * n).bit_length())
-    words = build_bloom_bits(bench_sh, "__s", n_bits=n_bits)
+    bloom = build_bloom_bits(bench_sh, "__s", n_bits=n_bits)
     corpus = shingle_docs(
         docs.filter(F.col("doc_id") % 89 != 0), "doc_id", "text", k=k
     ).select("doc_id", F.explode("__sh").alias("__s"))
-    pruned = corpus.filter(might_contain(F.col("__s"), words))
+    pruned = corpus.filter(might_contain(F.col("__s"), bloom))
     return (
         pruned.join(F.broadcast(bench_sh), "__s")  # exact verify kills FPs
         .groupBy("doc_id")

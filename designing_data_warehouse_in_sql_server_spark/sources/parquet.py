@@ -32,6 +32,26 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER — a pure driver-side
+    metadata read (pyarrow), no Spark job. The free source for the
+    ``n_hint`` size-adaptive dispatch (operators/ids.py) when the hint
+    relation is a plain table scan: a ``df.count()`` there would launch
+    a (cheap but non-free) job at plan-construction time."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):  # multi-file layout: sum per-file footers
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -503,9 +503,10 @@ def test_bloom_never_false_negative(spark, present, absent):
     )
 
     ref = spark.createDataFrame([(s,) for s in present], "s string")
-    words = build_bloom_bits(ref, "s", n_bits=1 << 12)
+    bloom = build_bloom_bits(ref, "s", n_bits=1 << 12)
+    assert bloom.n_hashes == 4  # probe params ride the struct (ADVICE r5)
     both = spark.createDataFrame([(s,) for s in present + absent], "s string")
-    hits = {r.s for r in both.filter(might_contain(F.col("s"), words)).collect()}
+    hits = {r.s for r in both.filter(might_contain(F.col("s"), bloom)).collect()}
     assert set(present) <= hits
     # 4096 bits for <=30 elements: FP rate is tiny; allow a generous slack
     assert len(hits - set(present)) <= max(2, len(absent) // 3)
