@@ -30,75 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 5 front-loads (a) queries whose
-# implementation changed this round: the size-adaptive two-phase family
-# (rfm/abc/pareto/percent_rank via operators/ids.py dispatch), the
-# skew-adaptive triangle closure, and the bounded-before-collect inverted
-# index; then (b) every query by STALENESS of its latest green driver row —
-# all 15 r1-only greens, then the r2 block alphabetically as far as the
-# 50-entry window reaches (44 r2 queries exist; the ~27 that do not fit
-# rotate in next round). Entries
-# rotated behind the window all have green rows in CORRECTNESS_r02-r04.json;
-# every query is also oracle-diffed locally in tests/test_oracle_parity.py
-# on every run.
+# the official oracle check each round. Round 6 front-loads (a0) the 15
+# queries registered this round; (a) the 5 checked-last-round queries whose
+# implementation changed this round (bloom probe-parameter coupling ->
+# decontaminate_bloom; parquet-footer n_hint sourcing -> peak_concurrency /
+# pareto_frontier / abc_classification / percent_rank_global, the last two
+# also picking up the one-sort prefix_sum total); then (b) ALL 30 queries
+# whose latest green driver row is round 2 (the staleness ceiling —
+# VERDICT r5 item 1), which closes the window at exactly 50. The 36
+# r3-stale queries are queued immediately after the boundary for round 7
+# (VERDICT r5 item 7). Entries behind the window all have green rows in
+# CORRECTNESS_r03-r05.json; every query is also oracle-diffed locally in
+# tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
     # (a0) registered this round — never driver-checked
-    "revenue_gini",
-    "peak_concurrency",
-    "recursive_month_spine",
-    "rolling_range_window",
-    "asof_join_forward",
-    "topk_per_group_with_ties",
-    "feature_minmax_scale",
-    "events_session_window",
-    "approx_distinct_rollup",
-    "k_anonymity_audit",
-    "dedup_incremental_lsh",
-    "reservoir_sample_per_group",
-    "decontaminate_bloom",
-    "categorical_label_encode",
-    "linear_interpolate",
+    "dedup_incremental_lsh_store",
+    "weighted_median",
+    "asof_join_nearest",
+    "cusum_mean_shift",
+    "equi_depth_histogram",
+    "argmax_per_group",
+    "yoy_growth",
+    "share_of_parent",
+    "benford_first_digit",
+    "contingency_chi_square",
+    "stratified_kfold",
+    "unknown_member_join",
+    "bitmap_exact_distinct",
+    "systematic_sample",
+    "minhash_jaccard_estimate",
     # (a) implementation changed this round
-    "customer_rfm_segmentation",
-    "abc_classification",
+    "decontaminate_bloom",
+    "peak_concurrency",
     "pareto_frontier",
+    "abc_classification",
     "percent_rank_global",
-    "triangle_count",
-    "inverted_index_postings",
-    # (b) r1-only greens (stalest first)
-    "collect_set_sorted",
-    "cube_aggregate",
-    "date_dimension",
-    "date_enrichment",
-    "distinct_count",
-    "fk_integrity_audit",
-    "histogram_totalprice",
-    "pivot_event_counts",
-    "quantile_disc",
-    "scd2_dimension",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-    "similarity_topk_cosine",
-    "string_functions",
-    "unpivot_event_counts",
-    # (b) r2 greens, alphabetical
-    "asof_join_attribution",
-    "chunk_documents",
-    "cohort_retention",
-    "correlated_subquery",
-    "dataset_mix_shards",
-    "decontaminate_ngrams",
-    "dedup_connected_components",
-    "dedup_keep_best",
-    "dedup_row_number",
-    "dedup_segments",
-    "distinct_dimension",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "embedding_neardup_pairs",
-    # --- 50-query window boundary is here (15 round-5 queries + 6
-    # changed + 15 r1 + the r2 block through embedding_neardup_pairs);
-    # the ~29 remaining r2 greens below rotate in next round ---
+    # (b) r2 greens — the full 30-query staleness ceiling, alphabetical
     "funnel_conversion",
     "impute_group_mean",
     "lang_id_ngram",
@@ -115,19 +82,58 @@ _CHECK_FIRST = (
     "q17_small_quantity",
     "q22_dormant_customers",
     "q6_revenue_forecast",
-    "salted_aggregation",
+    "quality_repetition",
+    "range_join_event_pairs",
     "salted_skew_join",
     "scalar_expressions",
     "simhash_near_pairs",
-    "split_leakage_audit",
     "stratified_sample",
     "surrogate_key_join",
     "text_quality_score",
+    "timeseries_gap_fill",
     "token_count",
     "train_val_test_split",
     "watermark_max_date",
-    "weighted_sample",
+    "window_relative_rank",
     "zscore_cap",
+    # --- 50-query window boundary is here (15 new + 5 changed + 30
+    # r2-stale); the 36 r3-stale queries below are the round-7 queue ---
+    "bm25_search",
+    "boilerplate_removal",
+    "corr_regression_stats",
+    "cumulative_distinct_users",
+    "data_quality_profile",
+    "dedup_containment",
+    "domain_cap_sample",
+    "embedding_decontaminate",
+    "event_transition_matrix",
+    "events_hourly_unique_users",
+    "file_format_roundtrip",
+    "forward_fill_locf",
+    "heavy_hitter_users",
+    "incremental_agg_refresh",
+    "interval_coalesce",
+    "kmeans_embeddings",
+    "m4_downsample",
+    "multimodal_frame_sample",
+    "pagerank_fixed",
+    "quantile_cont",
+    "rolling_anomaly_zscore",
+    "salted_aggregation",
+    "scd2_point_in_time",
+    "session_paths_topk",
+    "split_leakage_audit",
+    "tfidf_top_terms",
+    "time_grain_rollup",
+    "time_weighted_average",
+    "token_entropy_quality",
+    "unigram_lm_score",
+    "user_day_streaks",
+    "vector_arithmetic_hof",
+    "vocab_coverage",
+    "weighted_sample",
+    "winsorize_percentile",
+    "zorder_layout_key",
 )
 
 

@@ -169,11 +169,7 @@ def minhash_from_shingles(
     partitioning on id, so the explode never shuffles. Documents
     sharing >= 1 band bucket are near-dup candidates.
     """
-    tokens = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
-    n_perms = bands * rows_per_band
-    mins = tokens.groupBy(id_col).agg(
-        *[F.min(_perm_hash(j, F.col("__s"))).alias(f"__m{j}") for j in range(n_perms)]
-    )
+    mins = minhash_minima(shingled, id_col, bands * rows_per_band)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -187,6 +183,19 @@ def minhash_from_shingles(
     ]
     return mins.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_minima(shingled: DataFrame, id_col: str, n_perms: int) -> DataFrame:
+    """Per-doc raw minhash minima ``(id, __m0..__m{n_perms-1})`` from a
+    (id, __sh) shingle table — the signature VECTOR itself, for
+    estimate-style consumers (matching-minima fraction estimates
+    Jaccard); band bucketing (:func:`minhash_from_shingles`) folds
+    these into collision keys. One explode + one grouped n_perms-way
+    MIN aggregate reusing shingle_docs' id partitioning (no shuffle)."""
+    tokens = shingled.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    return tokens.groupBy(id_col).agg(
+        *[F.min(_perm_hash(j, F.col("__s"))).alias(f"__m{j}") for j in range(n_perms)]
     )
 
 

@@ -2428,3 +2428,417 @@ def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COUNT(*) OVER ({frame}) AS n_orders_30d",
         f"SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER ({frame}) AS cents_30d",
     )
+
+
+# ===========================================================================
+# Round-6 additions
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Weighted median per group: the lower weighted median of the price
+# distribution, weighted by quantity — the robust "typical price paid"
+# statistic (an unweighted median treats a 1-unit and a 50-unit line the
+# same). Definition: sort by value, first value whose running weight
+# reaches half the total; all-integer (cents, integral quantities), so
+# cross-engine exact.
+#
+# Scale: one shuffle on the group key; the ordered running-weight frame
+# and the full-frame total share ONE sort partition per group (same
+# ordering), then a map-side-combinable min/max aggregate. No self-join,
+# no global ordering.
+# ---------------------------------------------------------------------------
+WEIGHTED_MEDIAN_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot
+  FROM t
+)
+SELECT l_returnflag,
+       MIN(cents) AS weighted_median_cents,
+       CAST(MAX(tot) AS BIGINT) AS total_weight
+FROM r
+WHERE 2 * cum >= tot
+GROUP BY l_returnflag
+"""
+
+
+@register("weighted_median", WEIGHTED_MEDIAN_ORACLE)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    base = W.partitionBy("l_returnflag").orderBy("cents", "l_orderkey", "l_linenumber")
+    cum = F.sum("w").over(base.rowsBetween(W.unboundedPreceding, W.currentRow))
+    tot = F.sum("w").over(
+        base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        t.select("l_returnflag", "cents", cum.alias("cum"), tot.alias("tot"))
+        .filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (round 6): each click matched to its temporally
+# NEAREST purchase by the same user, in EITHER direction — the missing
+# third mode next to asof_join_attribution (backward) and
+# asof_join_forward. Tie (equidistant neighbors) resolves to the earlier
+# purchase; a purchase at the exact click timestamp counts as distance 0
+# on the backward side.
+#
+# Scale: the same union + one ordered per-user window shape as the
+# directional modes — both neighbors come from IGNORE-NULLS running
+# frames over ONE sort, never a range join, never two directional
+# passes glued by a second join.
+# ---------------------------------------------------------------------------
+ASOF_NEAREST_ORACLE = """
+WITH tagged AS (
+  SELECT event_id, user_id, ts,
+         event_type = 'click' AS is_click,
+         CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), nbr AS (
+  SELECT event_id, user_id, ts, is_click,
+         LAST_VALUE(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_click, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+         FIRST_VALUE(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_click, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM tagged
+)
+SELECT event_id, user_id, ts,
+       CASE
+         WHEN prev_ts IS NULL THEN next_ts
+         WHEN next_ts IS NULL THEN prev_ts
+         WHEN date_diff('microseconds', prev_ts, ts)
+              <= date_diff('microseconds', ts, next_ts) THEN prev_ts
+         ELSE next_ts
+       END AS nearest_purchase_ts
+FROM nbr
+WHERE is_click
+"""
+
+
+@register("asof_join_nearest", ASOF_NEAREST_ORACLE)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    # purchases sort BEFORE clicks at equal ts (false < true), so a
+    # same-instant purchase lands in the click's backward frame
+    base = W.partitionBy("user_id").orderBy("ts", "is_click", "event_id")
+    prev_ts = F.last("p_ts", ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_ts = F.first("p_ts", ignorenulls=True).over(
+        base.rowsBetween(1, W.unboundedFollowing)
+    )
+    nbr = tagged.select(
+        "event_id", "user_id", "ts", "is_click",
+        prev_ts.alias("prev_ts"), next_ts.alias("next_ts"),
+    )
+    d_prev = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    d_next = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(d_prev <= d_next, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return (
+        nbr.filter("is_click")
+        .select("event_id", "user_id", "ts", nearest.alias("nearest_purchase_ts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM mean-shift chart (round 6): cumulative sum of deviations of the
+# daily order count from the whole-period mean — the classic change-point
+# screen (Page 1954: a sustained shift makes the cusum drift). Kept
+# exact by scaling: with n days and T total orders,
+#   cusum_num(d) = n * (running count through d) - d_idx * T
+# is integer and equals n * ( Σx - d_idx * mean ).
+#
+# Scale: the windows run over the DAILY AGGREGATE, a calendar-bounded
+# relation (10 years ≈ 3.7k rows — bounded by time, not by data), after
+# one hash aggregate over the fact; the global ordering is fine on a
+# relation that small and the aggregate's shuffle is the only
+# data-sized exchange.
+# ---------------------------------------------------------------------------
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT d, x,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+         SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS t,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS n
+  FROM daily
+)
+SELECT CAST(d AS TIMESTAMP) AS d, x,
+       CAST(n * cum - i * t AS BIGINT) AS cusum_num,
+       CAST(n AS BIGINT) AS cusum_den_days
+FROM tot
+"""
+
+
+@register("cusum_mean_shift", CUSUM_ORACLE)
+def cusum_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", "o_orderdate").alias("d")
+    ).agg(F.count("*").alias("x"))
+    # all four window columns share ONE ordering => one sort partition
+    # over the calendar-bounded daily relation
+    base = W.orderBy("d")
+    run = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = daily.select(
+        "d",
+        "x",
+        F.row_number().over(base).cast("long").alias("i"),
+        F.sum("x").over(run).alias("cum"),
+        F.sum("x").over(full).alias("t"),
+        F.count("*").over(full).alias("n"),
+    )
+    return t.select(
+        "d",
+        "x",
+        (F.col("n") * F.col("cum") - F.col("i") * F.col("t")).alias("cusum_num"),
+        F.col("n").alias("cusum_den_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (round 6): 10 quantile buckets of the order-value
+# distribution with per-bucket bounds and population — the histogram
+# form whose buckets stay meaningful under heavy skew (equi-WIDTH
+# buckets put 99% of rows in one bin). Bucketing REUSES the
+# size-adaptive exact NTILE (operators/ids.py): footer-count hint picks
+# the single-window form at test scale, the two-phase range-partitioned
+# form beyond WINDOW_FORM_MAX_ROWS — never an unbounded
+# Exchange SinglePartition. Per-bucket stats are one mergeable
+# min/max/count aggregate.
+# ---------------------------------------------------------------------------
+EQUI_DEPTH_ORACLE = """
+WITH b AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                         o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY bucket
+"""
+
+
+@register("equi_depth_histogram", EQUI_DEPTH_ORACLE)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import exact_ntile
+    from ..sources.parquet import table_row_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    b = exact_ntile(
+        orders.select(cents.alias("cents"), "o_orderkey"),
+        10,
+        [F.col("cents"), F.col("o_orderkey")],
+        "bucket",
+        n_hint=table_row_count(sf_dir, "orders"),  # free footer read
+    )
+    return b.groupBy("bucket").agg(
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax per group (round 6): the single best row per group WITHOUT a
+# window — MAX over a comparable struct is an ordinary mergeable
+# aggregate (map-side partials, one shuffle of one struct per group per
+# task), strictly cheaper than row_number-then-filter when only the
+# winner is wanted. Tie on the measure resolves to the LOWEST custkey
+# via a negated key inside the struct.
+# ---------------------------------------------------------------------------
+ARGMAX_ORACLE = """
+WITH ranked AS (
+  SELECT c_nationkey,
+         c_custkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
+                            c_custkey) AS rn
+  FROM customer
+)
+SELECT c_nationkey, c_custkey AS top_custkey, acctbal_cents AS top_acctbal_cents
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("argmax_per_group", ARGMAX_ORACLE)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
+    best = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.max(
+                F.struct(
+                    cents.alias("cents"), (-F.col("c_custkey")).alias("negkey")
+                )
+            ).alias("best")
+        )
+    )
+    return best.select(
+        "c_nationkey",
+        (-F.col("best.negkey")).alias("top_custkey"),
+        F.col("best.cents").alias("top_acctbal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth (round 6): monthly revenue per nation with the
+# same-month-last-year comparison — the seasonal-aware growth metric
+# (a LAG(12) over months silently compares wrong months when a month is
+# missing; joining on the shifted month index is exact). NULL
+# prev-year for a nation's first year, as SQL semantics dictate.
+#
+# Scale: fact joins the broadcast customer dim, ONE hash aggregate to
+# (nation x month) — a calendar-x-dimension-bounded relation — then a
+# self-join of that small aggregate on the shifted index. The fact is
+# scanned once.
+# ---------------------------------------------------------------------------
+YOY_ORACLE = """
+WITH rev AS (
+  SELECT c_nationkey,
+         CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT a.c_nationkey, a.y, a.m,
+       a.cents AS rev_cents, b.cents AS prev_yr_cents
+FROM rev a
+LEFT JOIN rev b
+  ON a.c_nationkey = b.c_nationkey AND a.y * 12 + a.m = b.y * 12 + b.m + 12
+"""
+
+
+@register("yoy_growth", YOY_ORACLE)
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
+        )
+        # two consumers of one aggregate (self-join): materialize once
+        .localCheckpoint(eager=False)
+    )
+    a, b = rev.alias("a"), rev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.y") * 12 + F.col("a.m") == F.col("b.y") * 12 + F.col("b.m") + 12),
+            "left",
+        )
+        .select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            F.col("a.y").alias("y"),
+            F.col("a.m").alias("m"),
+            F.col("a.cents").alias("rev_cents"),
+            F.col("b.cents").alias("prev_yr_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent rollup (round 6): each nation's revenue with its
+# region subtotal and the grand total on the same row — the
+# drill-path "% of parent" OLAP readout, as exact cents (the ratios
+# are the caller's last-step division). The hierarchy windows run over
+# the 25-row nation AGGREGATE (dimension-bounded), never the fact.
+# ---------------------------------------------------------------------------
+SHARE_OF_PARENT_ORACLE = """
+WITH nat AS (
+  SELECT n.n_name, r.r_name,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT n_name, r_name, cents,
+       CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+       CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+FROM nat
+"""
+
+
+@register("share_of_parent", SHARE_OF_PARENT_ORACLE)
+def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
+        )
+    )
+    # windows over the 25-row nation aggregate — dimension-bounded
+    return nat.select(
+        "n_name",
+        "r_name",
+        "cents",
+        F.sum("cents").over(W.partitionBy("r_name")).alias("region_cents"),
+        F.sum("cents").over(W.partitionBy()).alias("total_cents"),
+    )

@@ -2119,3 +2119,240 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__mx") - F.col("__mn")).alias("scaled_den"),
         )
     )
+
+
+# ===========================================================================
+# Round-6 additions
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Incremental dedup, STORE-PROBING form (round 6): the production plan of
+# dedup_incremental_lsh — the corpus signature relation is READ FROM THE
+# PERSISTED TableStore (sources/table_store.py), not recomputed from raw
+# text. This is what a daily-crawl pipeline actually executes: signatures
+# are computed once per document ever (at ingest, then appended to the
+# store), and each new batch pays one asymmetric (band, bucket) equi-join
+# against the stored relation — O(|batch| + collisions) per increment,
+# never a corpus re-shingle and never a corpus self-join. Same oracle as
+# dedup_incremental_lsh: the store round-trips the signature relation
+# exactly (integer band/bucket columns), so the persisted-probe result is
+# bit-identical to the recomputed one.
+# ---------------------------------------------------------------------------
+def _incremental_lsh_store_probe(
+    batch: DataFrame, sig_corpus: DataFrame
+) -> DataFrame:
+    """ONE asymmetric equi-join of batch bands against the stored corpus
+    bands (plan-pinned: no self-join, no cartesian; see
+    tests/test_plan_shape.py)."""
+    sig_batch = minhash_signatures(
+        batch, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    return (
+        sig_batch.alias("n")
+        .join(
+            sig_corpus.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+
+
+@register("dedup_incremental_lsh_store", INCREMENTAL_LSH_ORACLE)
+def dedup_incremental_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.table_store import TableStore
+
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    tmp = tempfile.mkdtemp(prefix="ddw_sig_store_")
+    try:
+        store = TableStore(spark, tmp)
+        # ingest-time signature computation, persisted once; at production
+        # scale this write happens per historical batch via store.append
+        store.overwrite(
+            "signatures",
+            minhash_signatures(
+                corpus, "doc_id", "text", k=3, bands=BANDS,
+                rows_per_band=ROWS_PER_BAND,
+            ),
+        )
+        out = _incremental_lsh_store_probe(batch, store.read("signatures"))
+        # detach from the temp files (block-manager copy) before cleanup
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bitmap exact distinct (round 6): EXACT distinct users per event type
+# via fixed-width integer bitmaps — the mergeable exact-distinct
+# primitive (Kylin/Druid-style): bucket ids into 64-bit words
+# (word = id div 64), OR the words in one hash aggregate, then sum
+# popcounts. Unlike COUNT(DISTINCT), the partial state is a bitmap
+# word, so map-side combine works at every stage and rollups can merge
+# saved bitmaps without rescanning facts (the exact counterpart of the
+# approx_distinct_rollup HLL sketches). Precondition: non-negative
+# bounded ids (true for surrogate keys by construction).
+#
+# Scale: shuffle volume = #distinct (group, word) pairs — for dense id
+# spaces that is #ids/64 words regardless of fact row count; both
+# stages are ordinary hash aggregates with partial aggregation.
+# ---------------------------------------------------------------------------
+BITMAP_DISTINCT_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("bitmap_exact_distinct", BITMAP_DISTINCT_ORACLE)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    words = events.groupBy(
+        "event_type", (F.col("user_id") / 64).cast("long").alias("__w")
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, cast(user_id % 64 AS int)))").alias("__bits")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("__bits")).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Systematic sample (round 6): every 100th order in key order — the
+# auditor's deterministic coverage sample (unlike a hash sample, it is
+# evenly spaced along the sort dimension, so monotone drifts in the
+# data show up in the sample). Global positions come from the
+# size-adaptive sequential-id operator with a FREE parquet-footer
+# row-count hint: single-window at test scale, two-phase
+# range-partitioned beyond WINDOW_FORM_MAX_ROWS — never an unbounded
+# single-partition sort.
+# ---------------------------------------------------------------------------
+SYSTEMATIC_ORACLE = """
+SELECT o_orderkey, rn AS sample_pos
+FROM (SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders)
+WHERE (rn - 1) % 100 = 0
+"""
+
+
+@register("systematic_sample", SYSTEMATIC_ORACLE)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import assign_sequential_ids
+    from ..sources.parquet import table_row_count
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    ranked = assign_sequential_ids(
+        orders,
+        "sample_pos",
+        [F.col("o_orderkey")],
+        n_hint=table_row_count(sf_dir, "orders"),
+    )
+    return ranked.filter((F.col("sample_pos") - 1) % 100 == 0)
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard ESTIMATE (round 6): for every LSH candidate pair, the
+# fraction of matching minhash minima — the estimator pipelines use to
+# rank/threshold candidates WITHOUT touching document text again
+# (E[n_match / n_perms] = exact Jaccard). Emitted as the exact pair
+# (n_match, n_perms); deterministic given the engine's fixed md5-slice
+# permutations, so the oracle reproduces it bit-for-bit. Complements
+# dedup_ngram_jaccard, which re-reads text for the EXACT verify.
+#
+# Scale: signature vectors are computed once (one explode + grouped MIN
+# aggregate) and checkpointed; candidates come from the banded
+# equi-join (never all-pairs); the estimate join touches only candidate
+# ids against the n_perms-column minima relation.
+# ---------------------------------------------------------------------------
+_N_PERMS = BANDS * ROWS_PER_BAND
+
+_SQL_MINS = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_perm_hash(j)})) AS m{j}"
+        for j in range(_N_PERMS)
+    )
+    + " FROM sh"
+)
+
+_SQL_SIGS_FROM_MINS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws('|', {ms})) AS bucket FROM mins".format(
+        b=b,
+        ms=", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+    )
+    for b in range(BANDS)
+)
+
+MINHASH_EST_ORACLE = f"""
+WITH all_docs AS ({SQL_NEAR_COPIES}),
+sh AS ({SQL_SHINGLES}),
+mins AS ({_SQL_MINS}),
+sigs AS ({_SQL_SIGS_FROM_MINS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST({" + ".join(f"CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END" for j in range(_N_PERMS))} AS INT) AS n_match,
+       {_N_PERMS} AS n_perms
+FROM pairs p
+JOIN mins x ON p.id_a = x.doc_id
+JOIN mins y ON p.id_b = y.doc_id
+"""
+
+
+@register("minhash_jaccard_estimate", MINHASH_EST_ORACLE)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import minhash_minima
+
+    docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    shingled = shingle_docs(docs, "doc_id", "text", k=3)
+    # signature vectors once, reused by bucketing AND the estimate join
+    mins = minhash_minima(shingled, "doc_id", _N_PERMS).localCheckpoint(eager=False)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"__m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(BANDS)
+    ]
+    sigs = mins.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    ax = mins.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"__m{j}").alias(f"__a{j}") for j in range(_N_PERMS)],
+    )
+    bx = mins.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"__m{j}").alias(f"__b{j}") for j in range(_N_PERMS)],
+    )
+    n_match = sum(
+        F.when(F.col(f"__a{j}") == F.col(f"__b{j}"), 1).otherwise(0)
+        for j in range(_N_PERMS)
+    )
+    return (
+        pairs.join(ax, "id_a")
+        .join(bx, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_match.cast("int").alias("n_match"),
+            F.lit(_N_PERMS).alias("n_perms"),
+        )
+    )

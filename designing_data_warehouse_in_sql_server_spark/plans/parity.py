@@ -593,3 +593,46 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unknown-member dimension join (round 6): fact rows whose dimension key
+# has no dim row yet map to the reserved UNKNOWN member (-1 /
+# 'Unknown') instead of being dropped or nulled — the standard
+# late-arriving-dimension guard. The reference's fact load INNER-joins
+# dim_city (reference etl/transform_load.sql:59), silently DROPPING
+# facts for unregistered cities; this is the warehouse-correct
+# replacement (surfaced as a labeled divergence: row counts differ from
+# the reference's semantics by exactly the orphaned facts).
+#
+# Scale: one broadcast join of the dim (inner joins and left joins
+# broadcast identically); the fallback is a pure projection. Simulated
+# here by withholding every 50th customer from the dim.
+# ---------------------------------------------------------------------------
+UNKNOWN_MEMBER_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 50 <> 0
+)
+SELECT o.o_orderkey,
+       COALESCE(d.c_custkey, -1) AS cust_sk,
+       COALESCE(d.c_name, 'Unknown') AS cust_name
+FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+"""
+
+
+@register("unknown_member_join", UNKNOWN_MEMBER_ORACLE)
+def unknown_member_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 != 0)
+        .select("c_custkey", "c_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("c_custkey", F.lit(-1)).alias("cust_sk"),
+            F.coalesce("c_name", F.lit("Unknown")).alias("cust_name"),
+        )
+    )

@@ -2048,3 +2048,86 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("peak_concurrent"),
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_sessions"),
     )
+
+
+# ===========================================================================
+# Round-6 additions
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (round 6): distribution of the leading digit
+# of order totals — the classic fabricated-data screen (organic
+# multiplicative amounts follow log10(1+1/d); uniform leading digits
+# flag synthetic or tampered figures). Emitted as exact counts
+# (digit, n, total); the caller divides and compares to the Benford
+# curve. One hash aggregate over the fact; the total rides a window
+# over the <=9-row digit relation.
+# ---------------------------------------------------------------------------
+BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+)
+SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total
+FROM g
+"""
+
+
+@register("benford_first_digit", BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)"
+    )
+    g = orders.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    # window over the <=9-row digit aggregate — constant-bounded
+    return g.select("digit", "n", F.sum("n").over(W.partitionBy()).alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# Contingency table with expected counts (round 6): the chi-square
+# independence test's ingredients for returnflag x linestatus — per
+# cell: observed count plus the expected count as the EXACT fraction
+# (row_total * col_total) / grand_total. The chi-square statistic is
+# the caller's last-step float fold; everything here is integer and
+# hash-stable. (row_total * col_total <= (6e9)^2 at 100 TB — still
+# inside BIGINT for any realistic fact count; the contract is
+# documented rather than silently overflowing into DECIMAL.)
+#
+# Scale: one hash aggregate over the fact to the CELL relation
+# (|flags| x |statuses| rows, category-bounded); marginals are windows
+# over that tiny relation, never a fact rescan.
+# ---------------------------------------------------------------------------
+CONTINGENCY_ORACLE = """
+WITH cell AS (
+  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, observed,
+       CAST(SUM(observed) OVER (PARTITION BY l_returnflag)
+            * SUM(observed) OVER (PARTITION BY l_linestatus) AS BIGINT)
+           AS expected_num,
+       CAST(SUM(observed) OVER () AS BIGINT) AS expected_den
+FROM cell
+"""
+
+
+@register("contingency_chi_square", CONTINGENCY_ORACLE)
+def contingency_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cell = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("observed")
+    )
+    row_tot = F.sum("observed").over(W.partitionBy("l_returnflag"))
+    col_tot = F.sum("observed").over(W.partitionBy("l_linestatus"))
+    grand = F.sum("observed").over(W.partitionBy())
+    return cell.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        (row_tot * col_tot).alias("expected_num"),
+        grand.alias("expected_den"),
+    )

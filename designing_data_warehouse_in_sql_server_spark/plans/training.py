@@ -274,3 +274,32 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(draw < F.least(F.col("n_chars"), F.lit(9000))).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (round 6): deterministic 5-fold
+# cross-validation folds, stratified by language — round-robin over the
+# within-stratum rank, so every fold gets ±1 of each language (a plain
+# hash split only stratifies in expectation; rare strata end up
+# unbalanced). Companion to train_val_test_split's hash buckets.
+#
+# Scale: one shuffle on the stratum key for the per-stratum window; the
+# rank is only used mod k, so no global ordering and no driver state.
+# ---------------------------------------------------------------------------
+KFOLD_ORACLE = """
+SELECT doc_id, lang,
+       CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1) % 5
+            AS INT) AS fold
+FROM documents
+"""
+
+
+@register("stratified_kfold", KFOLD_ORACLE)
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(w) - 1) % 5).cast("int").alias("fold"),
+    )

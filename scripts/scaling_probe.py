@@ -224,9 +224,150 @@ def main_heavies() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# Frontier mode (round-5 verdict ask): push the four frontier claims —
+# pagerank_fixed, triangle_count, m4_downsample (registered queries over
+# a scaled dir), simhash_near_pairs (operator over a salted corpus) —
+# from the 10x probe to 100x, where constant-factor cliffs (shuffle
+# spill, window sort spill) would show. Only the tables those queries
+# read (lineitem, orders, events) are scaled; the rest pass through.
+#
+# The simhash corpus salts EVERY word with the copy index, so copies
+# occupy DISJOINT similarity neighborhoods (the replicated_docs fixture
+# would make all N copies of a doc mutually near-dup — true-pair count,
+# and hence honest wall-clock, quadratic in N by construction; salting
+# mirrors the heavies fixture's 10-year timestamp offsets: growth is
+# linear because the planted structure is). Expected pairs = N x the
+# 1x corpus's internal near-dup pairs.
+# ---------------------------------------------------------------------------
+FRONTIER = ("pagerank_fixed", "triangle_count", "m4_downsample")
+_FRONTIER_TABLES = {k: v for k, v in _SCALED_TABLES.items()
+                    if k in ("lineitem", "orders", "events")}
+
+
+def salted_docs(spark, n_copies: int):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    if n_copies == 1:
+        return docs
+    copies = spark.range(n_copies).select(F.col("id").alias("copy"))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    salted = F.array_join(
+        F.transform(words, lambda w: F.concat(w, F.lit("x"), F.col("copy").cast("string"))),
+        " ",
+    )
+    return docs.crossJoin(F.broadcast(copies)).select(
+        (F.col("doc_id") + F.col("copy") * 10_000_000).alias("doc_id"),
+        salted.alias("text"),
+    )
+
+
+def main_frontier() -> None:
+    import tempfile
+
+    global _SCALED_TABLES
+    _SCALED_TABLES = _FRONTIER_TABLES
+
+    spark = get_spark("ddw-scaling-probe-frontier")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def simhash_at(scale: int) -> float:
+        docs = salted_docs(spark, scale).localCheckpoint(eager=True)
+        return timed(
+            "simhash_near_pairs",
+            scale,
+            lambda: simhash_near_pairs(
+                simhash_fingerprint(docs, "doc_id", "text", bits=32),
+                "doc_id",
+                max_hamming=2,
+                n_bits=32,
+            ),
+        )
+
+    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER)
+    base["simhash_near_pairs"] = simhash_at(1)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_frontier_") as tmp:
+        build_scaled_dir(spark, tmp, SCALE)
+        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER)
+    scaled["simhash_near_pairs"] = simhash_at(SCALE)
+    summary = {
+        "mode": "frontier",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+def run_heavies_named(spark, sf_dir: str, scale: int, names) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - start, 2)
+        print(json.dumps({"op": name, "scale": scale, "sec": out[name]}), flush=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# build_sf1 mode (round-5 verdict ask 8): materialize a PERSISTENT
+# 10x-sf0.1 ("sf1") testdata dir so `SPARK_GRAFT_SF_DIR=<dir>/sf1
+# python bench.py` measures the FULL registry at 10x data. All
+# fact/entity tables get the heavies treatment (key offsets, disjoint
+# 10-year time shifts); documents get per-copy word salting (disjoint
+# similarity neighborhoods — near-dup structure grows linearly);
+# embeddings get a per-copy cyclic rotation (norm-preserving, so copies
+# are far apart and ANN outputs grow linearly). nation/region pass
+# through (bounded dims). An sf0.001 symlink is laid beside it so
+# bench.py's warm-up pass resolves.
+# ---------------------------------------------------------------------------
+def build_sf1(out_root: str) -> None:
+    spark = get_spark("ddw-build-sf1")
+    sf1 = os.path.join(out_root, "sf1")
+    os.makedirs(sf1, exist_ok=True)
+    build_scaled_dir(spark, sf1, SCALE)
+    salted_docs(spark, SCALE).join(
+        F.broadcast(
+            load_table(spark, SF_DIR, "documents").select(
+                F.col("doc_id").alias("__orig"), "lang", "source"
+            )
+        ),
+        F.col("doc_id") % 10_000_000 == F.col("__orig"),
+    ).drop("__orig").withColumn(
+        "n_chars", F.length("text").cast("long")  # true length of the salted text
+    ).write.mode("overwrite").parquet(
+        os.path.join(sf1, "documents.parquet")
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    copies = spark.range(SCALE).select(F.col("id").alias("__copy"))
+    dim = len(emb.select("embedding").first()[0])
+    rotated = F.concat(
+        F.slice(F.col("embedding"), F.col("__copy") + 1, F.lit(dim) - F.col("__copy")),
+        F.slice(F.col("embedding"), 1, F.col("__copy")),
+    )
+    emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+        rotated.alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(os.path.join(sf1, "embeddings.parquet"))
+    warm = os.path.join(out_root, "sf0.001")
+    if not os.path.exists(warm):
+        os.symlink("/root/testdata/sf0.001", warm)
+    print(json.dumps({"mode": "build_sf1", "dir": sf1, "scale": SCALE}), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
+        main_frontier()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "build_sf1":
+        build_sf1(os.environ.get("SPARK_GRAFT_SF1_ROOT", "/tmp/ddw_testdata"))
         return
     spark = get_spark("ddw-scaling-probe")
     # warm-up

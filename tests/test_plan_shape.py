@@ -656,3 +656,47 @@ def test_revenue_gini_all_windows_partitioned(spark):
     plan = _plan(QS["revenue_gini"](spark, SF_DIR))
     assert "SinglePartition" not in plan, plan[:3000]
     assert "Window" in plan
+
+
+def test_incremental_lsh_store_probe_scans_store(spark, tmp_path):
+    """The production increment path: the corpus side is scanned FROM THE
+    PERSISTED signature store (no re-shingle of corpus text anywhere in
+    the plan), and the probe is still exactly one asymmetric equi-join."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        minhash_signatures,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        BANDS,
+        ROWS_PER_BAND,
+        _incremental_lsh_store_probe,
+        _with_near_copies,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        TableStore,
+    )
+
+    docs = _with_near_copies(load_table(spark, SF_DIR, "documents"))
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite(
+        "signatures",
+        minhash_signatures(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND,
+        ),
+    )
+    out = _incremental_lsh_store_probe(
+        docs.filter(F.col("doc_id") % 10 == 0), store.read("signatures")
+    )
+    plan = _plan(out)
+    n_joins = len(
+        re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    )
+    assert n_joins == 1, plan[:3000]
+    # the corpus side reads the persisted store files, not documents.parquet:
+    # the only documents scans are the batch side's planted-copies union
+    # (2 scans); a corpus recompute would double that to 4
+    assert str(tmp_path) in plan, plan[:3000]
+    assert plan.count("documents.parquet") == 2, plan[:3000]
