@@ -33,21 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # overflow-safe reservoir hash, dictionary-hinted label encode,
 # single-aggregate peak concurrency, decimal-exact gini,
 # distinct-level fuzzy pairs).
-# Round 6: zorder_layout_key and stratified_sample re-measured because
-# their committed minima (0.12 / 0.07 s) were NOT reproducible by any
-# r4/r5/solo pass (~0.35-0.39 / 0.14-0.20 s — VERDICT r5 item 2: likely
-# artifacts of an earlier quiet-host pass); the other four changed
-# implementation this round (n_hint now sourced from parquet footers, no
-# plan-construction count job; percent_rank/abc also pick up the
-# one-sort prefix_sum total).
-FRESH: set[str] = {
-    "zorder_layout_key",
-    "stratified_sample",
-    "peak_concurrency",
-    "pareto_frontier",
-    "abc_classification",
-    "percent_rank_global",
-}
+# Round-6 FRESH set (cleared 2026-08-14 after the refresh from two solo
+# best-of-3 passes): zorder_layout_key / stratified_sample re-measured
+# because their committed minima (0.12 / 0.07 s) were flagged
+# unreproducible by VERDICT r5 item 2 (new rows 0.18 / 0.08 s, hit in
+# BOTH passes); peak_concurrency / pareto_frontier / abc_classification
+# / percent_rank_global re-measured because their n_hint is now sourced
+# from parquet footers (no plan-construction count job) and
+# percent_rank/abc also picked up the one-sort prefix_sum total.
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 

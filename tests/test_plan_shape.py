@@ -700,3 +700,58 @@ def test_incremental_lsh_store_probe_scans_store(spark, tmp_path):
     # (2 scans); a corpus recompute would double that to 4
     assert str(tmp_path) in plan, plan[:3000]
     assert plan.count("documents.parquet") == 2, plan[:3000]
+
+
+def test_bitmap_distinct_no_expand_two_aggregates(spark):
+    """The bitmap form must NOT plan COUNT(DISTINCT)'s Expand; both
+    stages are plain hash aggregates with map-side partials, so the
+    shuffled state is bitmap words, never raw ids."""
+    plan = _plan(QS["bitmap_exact_distinct"](spark, SF_DIR))
+    assert "Expand" not in plan, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan
+    assert _n_exchanges(plan) == 2, plan[:2000]
+
+
+def test_argmax_no_window_single_exchange(spark):
+    """Argmax is a mergeable MAX-over-struct aggregate — no window, one
+    exchange, map-side partial aggregation."""
+    plan = _plan(QS["argmax_per_group"](spark, SF_DIR))
+    assert "Window" not in plan, plan[:2000]
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 1, plan[:2000]
+    assert "partial_max" in plan or re.search(r"max\([^)]*\), Partial", plan), plan[:2000]
+
+
+def test_weighted_median_one_sort_per_group(spark):
+    """Running-weight and total frames share ONE per-group sort: exactly
+    one Window operator and one exchange before the final aggregate."""
+    plan = _plan(QS["weighted_median"](spark, SF_DIR))
+    n_windows = len(re.findall(r"\(\d+\) Window", plan))
+    assert n_windows == 1, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_asof_nearest_no_join_one_exchange(spark):
+    """The nearest mode keeps the directional modes' shape: union + one
+    ordered per-user window — never a range join, one exchange."""
+    plan = _plan(QS["asof_join_nearest"](spark, SF_DIR))
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+    assert _n_exchanges(plan) == 1, plan[:3000]
+
+
+def test_yoy_aggregate_materialized_once(spark):
+    """The (nation x month) aggregate is checkpointed before the
+    self-join: both join sides scan the SAME materialized relation and
+    the fact table appears NOWHERE in the final plan — the orders scan
+    + broadcast customer join ran exactly once, inside the checkpoint."""
+    plan = _plan(QS["yoy_growth"](spark, SF_DIR))
+    assert plan.count("orders.parquet") == 0, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2, plan[:3000]
+    assert "LeftOuter" in plan, plan[:3000]
+
+
+def test_unknown_member_broadcast_left_join(spark):
+    """The dim fallback join must broadcast the dimension side."""
+    plan = _plan(QS["unknown_member_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan[:2000]
