@@ -549,8 +549,13 @@ def _spread_sql(col: str) -> str:
     the 16 literals; the whole key is one codegen'd projection.
     """
     x = f"(CAST({col} AS BIGINT) % 65536)"
+    # BIGINT term literals: with bit 15 of a dimension set the term sum
+    # reaches 0x55555555 and the final `* 2` overflows INT32 — an ANSI
+    # ARITHMETIC_OVERFLOW first hit at the sf1 probe, where offset
+    # custkeys populate the high bits (sf<=0.1 keys never did)
     terms = [
-        f"CASE WHEN {x} % {1 << (i + 1)} >= {1 << i} THEN {4 ** i} ELSE 0 END"
+        f"CASE WHEN {x} % {1 << (i + 1)} >= {1 << i}"
+        f" THEN CAST({4 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for i in range(16)
     ]
     return " + ".join(terms)
