@@ -97,7 +97,24 @@ _CHECK_FIRST = (
     "window_relative_rank",
     "zscore_cap",
     # --- 50-query window boundary is here (15 new + 5 changed + 30
-    # r2-stale); the 36 r3-stale queries below are the round-7 queue ---
+    # r2-stale). Below: the round-7 queue — the 14 wave-2 queries
+    # registered late in round 6 (locally oracle-diffed every pytest
+    # run; driver-checked first thing next round), then the 36
+    # r3-stale queries ---
+    "kaplan_meier_churn",
+    "bollinger_breakout",
+    "rolling_correlation",
+    "seasonal_decompose_cma",
+    "rsi_indicator",
+    "mutual_information",
+    "format_mask_profile",
+    "hypothetical_rank",
+    "ab_test_proportions",
+    "skew_kurtosis_moments",
+    "kmv_distinct_intersection",
+    "countmin_frequency",
+    "feature_hashing",
+    "sliding_distinct_users",
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",

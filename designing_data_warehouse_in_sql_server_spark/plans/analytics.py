@@ -2842,3 +2842,388 @@ def share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(W.partitionBy("r_name")).alias("region_cents"),
         F.sum("cents").over(W.partitionBy()).alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (round 6): per-user activity lifetimes from the
+# event stream, churn = no activity in the final 14 days before the
+# corpus horizon, and the KM risk table + product-limit survival
+# estimate at each churn time (Kaplan & Meier 1958). Users still active
+# at the horizon are right-CENSORED: they count in the at-risk
+# denominator up to their observed lifetime but never as deaths — the
+# asymmetry a naive churn-rate query gets wrong.
+#
+# Determinism: the risk table is exact integers; `survival` is
+# exp(running sum of ln(1 - d/n)) where every ln() argument is the same
+# exact rational on both engines and the running frame fixes the
+# summation order, then ROUND 6 absorbs sub-ulp libm drift.
+#
+# Scale: one shuffle to the per-user aggregate; the risk table lives on
+# the lifetime HISTOGRAM, whose size is bounded by the calendar span in
+# days, not by users — the unpartitioned windows run over that bounded
+# relation only. The horizon is a broadcast 1-row aggregate OF the
+# per-user relation (no second fact scan).
+# ---------------------------------------------------------------------------
+KAPLAN_MEIER_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', min(date_trunc('day', ts)), max(date_trunc('day', ts))) AS lifetime,
+         max(date_trunc('day', ts)) AS last_day
+  FROM events GROUP BY user_id
+), horizon AS (SELECT max(last_day) AS h FROM per_user),
+hist AS (
+  SELECT lifetime,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(*) FILTER (date_diff('day', last_day, h) >= 14) AS BIGINT) AS n_churned
+  FROM per_user, horizon GROUP BY lifetime
+), risk AS (
+  SELECT lifetime, n_churned,
+         SUM(n_users) OVER (ORDER BY lifetime DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk
+  FROM hist
+), surv AS (
+  SELECT lifetime, n_churned, n_at_risk,
+         MAX(CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END) OVER w AS extinct,
+         SUM(CASE WHEN n_churned < n_at_risk
+                  THEN ln(1.0 - n_churned / CAST(n_at_risk AS DOUBLE))
+                  ELSE 0.0 END) OVER w AS lnsum
+  FROM risk
+  WINDOW w AS (ORDER BY lifetime ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(lifetime AS BIGINT) AS lifetime_days, n_churned,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CASE WHEN extinct = 1 THEN 0.0 ELSE ROUND(EXP(lnsum), 6) END AS survival
+FROM surv WHERE n_churned > 0
+"""
+
+
+@register("kaplan_meier_churn", KAPLAN_MEIER_ORACLE)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", "ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    horizon = per_user.agg(F.max("last_day").alias("h"))
+    hist = (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_day", "first_day").alias("lifetime"),
+            (F.datediff("h", "last_day") >= 14).alias("churned"),
+        )
+        .groupBy("lifetime")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("n_churned"),
+        )
+    )
+    # windows over the day-bounded lifetime histogram only
+    risk = hist.select(
+        "lifetime",
+        "n_churned",
+        F.sum("n_users")
+        .over(
+            W.orderBy(F.desc("lifetime")).rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("n_at_risk"),
+    )
+    w = W.orderBy("lifetime").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ln_term = F.when(
+        F.col("n_churned") < F.col("n_at_risk"),
+        F.log(F.lit(1.0) - F.col("n_churned") / F.col("n_at_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    surv = risk.select(
+        "lifetime",
+        "n_churned",
+        "n_at_risk",
+        F.max(F.when(F.col("n_churned") == F.col("n_at_risk"), 1).otherwise(0))
+        .over(w)
+        .alias("extinct"),
+        F.sum(ln_term).over(w).alias("lnsum"),
+    )
+    return surv.filter(F.col("n_churned") > 0).select(
+        F.col("lifetime").cast("long").alias("lifetime_days"),
+        "n_churned",
+        "n_at_risk",
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger-band breakout screen (round 6): daily revenue vs a trailing
+# 20-day mean +/- 2 sigma band, flagged entirely in EXACT integer
+# arithmetic — |x - mean| > 2*sigma is cross-multiplied to
+#   (n*x - S)^2 * (n-1)  >  4 * n * (n*SS - S^2)
+# so no float ever enters the comparison (sample variance; days with
+# n < 2 in the window can never flag). Spark carries the squares in
+# DECIMAL(38,0), the oracle in HUGEINT — both exact; capacity bound:
+# daily cents < ~3e9 per day keeps (n*x)^2 under 38 digits at n=20.
+#
+# Scale: one hash aggregate over the fact to the calendar-bounded daily
+# relation; the trailing window sorts only that relation.
+# ---------------------------------------------------------------------------
+BOLLINGER_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS x
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT d, x,
+         COUNT(*) OVER w AS n, SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS d, CAST(x AS BIGINT) AS cents,
+       CAST(n AS BIGINT) AS n_win,
+       CAST(CASE
+         WHEN (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s)
+         THEN CASE WHEN n * x > s THEN 1 ELSE -1 END
+         ELSE 0
+       END AS INT) AS breakout
+FROM win
+"""
+
+
+@register("bollinger_breakout", BOLLINGER_ORACLE)
+def bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("DAY", "o_orderdate").alias("d")).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    w = W.orderBy("d").rowsBetween(-19, W.currentRow)
+    win = daily.select(
+        "d",
+        "x",
+        F.count("*").over(w).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+    )
+    nx_s = F.col("n") * F.col("x") - F.col("s")
+    exceeds = nx_s * nx_s * (F.col("n") - 1) > 4 * F.col("n") * (
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return win.select(
+        "d",
+        F.col("x").cast("long").alias("cents"),
+        F.col("n").cast("long").alias("n_win"),
+        F.when(
+            exceeds,
+            F.when(F.col("n") * F.col("x") > F.col("s"), 1).otherwise(-1),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("breakout"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation (round 6): trailing-30-day Pearson correlation of
+# daily order COUNT vs daily revenue — computed from EXACT integer
+# co-moment sums (n, Sx, Sy, Sxy, Sxx, Syy carried in DECIMAL(38,0) /
+# HUGEINT over the window), combined into corr in ONE double expression
+# identical on both engines (IEEE ops on identical inputs), ROUND 6.
+# This sidesteps engine-specific incremental corr() kernels whose
+# intermediate rounding differs.
+#
+# Scale: same shape as bollinger — fact-sized hash aggregate, then
+# windows over the calendar-bounded daily relation only.
+# ---------------------------------------------------------------------------
+ROLLING_CORR_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(COUNT(*) AS HUGEINT) AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT d,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy, SUM(x * y) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS d, CAST(n AS BIGINT) AS n_win,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS corr_30d
+FROM win
+"""
+
+
+@register("rolling_correlation", ROLLING_CORR_ORACLE)
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("DAY", "o_orderdate").alias("d")).agg(
+        F.count("*").cast("decimal(38,0)").alias("x"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    w = W.orderBy("d").rowsBetween(-29, W.currentRow)
+    win = daily.select(
+        "d",
+        F.count("*").over(w).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return win.select(
+        "d",
+        F.col("n").cast("long").alias("n_win"),
+        F.when(
+            (F.col("n") >= 2) & (var_x > 0) & (var_y > 0), F.round(corr, 6)
+        ).alias("corr_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition, detrend step (round 6): monthly
+# order counts detrended by a 2x12 centered moving average (the
+# textbook ratio-to-moving-average method: trend at month t weights
+# t-6 and t+6 by 1/2 and the 11 months between by 1 — the only
+# 13-month kernel that is both centered and calendar-aligned). The
+# seasonal ratio is emitted as the exact integer pair
+# (24 * x_t, trend_num24) plus the rounded double ratio — months
+# within 6 of either series edge have no centered trend and emit NULLs.
+#
+# Scale: one fact-sized hash aggregate to the month grain; the window
+# runs over the calendar-bounded monthly relation only (one sort, lag
+# and lead both read it).
+# ---------------------------------------------------------------------------
+SEASONAL_CMA_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m, CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT m, x,
+         CASE WHEN COUNT(*) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) = 11
+              THEN LAG(x, 6) OVER (ORDER BY m) + LEAD(x, 6) OVER (ORDER BY m)
+                   + 2 * SUM(x) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+         END AS trend_num24
+  FROM monthly
+)
+SELECT CAST(m AS TIMESTAMP) AS m, CAST(MONTH(m) AS INT) AS moy, x,
+       CAST(trend_num24 AS BIGINT) AS trend_num24,
+       ROUND(24.0 * x / trend_num24, 6) AS seasonal_ratio
+FROM win
+"""
+
+
+@register("seasonal_decompose_cma", SEASONAL_CMA_ORACLE)
+def seasonal_decompose_cma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("MONTH", "o_orderdate").alias("m")).agg(
+        F.count("*").alias("x")
+    )
+    base = W.orderBy("m")
+    mid = base.rowsBetween(-5, 5)
+    trend = F.when(
+        F.count("*").over(mid) == 11,
+        F.lag("x", 6).over(base) + F.lead("x", 6).over(base) + 2 * F.sum("x").over(mid),
+    )
+    win = monthly.select("m", "x", trend.alias("trend_num24"))
+    return win.select(
+        "m",
+        F.month("m").cast("int").alias("moy"),
+        "x",
+        F.col("trend_num24").cast("long").alias("trend_num24"),
+        F.round(F.lit(24.0) * F.col("x") / F.col("trend_num24"), 6).alias(
+            "seasonal_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSI-14 (round 6): Wilder's relative-strength index over the daily
+# revenue series in its simple-moving-average form — trailing-14 sums
+# of up-moves and down-moves as EXACT integer cents, with the index
+# itself a single rounded double expression (only defined once 14
+# deltas exist; an all-gain window pins RSI to 100 exactly).
+#
+# Scale: fact-sized hash aggregate to the day grain; both the delta lag
+# and the trailing sums share ONE ordered window over the
+# calendar-bounded daily relation.
+# ---------------------------------------------------------------------------
+RSI_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), delta AS (
+  SELECT d, cents - LAG(cents) OVER (ORDER BY d) AS dx FROM daily
+), win AS (
+  SELECT d,
+         COUNT(dx) OVER w AS n_deltas,
+         SUM(CASE WHEN dx > 0 THEN dx ELSE 0 END) OVER w AS gain_cents,
+         SUM(CASE WHEN dx < 0 THEN -dx ELSE 0 END) OVER w AS loss_cents
+  FROM delta
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS d,
+       CAST(gain_cents AS BIGINT) AS gain_cents,
+       CAST(loss_cents AS BIGINT) AS loss_cents,
+       CASE WHEN loss_cents = 0 THEN 100.0
+            ELSE ROUND(100.0 - 100.0 / (1.0 + CAST(gain_cents AS DOUBLE)
+                                              / CAST(loss_cents AS DOUBLE)), 4)
+       END AS rsi_14
+FROM win WHERE n_deltas = 14
+"""
+
+
+@register("rsi_indicator", RSI_ORACLE)
+def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("DAY", "o_orderdate").alias("d")).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    base = W.orderBy("d")
+    delta = daily.select(
+        "d", (F.col("cents") - F.lag("cents").over(base)).alias("dx")
+    )
+    w = base.rowsBetween(-13, W.currentRow)
+    win = delta.select(
+        "d",
+        F.count("dx").over(w).alias("n_deltas"),
+        F.sum(F.when(F.col("dx") > 0, F.col("dx")).otherwise(0)).over(w).alias(
+            "gain_cents"
+        ),
+        F.sum(F.when(F.col("dx") < 0, -F.col("dx")).otherwise(0)).over(w).alias(
+            "loss_cents"
+        ),
+    )
+    rsi = F.when(F.col("loss_cents") == 0, F.lit(100.0)).otherwise(
+        F.round(
+            F.lit(100.0)
+            - F.lit(100.0)
+            / (
+                F.lit(1.0)
+                + F.col("gain_cents").cast("double") / F.col("loss_cents").cast("double")
+            ),
+            4,
+        )
+    )
+    return win.filter(F.col("n_deltas") == 14).select(
+        "d", "gain_cents", "loss_cents", rsi.alias("rsi_14")
+    )

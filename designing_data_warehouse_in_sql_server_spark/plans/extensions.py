@@ -9,7 +9,7 @@ operators have real positives to find at every scale factor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.dedup_text import (
@@ -2355,4 +2355,343 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_match.cast("int").alias("n_match"),
             F.lit(_N_PERMS).alias("n_perms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-intersection estimate (round 6): k-minimum-values
+# sketches (Bar-Yossef et al. 2002; Beyer et al. 2007 for the
+# intersection form) of the click-user and purchase-user sets, merged
+# to estimate |A INTERSECT B| WITHOUT a distinct-count over the
+# intersection — the mergeable primitive for audience-overlap /
+# cross-dataset-contamination questions when the sets live in
+# different partitions or different days' sketches. Deterministic:
+# ids hash through the engine's md5-slice (32-bit), so sketch contents
+# and the estimate reproduce bit-for-bit on both engines; the exact
+# intersection is emitted alongside for self-validation.
+#
+# Scale: per-set k smallest distinct hashes via a rank<=k window that
+# compiles to a map-side WindowGroupLimit (shuffle volume ~= #tasks *
+# k, not #distinct); every downstream relation is k-bounded (the
+# merged sketch, the membership joins, the 1-row output). The exact
+# companion is one extra hash aggregate over the same deduped
+# (type,user) relation.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPARK_H = "CAST(CONV(SUBSTR(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+_KMV_DUCK_H = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+
+KMV_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+), hashed AS (
+  SELECT DISTINCT event_type, {_KMV_DUCK_H} AS h FROM du
+), sk AS (
+  SELECT event_type, h FROM hashed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) <= {_KMV_K}
+), merged AS (
+  SELECT h, COUNT(*) AS n_sets FROM sk GROUP BY h
+  QUALIFY ROW_NUMBER() OVER (ORDER BY h) <= {_KMV_K}
+), stats AS (
+  SELECT MAX(h) AS kth_min,
+         CAST(COUNT(*) FILTER (n_sets = 2) AS BIGINT) AS n_both
+  FROM merged
+), exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT user_id FROM du GROUP BY user_id HAVING COUNT(*) = 2)
+)
+SELECT {_KMV_K} AS k, kth_min, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / {_KMV_K}.0
+             * ({_KMV_K}.0 - 1.0) * 4294967296.0 / CAST(kth_min AS DOUBLE), 2)
+         AS est_intersection,
+       exact_intersection
+FROM stats, exact
+"""
+
+
+@register("kmv_distinct_intersection", KMV_ORACLE)
+def kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # the deduped (type, user) relation feeds both the sketch chain and
+    # the exact companion — a lazy checkpoint shares ONE fact scan +
+    # dedup between them instead of recomputing the subtree per consumer
+    du = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hashed = du.select("event_type", F.expr(_KMV_SPARK_H).alias("h")).distinct()
+    # rank<=k compiles to WindowGroupLimit: each task forwards only its
+    # local k smallest hashes per set
+    sk = (
+        hashed.withColumn(
+            "__r", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("__r") <= _KMV_K)
+        .drop("__r")
+    )
+    merged = (
+        sk.groupBy("h")
+        .agg(F.count("*").alias("n_sets"))
+        .withColumn("__r", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("__r") <= _KMV_K)
+    )
+    stats = merged.agg(
+        F.max("h").alias("kth_min"),
+        F.sum(F.when(F.col("n_sets") == 2, 1).otherwise(0)).alias("n_both"),
+    )
+    exact = (
+        du.groupBy("user_id")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") == 2)
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    est = (
+        F.col("n_both").cast("double")
+        / _KMV_K
+        * (_KMV_K - 1.0)
+        * 4294967296.0
+        / F.col("kth_min").cast("double")
+    )
+    return stats.crossJoin(F.broadcast(exact)).select(
+        F.lit(_KMV_K).alias("k"),
+        "kth_min",
+        "n_both",
+        F.round(est, 2).alias("est_intersection"),
+        "exact_intersection",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimate (round 6, Cormode & Muthukrishnan
+# 2005): per-user event frequencies summarized into a depth-4 x
+# width-512 counter grid (increment cell (j, h_j(user)) per event),
+# point-queried for eight probe users as min over the 4 rows — the
+# fixed-memory frequency primitive whose ESTIMATE >= EXACT always
+# (one-sided error), with the exact counts emitted alongside.
+# Deterministic md5-slice row hashes reproduce on both engines.
+#
+# Scale: the build is one hash aggregate over a 4x map-side expansion
+# (posexplode of the row index) whose output is the 2048-cell grid
+# regardless of input size; probes join that grid broadcast. The exact
+# companion prunes to the probe ids BEFORE aggregating (PushedFilters
+# carries user_id IN (...) to the scan).
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 512
+_CMS_PROBES = tuple(range(8))
+
+
+def _cms_spark_bucket(j: str) -> str:
+    return (
+        f"CAST(CONV(SUBSTR(md5(CONCAT(CAST({j} AS STRING), ':', CAST(user_id AS STRING))), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_duck_bucket(j: str) -> str:
+    return (
+        f"('0x' || substr(md5(CONCAT(CAST({j} AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 8))::BIGINT"
+        f" % {_CMS_W}"
+    )
+
+
+COUNTMIN_ORACLE = f"""
+WITH cells AS (
+  SELECT j, {_cms_duck_bucket("j")} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT u.user_id, p.j, {_cms_duck_bucket("p.j")} AS bucket
+  FROM (SELECT unnest(ARRAY{list(_CMS_PROBES)}) AS user_id) u,
+       (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) p
+), est AS (
+  SELECT p.user_id, MIN(c.c) AS est_events
+  FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY 1
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_events
+  FROM events WHERE user_id IN {_CMS_PROBES} GROUP BY 1
+)
+SELECT e.user_id, e.est_events, x.exact_events
+FROM est e JOIN exact x ON e.user_id = x.user_id
+"""
+
+
+@register("countmin_frequency", COUNTMIN_ORACLE)
+def countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    rows = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    cells = (
+        events.select("user_id", F.explode(rows).alias("j"))
+        .select("j", F.expr(_cms_spark_bucket("j")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        spark.range(len(_CMS_PROBES))
+        .select(F.col("id").alias("user_id"))
+        .select("user_id", F.explode(rows).alias("j"))
+        .select("user_id", "j", F.expr(_cms_spark_bucket("j")).alias("bucket"))
+    )
+    est = (
+        cells.join(F.broadcast(probes), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_events"))
+    )
+    exact = (
+        events.filter(F.col("user_id").isin(*_CMS_PROBES))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_events"))
+    )
+    return est.join(F.broadcast(exact), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing / hashing trick (round 6, Weinberger et al. 2009):
+# documents vectorized into a FIXED 256-dimension sparse term-frequency
+# vector by hashing each token to a bucket, with a second independent
+# hash bit supplying the +/-1 sign that keeps collisions unbiased
+# (E[<phi(a), phi(b)>] = <a, b>). The vocabulary-free vectorizer for
+# ML featurization at corpus scale: no dictionary build, no OOV set,
+# output width fixed no matter how the vocabulary grows. Deterministic
+# md5 bucket/sign hashes reproduce on both engines; a doc subset keeps
+# the demonstration output bounded.
+#
+# Scale: tokenize -> explode -> ONE hash aggregate on (doc, bucket)
+# with map-side combine; rows out <= docs * 256 regardless of
+# vocabulary; no joins, no windows, no driver collection.
+# ---------------------------------------------------------------------------
+_FH_DIM = 256
+
+FEATURE_HASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5('fh:' || tok), 1, 8))::BIGINT % {_FH_DIM} AS INT) AS bucket,
+       CAST(SUM(CASE WHEN substr(md5('fhs:' || tok), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7')
+                     THEN 1 ELSE -1 END) AS BIGINT) AS feat_val
+FROM toks GROUP BY 1, 2
+"""
+
+
+@register("feature_hashing", FEATURE_HASH_ORACLE)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import words_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    toks = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
+    bucket = F.expr(
+        f"CAST(CAST(CONV(SUBSTR(md5(CONCAT('fh:', tok)), 1, 8), 16, 10) AS BIGINT) % {_FH_DIM} AS INT)"
+    )
+    sign = F.when(
+        F.substring(F.md5(F.concat(F.lit("fhs:"), F.col("tok"))), 1, 1).isin(*"01234567"),
+        1,
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("feat_val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct users per day (round 6): for every calendar
+# day, how many DISTINCT users were active in the trailing 7 days — the
+# rolling-MAU/WAU metric. COUNT(DISTINCT) does not slide, so the naive
+# forms are a 7x contribution explode (shuffles 7x the deduped pairs)
+# or a per-day range self-join (quadratic in span). This is the
+# sweep-line form: per user, consecutive active days merge into
+# coverage intervals [first, last+6] (gap > 6 days starts a new
+# interval — the same islands trick as user_day_streaks, applied to
+# coverage); each interval emits +1/-1 boundary deltas; a running sum
+# over the day spine yields the exact distinct count per day with NO
+# distinct aggregation at all.
+#
+# Scale: dedup to (user, day) is one fact-sized aggregate; the island
+# window partitions BY USER (parallel, short partitions); delta volume
+# = 2 * #intervals <= 2 * #(user,day) pairs; only the final running
+# sum over the CALENDAR-BOUNDED day spine is single-partition.
+# ---------------------------------------------------------------------------
+SLIDING_DISTINCT_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+         CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+  FROM events
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+)
+SELECT CAST(d AS TIMESTAMP) AS d,
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM events e
+             WHERE date_trunc('day', e.ts) BETWEEN d - INTERVAL 6 DAY AND d)
+            AS BIGINT) AS users_7d
+FROM days
+"""
+
+
+@register("sliding_distinct_users", SLIDING_DISTINCT_ORACLE)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.date_trunc("DAY", "ts").cast("date").alias("day")
+    ).distinct()
+    byu = W.partitionBy("user_id").orderBy("day")
+    flagged = ud.select(
+        "user_id",
+        "day",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(byu)) > 6, 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "day",
+        F.sum("new_island")
+        .over(byu.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    intervals = islands.groupBy("user_id", "island").agg(
+        F.min("day").alias("start"),
+        F.date_add(F.max("day"), 7).alias("after_end"),  # exclusive: last+6 covers, +7 stops
+    )
+    # both boundary deltas from ONE pass over intervals (a union here
+    # would recompute the whole fact subtree per branch), then the
+    # day-grain aggregate — calendar-bounded — is pinned with an eager
+    # checkpoint so the spine bounds and the sweep join share ONE fact
+    # scan between them
+    deltas = (
+        intervals.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("start").alias("d"), F.lit(1).alias("delta")),
+                    F.struct(F.col("after_end").alias("d"), F.lit(-1).alias("delta")),
+                )
+            ).alias("b")
+        )
+        .select("b.d", "b.delta")
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    # spine bounds derived from the checkpointed deltas: min(d) is the
+    # earliest interval start = first active day; max(d) is the latest
+    # exclusive end = last active day + 7
+    bounds = deltas.agg(
+        F.min("d").alias("lo"), F.date_sub(F.max("d"), 7).alias("hi")
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    joined = spine.join(deltas, "d", "left").select(
+        "d", F.coalesce("delta", F.lit(0)).alias("delta")
+    )
+    # single-partition running sum over the calendar-bounded spine only
+    run = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        F.col("d").cast("timestamp").alias("d"),
+        F.sum("delta").over(run).cast("long").alias("users_7d"),
     )

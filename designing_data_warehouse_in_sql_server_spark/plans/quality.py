@@ -2136,3 +2136,386 @@ def contingency_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         (row_tot * col_tot).alias("expected_num"),
         grand.alias("expected_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (round 6): the
+# joint distribution of (l_returnflag, l_linestatus) with per-cell
+# pointwise mutual information and MI contribution in bits — the
+# feature-selection / drift-detection primitive ("how much does one
+# label tell you about the other"). All distribution mass is carried as
+# EXACT integer counts; the two log expressions are single-shot doubles
+# on identical integer inputs, ROUND 6.
+#
+# Scale: ONE fact-sized hash aggregate to the joint table; marginals
+# come from windows over that (|X| x |Y|)-bounded aggregate, never a
+# second fact scan.
+# ---------------------------------------------------------------------------
+MUTUAL_INFO_ORACLE = """
+WITH joint AS (
+  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM lineitem GROUP BY 1, 2
+), marg AS (
+  SELECT l_returnflag, l_linestatus, n_xy,
+         SUM(n_xy) OVER (PARTITION BY l_returnflag) AS n_x,
+         SUM(n_xy) OVER (PARTITION BY l_linestatus) AS n_y,
+         SUM(n_xy) OVER () AS n
+  FROM joint
+)
+SELECT l_returnflag, l_linestatus, n_xy,
+       CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+       CAST(n AS BIGINT) AS n_total,
+       ROUND(LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) / LN(2.0), 6)
+         AS pmi_bits,
+       ROUND(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)
+             * LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) / LN(2.0), 6)
+         AS mi_bits
+FROM marg
+"""
+
+
+@register("mutual_information", MUTUAL_INFO_ORACLE)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    joint = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_xy")
+    )
+    marg = joint.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_xy",
+        F.sum("n_xy").over(W.partitionBy("l_returnflag")).alias("n_x"),
+        F.sum("n_xy").over(W.partitionBy("l_linestatus")).alias("n_y"),
+        F.sum("n_xy").over(W.partitionBy()).alias("n"),
+    )
+    ratio = (
+        F.col("n_xy").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return marg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.col("n").alias("n_total"),
+        F.round(F.log(ratio) / ln2, 6).alias("pmi_bits"),
+        F.round(
+            F.col("n_xy").cast("double") / F.col("n").cast("double") * F.log(ratio) / ln2, 6
+        ).alias("mi_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Format-mask profiling (round 6): the classic data-profiler pattern
+# histogram — every string collapsed to a mask (digits -> 9, uppercase
+# -> A, lowercase -> a, punctuation kept) and counted, so ONE glance
+# shows whether a column is uniform ("Aaaaaaaa#999999999") or dirty.
+# Profiles customer names and event payloads in one union output. Pure
+# string algebra: exact on both engines.
+#
+# Scale: two column-pruned scans, each collapsing immediately to a
+# (mask -> count, bounded example) hash aggregate; masks per column are
+# format-bounded (few), so the aggregate output is tiny and the UNION
+# is on aggregates, never on facts.
+# ---------------------------------------------------------------------------
+_MASK_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace({c}, '[0-9]', '9', 'g'),"
+    " '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g')"
+)
+
+FORMAT_MASK_ORACLE = f"""
+SELECT 'c_name' AS column_name, {_MASK_SQL.format(c="c_name")} AS mask,
+       CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(c_name) AS example
+FROM customer GROUP BY 2
+UNION ALL
+SELECT 'props' AS column_name, {_MASK_SQL.format(c="props")} AS mask,
+       CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(props) AS example
+FROM events GROUP BY 2
+"""
+
+
+@register("format_mask_profile", FORMAT_MASK_ORACLE)
+def format_mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def masked(df: DataFrame, col: str) -> DataFrame:
+        mask = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(F.col(col), "[0-9]", "9"), "[A-Z]", "A"),
+            "[a-z]",
+            "a",
+        )
+        return (
+            df.select(mask.alias("mask"), F.col(col).alias("v"))
+            .groupBy("mask")
+            .agg(F.count("*").alias("n_rows"), F.min("v").alias("example"))
+            .select(F.lit(col).alias("column_name"), "mask", "n_rows", "example")
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    return masked(cust, "c_name").unionByName(masked(events, "props"))
+
+
+# ---------------------------------------------------------------------------
+# Hypothetical-set rank (round 6): ANSI SQL's RANK(x) WITHIN GROUP
+# (ORDER BY v) — "where WOULD this value land" — for three probe order
+# values against each order-priority tier, without inserting them.
+# Emitted as exact integers (n_below, n_eq, n_total); hypothetical
+# RANK = n_below + 1, PERCENT_RANK = n_below / n_total.
+#
+# Scale: ONE fact scan computing all probes as parallel conditional
+# aggregates (map-side combine), then the per-probe unpivot happens on
+# the |priorities|-row aggregate — the naive form (CROSS JOIN probes
+# against facts) multiplies the scan by the probe count.
+# ---------------------------------------------------------------------------
+_HYPO_PROBES = (5_000_000, 25_000_000, 45_000_000)  # cents
+
+HYPO_RANK_ORACLE = f"""
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         {", ".join(
+            f"CAST(COUNT(*) FILTER (CAST(ROUND(o_totalprice * 100) AS BIGINT) < {v}) AS BIGINT) AS b{i},"
+            f" CAST(COUNT(*) FILTER (CAST(ROUND(o_totalprice * 100) AS BIGINT) = {v}) AS BIGINT) AS e{i}"
+            for i, v in enumerate(_HYPO_PROBES)
+         )}
+  FROM orders GROUP BY 1
+)
+{" UNION ALL ".join(
+    f"SELECT o_orderpriority, CAST({v} AS BIGINT) AS probe_cents,"
+    f" b{i} AS n_below, e{i} AS n_eq, n_total FROM agg"
+    for i, v in enumerate(_HYPO_PROBES)
+)}
+"""
+
+
+@register("hypothetical_rank", HYPO_RANK_ORACLE)
+def hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    aggs = [F.count("*").alias("n_total")]
+    for i, v in enumerate(_HYPO_PROBES):
+        aggs.append(F.sum(F.when(cents < v, 1).otherwise(0)).alias(f"b{i}"))
+        aggs.append(F.sum(F.when(cents == v, 1).otherwise(0)).alias(f"e{i}"))
+    agg = orders.groupBy("o_orderpriority").agg(*aggs)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(v).cast("long").alias("probe_cents"),
+                F.col(f"b{i}").alias("n_below"),
+                F.col(f"e{i}").alias("n_eq"),
+            )
+            for i, v in enumerate(_HYPO_PROBES)
+        ]
+    )
+    return agg.select(
+        "o_orderpriority", F.explode(probes).alias("p"), "n_total"
+    ).select(
+        "o_orderpriority",
+        F.col("p.probe_cents").alias("probe_cents"),
+        F.col("p.n_below").alias("n_below"),
+        F.col("p.n_eq").alias("n_eq"),
+        "n_total",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test of conversion proportions (round 6): users deterministically
+# hash-split into two variants (first md5 hex nibble of the user id —
+# the same assignment every run and every engine), purchase-per-click
+# conversion measured per variant, and the two-proportion pooled
+# z-statistic emitted alongside the EXACT counts. The experimentation
+# readout a training-data/feature pipeline runs after an interleaved
+# rollout.
+#
+# Determinism: variant assignment is pure string algebra over md5;
+# counts are exact integers; z is ONE double expression on those
+# integers (identical IEEE evaluation both engines), ROUND 6.
+#
+# Scale: a single fact scan with all four counts as conditional
+# aggregates (map-side combine) — no groupBy key at all, so the reduce
+# side is one row; no joins, no windows.
+# ---------------------------------------------------------------------------
+AB_TEST_ORACLE = """
+WITH tagged AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+), agg AS (
+  SELECT
+    CAST(COUNT(*) FILTER (variant = 'A' AND event_type = 'click') AS BIGINT) AS clicks_a,
+    CAST(COUNT(*) FILTER (variant = 'A' AND event_type = 'purchase') AS BIGINT) AS purchases_a,
+    CAST(COUNT(*) FILTER (variant = 'B' AND event_type = 'click') AS BIGINT) AS clicks_b,
+    CAST(COUNT(*) FILTER (variant = 'B' AND event_type = 'purchase') AS BIGINT) AS purchases_b
+  FROM tagged
+)
+SELECT clicks_a, purchases_a, clicks_b, purchases_b,
+       ROUND(
+         (CAST(purchases_a AS DOUBLE) / CAST(clicks_a AS DOUBLE)
+            - CAST(purchases_b AS DOUBLE) / CAST(clicks_b AS DOUBLE))
+         / SQRT(
+             (CAST(purchases_a + purchases_b AS DOUBLE) / CAST(clicks_a + clicks_b AS DOUBLE))
+             * (1.0 - CAST(purchases_a + purchases_b AS DOUBLE) / CAST(clicks_a + clicks_b AS DOUBLE))
+             * (1.0 / CAST(clicks_a AS DOUBLE) + 1.0 / CAST(clicks_b AS DOUBLE))
+           ), 6) AS z_score
+FROM agg
+"""
+
+
+@register("ab_test_proportions", AB_TEST_ORACLE)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "event_type",
+    )
+
+    def cnt(v: str, et: str):
+        return F.sum(
+            F.when((F.col("variant") == v) & (F.col("event_type") == et), 1).otherwise(0)
+        )
+
+    agg = tagged.agg(
+        cnt("A", "click").alias("clicks_a"),
+        cnt("A", "purchase").alias("purchases_a"),
+        cnt("B", "click").alias("clicks_b"),
+        cnt("B", "purchase").alias("purchases_b"),
+    )
+    pa = F.col("purchases_a").cast("double") / F.col("clicks_a").cast("double")
+    pb = F.col("purchases_b").cast("double") / F.col("clicks_b").cast("double")
+    pooled = (F.col("purchases_a") + F.col("purchases_b")).cast("double") / (
+        F.col("clicks_a") + F.col("clicks_b")
+    ).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("clicks_a").cast("double")
+            + F.lit(1.0) / F.col("clicks_b").cast("double")
+        )
+    )
+    return agg.select(
+        "clicks_a",
+        "purchases_a",
+        "clicks_b",
+        "purchases_b",
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skewness & kurtosis per group (round 6): third and fourth
+# standardized moments of the line-price distribution per return flag,
+# via the numerically-stable TWO-PASS form: pass 1 finds the exact
+# integer per-group mean floor mu0 (cents), pass 2 accumulates EXACT
+# power sums of the SHIFTED values d = cents - mu0 (|T1| < n by
+# construction, so the central-moment combination has no catastrophic
+# cancellation — a single-pass raw-power-sum form loses ~10 digits to
+# cancellation at these magnitudes and overflows DECIMAL(38) near 1e9
+# rows). Spark carries the sums in DECIMAL(38,0), the oracle in
+# HUGEINT — both exact (capacity: |d| <= ~3e9 cents keeps d^4 * n
+# within 38 digits at 1e9 rows); the final combination is ONE double
+# expression on identical exact inputs, ROUND 6.
+#
+# Scale: pass 1's per-group aggregate is dimension-bounded and
+# broadcast back; both passes are plain hash aggregates with map-side
+# combine — no windows, no data-sized joins.
+# ---------------------------------------------------------------------------
+SKEW_KURT_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+           // COUNT(*) AS mu0
+  FROM lineitem GROUP BY 1
+), shifted AS (
+  SELECT l.l_returnflag, m.mu0,
+         CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) - m.mu0 AS HUGEINT) AS d
+  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+), t AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(mu0 AS BIGINT) AS mu0_cents,
+         SUM(d) AS t1, SUM(d * d) AS t2, SUM(d * d * d) AS t3,
+         SUM(d * d * d * d) AS t4
+  FROM shifted GROUP BY 1, 3
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n, mu0_cents,
+       CAST(t1 AS BIGINT) AS t1,
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(t3 AS DOUBLE)
+            - 3.0 * CAST(n AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+            + 2.0 * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+         / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+         / POWER((CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE)
+                    - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 6) AS skewness,
+       ROUND(
+         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(t4 AS DOUBLE)
+            - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t3 AS DOUBLE)
+            + 6.0 * CAST(n AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+            - 3.0 * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+         / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+         / POWER((CAST(n AS DOUBLE) * CAST(t2 AS DOUBLE)
+                    - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE))
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 2.0) - 3.0, 6) AS kurtosis_excess
+FROM t
+"""
+
+
+@register("skew_kurtosis_moments", SKEW_KURT_ORACLE)
+def skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+    mu = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) div COUNT(*)"
+        ).alias("mu0")
+    )
+    d = (cents - F.col("mu0")).cast("decimal(12,0)")
+    d2 = (d * d).cast("decimal(25,0)")
+    t = (
+        li.join(F.broadcast(mu), "l_returnflag")
+        .groupBy("l_returnflag", F.col("mu0").alias("mu0_cents"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d).alias("t1"),
+            F.sum(d2).alias("t2"),
+            F.sum((d2 * d).cast("decimal(38,0)")).alias("t3"),
+            F.sum((d2 * d2).cast("decimal(38,0)")).alias("t4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    t1 = F.col("t1").cast("double")
+    t2 = F.col("t2").cast("double")
+    t3 = F.col("t3").cast("double")
+    t4 = F.col("t4").cast("double")
+    m2 = (nd * t2 - t1 * t1) / nd / nd
+    skew = (nd * nd * t3 - 3.0 * nd * t1 * t2 + 2.0 * t1 * t1 * t1) / nd / nd / nd / F.pow(
+        m2, 1.5
+    )
+    kurt = (
+        nd * nd * nd * t4
+        - 4.0 * nd * nd * t1 * t3
+        + 6.0 * nd * t1 * t1 * t2
+        - 3.0 * t1 * t1 * t1 * t1
+    ) / nd / nd / nd / nd / F.pow(m2, 2.0) - 3.0
+    return t.select(
+        "l_returnflag",
+        "n",
+        "mu0_cents",
+        F.col("t1").cast("long").alias("t1"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis_excess"),
+    )

@@ -407,3 +407,93 @@ def test_linear_interpolate_edges_on_planted_data(spark, tmp_path):
     assert out[16] == (0, 0)             # zero-width gap: exact pair, no division
     # interior: prev=200 cents @10s, next=400 @40s, at 20s -> (200*20e6+400*10e6)/30e6
     assert out[4] == (200 * 20_000_000 + 400 * 10_000_000, 30_000_000)
+
+
+def test_sliding_distinct_gap_boundary_on_planted_data(spark, tmp_path):
+    """Pins the trailing-7-day window's island-gap law on planted data
+    the fixture can't guarantee: a gap of EXACTLY 7 days (coverage
+    intervals touch — the +1/-1 deltas cancel and the user stays
+    continuously counted) vs a gap of 8 (one uncovered day between
+    intervals). user 3's day-7 hole is the assertion target."""
+    import datetime as dt
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    active = {1: [0, 7], 2: [0, 6], 3: [0, 8]}  # gap 7 / gap 6 / gap 8
+    rows = [
+        (eid, t0 + dt.timedelta(days=d), u, "view", 1.0, "{}")
+        for eid, (u, d) in enumerate(
+            (u, d) for u, ds in active.items() for d in ds
+        )
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "sf_slide"
+    d.mkdir()
+    pdf = events.toPandas().astype({"ts": "datetime64[us]"})
+    pdf.to_parquet(str(d / "events.parquet"), index=False)
+    qs, oracles = e.queries(), e.oracle_sql()
+    name = "sliding_distinct_users"
+    out_df = qs[name](spark, str(d))
+    problems = compare(out_df, oracles[name], str(d))
+    assert not problems, f"{name}: {problems}"
+    got = {r.d.day - 1: r.users_7d for r in out_df.collect()}
+    # day 7: user 1 (event that day), user 2 (event day 6), NOT user 3
+    assert got[7] == 2
+    # day 6: everyone's day-0 coverage still alive + user 2's day-6 event
+    assert got[6] == 3
+    # day 8: user 1 (day 7), user 2 (day 6), user 3 (day 8)
+    assert got[8] == 3
+
+
+def test_kaplan_meier_censoring_on_planted_data(spark, tmp_path):
+    """Pins KM right-censoring semantics on planted lifetimes: a
+    censored user whose lifetime TIES a churn time stays in that time's
+    at-risk denominator but never counts as a death, and the churn
+    cutoff is >= 14 days exactly (user 2 churns at precisely 14 days of
+    silence). Survival steps must be 0.75 then 0.5."""
+    import datetime as dt
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # (user, active days): horizon = day 20 (user 3's last)
+    active = {
+        1: [0],          # lifetime 0, silent 20d  -> churned
+        2: [0, 6],       # lifetime 6, silent 14d  -> churned (boundary)
+        3: [0, 20],      # lifetime 20, silent 0d  -> censored
+        4: [1, 7],       # lifetime 6, silent 13d  -> censored, TIES user 2
+    }
+    rows = [
+        (eid, t0 + dt.timedelta(days=d), u, "view", 1.0, "{}")
+        for eid, (u, d) in enumerate(
+            (u, d) for u, ds in active.items() for d in ds
+        )
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "sf_km"
+    d.mkdir()
+    pdf = events.toPandas().astype({"ts": "datetime64[us]"})
+    pdf.to_parquet(str(d / "events.parquet"), index=False)
+    qs, oracles = e.queries(), e.oracle_sql()
+    name = "kaplan_meier_churn"
+    out_df = qs[name](spark, str(d))
+    problems = compare(out_df, oracles[name], str(d))
+    assert not problems, f"{name}: {problems}"
+    got = {r.lifetime_days: r for r in out_df.collect()}
+    assert set(got) == {0, 6}  # censored lifetimes emit no KM step
+    assert got[0].n_at_risk == 4 and got[0].n_churned == 1
+    assert got[0].survival == 0.75
+    # the tied censored user (4) is IN the denominator at t=6
+    assert got[6].n_at_risk == 3 and got[6].n_churned == 1
+    assert got[6].survival == 0.5

@@ -755,3 +755,89 @@ def test_unknown_member_broadcast_left_join(spark):
     """The dim fallback join must broadcast the dimension side."""
     plan = _plan(QS["unknown_member_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan[:2000]
+
+
+def test_wave2_single_scan_windows_over_daily_aggregate(spark):
+    """The round-6 time-series family (bollinger / RSI / rolling corr /
+    seasonal CMA) is ONE fact scan -> one hash aggregate to the
+    calendar grain -> windows over that bounded relation: exactly one
+    parquet scan, no joins."""
+    for name in (
+        "bollinger_breakout",
+        "rsi_indicator",
+        "rolling_correlation",
+        "seasonal_decompose_cma",
+    ):
+        plan = _plan(QS[name](spark, SF_DIR))
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans == 1, f"{name}: {n_scans} scans\n" + plan[:2000]
+        assert "Join" not in plan, f"{name}\n" + plan[:2000]
+        assert "Window" in plan, f"{name}\n" + plan[:2000]
+
+
+def test_mutual_information_marginals_from_joint_aggregate(spark):
+    """MI marginals come from windows over the joint-count aggregate —
+    one parquet scan, no joins, no second fact pass."""
+    plan = _plan(QS["mutual_information"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_ab_test_single_pass_no_shuffle_groups(spark):
+    """All four counts are conditional aggregates in ONE pass: one
+    scan, no joins, no windows; the only exchange is the 1-row global
+    aggregate's."""
+    plan = _plan(QS["ab_test_proportions"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
+
+
+def test_hypothetical_rank_probes_never_multiply_fact(spark):
+    """The probe unpivot happens on the aggregate, not the fact: one
+    scan, no joins, and the explode (Generate) sits ABOVE the final
+    aggregate in the plan."""
+    plan = _plan(QS["hypothetical_rank"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    gen = plan.index("Generate")
+    agg = plan.index("HashAggregate")
+    assert gen < agg, "explode must be downstream (printed above) of the aggregate"
+
+
+def test_skew_kurtosis_two_pass_broadcast_mean(spark):
+    """Two-pass central moments: the per-group mean dictionary joins
+    back BROADCAST (never a shuffle join), exactly two fact scans, no
+    windows."""
+    plan = _plan(QS["skew_kurtosis_moments"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_countmin_probe_side_broadcast_exact_side_pruned(spark):
+    """The sketch grid joins the 32-row probe relation broadcast, and
+    the exact companion's scan carries the user_id IN (...) filter down
+    to parquet."""
+    plan = _plan(QS["countmin_frequency"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("user_id" in f for f in m), m
+
+
+def test_kmv_sketch_topk_is_map_side_group_limit(spark):
+    """Per-set k-smallest and the merged sketch both compile to
+    WindowGroupLimit (rank <= k pushed map-side) — shuffle volume is
+    ~tasks*k, never the distinct-user relation through a full sort."""
+    plan = _plan(QS["kmv_distinct_intersection"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_feature_hashing_single_aggregate_no_dictionary(spark):
+    """The hashing trick needs no vocabulary: tokenize -> explode ->
+    ONE (doc,bucket) hash aggregate; one scan, no joins, no windows."""
+    plan = _plan(QS["feature_hashing"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
