@@ -115,6 +115,18 @@ _CHECK_FIRST = (
     "countmin_frequency",
     "feature_hashing",
     "sliding_distinct_users",
+    # wave-3 (also round 6, also locally oracle-diffed every run)
+    "auc_roc",
+    "calibration_bins",
+    "confusion_matrix_metrics",
+    "psi_drift_bins",
+    "ols_multi_regression",
+    "anova_oneway",
+    "association_rules",
+    "zipf_law_fit",
+    "readability_scores",
+    "largest_remainder_allocation",
+    "conversion_lag_median",
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",

@@ -3227,3 +3227,177 @@ def rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.filter(F.col("n_deltas") == 14).select(
         "d", "gain_cents", "loss_cents", rsi.alias("rsi_14")
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder allocation (round 6 wave 3): apportion a fixed
+# 1,000,000-cent budget across nations proportional to revenue so the
+# parts sum EXACTLY to the whole — floor shares first, then the
+# leftover units go to the largest remainders (Hamilton's method; ties
+# break by nation name). Pure integer arithmetic throughout: the
+# naive ROUND(share * B) never reconciles.
+#
+# Scale: one fact-sized star-join aggregate to the 25-row nation
+# relation; every window (total, leftover, remainder rank) runs over
+# that dimension-bounded aggregate only.
+# ---------------------------------------------------------------------------
+_ALLOC_BUDGET = 1_000_000
+
+ALLOC_ORACLE = f"""
+WITH nat AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+), shares AS (
+  SELECT n_name, cents,
+         CAST(({_ALLOC_BUDGET}::HUGEINT * cents) // SUM(cents) OVER () AS BIGINT)
+           AS base_alloc,
+         CAST(({_ALLOC_BUDGET}::HUGEINT * cents) % SUM(cents) OVER () AS BIGINT)
+           AS rem
+  FROM nat
+), ranked AS (
+  SELECT n_name, cents, base_alloc,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rem_rank,
+         {_ALLOC_BUDGET} - SUM(base_alloc) OVER () AS leftover
+  FROM shares
+)
+SELECT n_name, cents, base_alloc,
+       CAST(CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+@register("largest_remainder_allocation", ALLOC_ORACLE)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nat = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents"))
+    )
+    # budget * cents needs headroom over BIGINT at large totals: DECIMAL(38,0)
+    shares = nat.select(
+        "n_name",
+        "cents",
+        F.expr(
+            f"CAST((CAST(cents AS DECIMAL(38,0)) * {_ALLOC_BUDGET}) div "
+            f"(SUM(cents) OVER ()) AS BIGINT)"
+        ).alias("base_alloc"),
+        F.expr(
+            f"CAST((CAST(cents AS DECIMAL(38,0)) * {_ALLOC_BUDGET}) % "
+            f"(SUM(cents) OVER ()) AS BIGINT)"
+        ).alias("rem"),
+    )
+    ranked = shares.select(
+        "n_name",
+        "cents",
+        "base_alloc",
+        F.row_number().over(W.orderBy(F.desc("rem"), F.col("n_name"))).alias("rem_rank"),
+        (F.lit(_ALLOC_BUDGET) - F.sum("base_alloc").over(W.partitionBy())).alias(
+            "leftover"
+        ),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "n_name",
+        "cents",
+        "base_alloc",
+        extra.cast("long").alias("extra"),
+        (F.col("base_alloc") + extra).cast("long").alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-lag median (round 6 wave 3): per A/B variant, the exact
+# lower-median microseconds between a user's FIRST click and FIRST
+# subsequent purchase — the latency readout behind ab_test_proportions'
+# rate readout. First-touch pairs come from conditional MIN aggregates
+# (one pass); the median uses the one-sort weighted-median pattern
+# (running count and total share a single variant-partitioned window).
+#
+# Scale: one fact scan -> per-user aggregate (one shuffle); the median
+# windows partition by variant over the per-user relation.
+# ---------------------------------------------------------------------------
+CONV_LAG_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'A' ELSE 'B' END AS variant,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), lags AS (
+  SELECT variant, user_id,
+         date_diff('microsecond', first_click, first_purchase) AS lag_us
+  FROM per_user
+  WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_click
+), ranked AS (
+  SELECT variant, lag_us,
+         SUM(1) OVER (PARTITION BY variant ORDER BY lag_us, user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER (PARTITION BY variant) AS tot
+  FROM lags
+)
+SELECT variant,
+       CAST(MIN(lag_us) AS BIGINT) AS median_lag_us,
+       CAST(MAX(tot) AS BIGINT) AS n_users
+FROM ranked WHERE 2 * cum >= tot GROUP BY variant
+"""
+
+
+@register("conversion_lag_median", CONV_LAG_ORACLE)
+def conversion_lag_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(*"01234567"),
+        "A",
+    ).otherwise("B")
+    per_user = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", variant.alias("variant"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "first_click"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "first_purchase"
+            ),
+        )
+    )
+    lags = per_user.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        "variant",
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, first_click, first_purchase)").alias(
+            "lag_us"
+        ),
+    )
+    base = W.partitionBy("variant").orderBy("lag_us", "user_id")
+    ranked = lags.select(
+        "variant",
+        "lag_us",
+        F.sum(F.lit(1)).over(base.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.count("*").over(W.partitionBy("variant")).alias("tot"),
+    )
+    return (
+        ranked.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("variant")
+        .agg(
+            F.min("lag_us").alias("median_lag_us"),
+            F.max("tot").alias("n_users"),
+        )
+    )

@@ -2519,3 +2519,401 @@ def skew_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis_excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-predictor OLS via normal equations (round 6 wave 3): regress
+# order value (cents) on basket size and total quantity — the
+# closed-form multiple regression a warehouse can run in ONE aggregate
+# pass over per-order features. All co-moment sums are EXACT integers
+# (DECIMAL(38,0) / HUGEINT); the 3x3 normal system solves by Cramer's
+# rule with determinants ALSO computed exactly in integer arithmetic,
+# so the only doubles are the three final rounded divisions.
+# Capacity: determinant terms stay under 38 digits up to ~1e10 orders
+# at these magnitudes.
+#
+# Scale: lineitem aggregates to per-order features on the join key
+# (one shuffle), orders joins in on the same key, then a single global
+# aggregate with map-side partials produces the 9 sums; the solve is
+# driver-free column arithmetic on a 1-row relation.
+# ---------------------------------------------------------------------------
+OLS_MULTI_ORACLE = """
+WITH feat AS (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100) AS HUGEINT) AS y,
+         CAST(COUNT(*) AS HUGEINT) AS x1,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS HUGEINT) AS x2
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM feat
+), det AS (
+  SELECT n, s1, s2, sy, s1y, s2y,
+         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS d,
+         sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS d0,
+         n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS d1,
+         n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS d2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(CAST(d0 AS DOUBLE) / CAST(d AS DOUBLE), 6) AS beta0_cents,
+       ROUND(CAST(d1 AS DOUBLE) / CAST(d AS DOUBLE), 6) AS beta_items_cents,
+       ROUND(CAST(d2 AS DOUBLE) / CAST(d AS DOUBLE), 6) AS beta_qty_cents
+FROM det
+"""
+
+
+@register("ols_multi_regression", OLS_MULTI_ORACLE)
+def ols_multi_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("decimal(38,0)").alias("x1"),
+        F.sum(F.col("l_quantity").cast("long")).cast("decimal(38,0)").alias("x2"),
+    )
+    feat = orders.select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+        .cast("decimal(38,0)")
+        .alias("y"),
+    ).join(per_order, orders.o_orderkey == per_order.l_orderkey)
+    s = feat.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    d = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (
+        s1 * s12 - s11 * s2
+    )
+    d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (
+        s1y * s12 - s11 * s2y
+    )
+    d1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (
+        s1 * s2y - s1y * s2
+    )
+    d2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (
+        s1 * s12 - s11 * s2
+    )
+    det = s.select(n.alias("n"), d.alias("d"), d0.alias("d0"), d1.alias("d1"), d2.alias("d2"))
+    return det.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("d0").cast("double") / F.col("d").cast("double"), 6).alias("beta0_cents"),
+        F.round(F.col("d1").cast("double") / F.col("d").cast("double"), 6).alias("beta_items_cents"),
+        F.round(F.col("d2").cast("double") / F.col("d").cast("double"), 6).alias("beta_qty_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (round 6 wave 3): does mean order value differ across
+# priority tiers? Between/within sums of squares from EXACT per-group
+# integer sums (n_g, S_g, SS_g in DECIMAL(38,0)/HUGEINT):
+#   SSB = sum_g S_g^2/n_g - T^2/N,  SSW = sum_g SS_g - sum_g S_g^2/n_g
+# combined as exact integer numerators over the common denominator
+# prod irrelevant — each term is computed as a double from exact
+# integers in ONE expression, ROUND 6; F = (SSB/df1)/(SSW/df2).
+#
+# Scale: one fact scan -> one |groups|-row hash aggregate; the ANOVA
+# combination runs on that bounded relation via a second tiny
+# aggregate. No joins, no windows.
+# ---------------------------------------------------------------------------
+ANOVA_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS s,
+         SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+             * CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS ss
+  FROM orders GROUP BY 1
+), run AS (
+  SELECT ROW_NUMBER() OVER w AS i, COUNT(*) OVER () AS k,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sum_sq_over_n,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+         CAST(SUM(s) OVER () AS DOUBLE) AS t,
+         CAST(SUM(ss) OVER () AS DOUBLE) AS ssq
+  FROM g
+  WINDOW w AS (ORDER BY o_orderpriority)
+)
+SELECT CAST(k AS BIGINT) AS k, n_total,
+       ROUND((sum_sq_over_n - t * t / n_total) / (k - 1)
+             / ((ssq - sum_sq_over_n) / (n_total - k)), 6) AS f_stat
+FROM run WHERE i = k
+"""
+
+
+@register("anova_oneway", ANOVA_ORACLE)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").cast("decimal(38,0)")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    # the one float accumulation (sum of S_g^2/n_g) runs as an ORDERED
+    # running frame so both engines add the |groups| terms in the same
+    # sequence -> identical doubles; integer sums are order-insensitive.
+    # All windows sit on the |groups|-row aggregate.
+    base = W.orderBy("o_orderpriority")
+    run = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = W.partitionBy()
+    r = g.select(
+        F.row_number().over(base).alias("i"),
+        F.count("*").over(full).alias("k"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n").cast("double")
+        )
+        .over(run)
+        .alias("sum_sq_over_n"),
+        F.sum("n").over(full).cast("long").alias("n_total"),
+        F.sum("s").over(full).cast("double").alias("t"),
+        F.sum("ss").over(full).cast("double").alias("ssq"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("t") * F.col("t") / F.col("n_total")
+    ssw = F.col("ssq") - F.col("sum_sq_over_n")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return r.filter(F.col("i") == F.col("k")).select(
+        F.col("k").cast("long").alias("k"), "n_total", F.round(f_stat, 6).alias("f_stat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (round 6 wave 3): support / confidence / lift for
+# co-purchased brand pairs — the a-priori readout on top of
+# basket_brand_pairs' support counts. Confidence and lift are emitted
+# as rounded doubles computed in ONE expression from exact integer
+# counts (pair, antecedent, consequent, basket total); the exact
+# integers ride along so any threshold can be re-derived.
+#
+# Scale: pair counts from the within-order equi-self-join (order sizes
+# are bounded, so pairs grow linearly); per-brand counts are a
+# brand-bounded aggregate joined back BROADCAST twice; the basket
+# total is a broadcast 1-row aggregate. Nothing data-sized is ever on
+# a build side.
+# ---------------------------------------------------------------------------
+ASSOC_RULES_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), brand_n AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_brand FROM ob GROUP BY 1
+), total AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.n_ab,
+       na.n_brand AS n_a, nb.n_brand AS n_b, t.n_orders,
+       ROUND(CAST(p.n_ab AS DOUBLE) / CAST(na.n_brand AS DOUBLE), 6)
+         AS confidence_a_to_b,
+       ROUND(CAST(p.n_ab AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+             / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE)), 6)
+         AS lift
+FROM pairs p
+JOIN brand_n na ON p.brand_a = na.p_brand
+JOIN brand_n nb ON p.brand_b = nb.p_brand
+CROSS JOIN total t
+WHERE p.n_ab >= 20
+"""
+
+
+@register("association_rules", ASSOC_RULES_ORACLE)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    brand_n = ob.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    total = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok_b) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    na = F.broadcast(brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")))
+    nb = F.broadcast(brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")))
+    out = pairs.join(na, "brand_a").join(nb, "brand_b").crossJoin(F.broadcast(total))
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_orders",
+        F.round(conf, 6).alias("confidence_a_to_b"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit (round 6 wave 3): log-log OLS slope of the corpus
+# rank-frequency curve over the top-100 tokens — the one-number check
+# that a text corpus has natural-language token statistics (slope near
+# -1) rather than generator artifacts. The float accumulations
+# (sums of ln-products) run as ORDERED running frames over the
+# 100-row top-k relation so both engines add in rank order ->
+# identical doubles; ROUND 6 absorbs libm ulp drift.
+#
+# Scale: token counts are one explode -> hash aggregate; top-100 by
+# (freq, token) is a rank<=k WindowGroupLimit (map-side bounded);
+# everything after lives on 100 rows.
+# ---------------------------------------------------------------------------
+ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1
+), ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+  FROM freq
+  QUALIFY ROW_NUMBER() OVER (ORDER BY f DESC, tok) <= 100
+), run AS (
+  SELECT r, COUNT(*) OVER () AS k,
+         SUM(LN(CAST(r AS DOUBLE))) OVER w AS sx,
+         SUM(LN(CAST(f AS DOUBLE))) OVER w AS sy,
+         SUM(LN(CAST(r AS DOUBLE)) * LN(CAST(f AS DOUBLE))) OVER w AS sxy,
+         SUM(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE))) OVER w AS sxx
+  FROM ranked
+  WINDOW w AS (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(k AS BIGINT) AS n_tokens,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         AS zipf_intercept
+FROM run WHERE r = k
+"""
+
+
+@register("zipf_law_fit", ZIPF_ORACLE)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = (
+        freq.withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("f"), F.col("tok")))
+        )
+        .filter(F.col("r") <= 100)
+        .select("r", "f")
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    base = W.orderBy("r")
+    w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = ranked.select(
+        "r",
+        F.count("*").over(W.partitionBy()).alias("k"),
+        F.sum(lx).over(w).alias("sx"),
+        F.sum(ly).over(w).alias("sy"),
+        F.sum(lx * ly).over(w).alias("sxy"),
+        F.sum(lx * lx).over(w).alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / k
+    return run.filter(F.col("r") == F.col("k")).select(
+        F.col("k").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (round 6 wave 3): Flesch reading-ease per document
+# from exact integer ingredients — words (whitespace split), sentences
+# (punctuation runs, floor 1 — this synthetic corpus has none, so the
+# count honestly degenerates to 1 per doc; the operator is exercised
+# end-to-end either way), and a vowel-group syllable proxy (the
+# standard regex approximation). The score itself is one rounded
+# double expression over the three integers.
+#
+# Scale: pure per-row Catalyst expressions — no explode, no joins, no
+# windows; one scan, output = one row per document.
+# ---------------------------------------------------------------------------
+READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS n_syllables
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+             - 84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+         AS flesch_ease
+FROM c
+"""
+
+
+@register("readability_scores", READABILITY_ORACLE)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    n_words = F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    n_syllables = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")), F.lit(1)
+    ).cast("long")
+    c = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    ease = (
+        F.lit(206.835)
+        - 1.015 * F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+        - 84.6 * F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    )
+    return c.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round(ease, 4).alias("flesch_ease"),
+    )

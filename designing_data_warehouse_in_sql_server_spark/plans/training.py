@@ -303,3 +303,255 @@ def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         ((F.row_number().over(w) - 1) % 5).cast("int").alias("fold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AUC-ROC (round 6 wave 3): exact area under the ROC curve for a binary
+# task (label 0 = positive class) scored by a deterministic model proxy
+# (the first embedding component), via the rank-statistic identity
+# AUC = [#(pos > neg) + #(pos = neg)/2] / (n_pos * n_neg). Computed at
+# the SCORE-VALUE grain: one hash aggregate to (score -> n_pos, n_neg),
+# then the running negative count comes from the size-adaptive
+# two-phase prefix-sum operator — never an Exchange SinglePartition
+# over the score relation at scale. Ties handled exactly (the /2 term);
+# the numerator is carried x2 so everything is integer until the final
+# rounded division.
+#
+# Scale: grouping to score grain bounds the ordered relation by
+# distinct scores; prefix_sum range-partitions it; the final AUC is a
+# 1-row aggregate. No windows over raw rows, no joins.
+# ---------------------------------------------------------------------------
+AUC_ORACLE = """
+WITH scored AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS score,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), grain AS (
+  SELECT score,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg
+  FROM scored GROUP BY score
+), cum AS (
+  SELECT n_pos, n_neg,
+         SUM(n_neg) OVER (ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_neg AS neg_below
+  FROM grain
+), agg AS (
+  SELECT CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS auc_num_x2,
+         CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(n_neg) AS BIGINT) AS n_neg
+  FROM cum
+)
+SELECT auc_num_x2, n_pos, n_neg,
+       ROUND(CAST(auc_num_x2 AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM agg
+"""
+
+
+@register("auc_roc", AUC_ORACLE)
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import prefix_sum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    grain = scored.groupBy("score").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).alias("n_neg"),
+    )
+    cum = prefix_sum(grain, "n_neg", ["score"], cum_col="cum_neg")
+    agg = cum.select(
+        "n_pos",
+        "n_neg",
+        (F.col("cum_neg") - F.col("n_neg")).alias("neg_below"),
+    ).agg(
+        F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).alias(
+            "auc_num_x2"
+        ),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+    )
+    return agg.select(
+        "auc_num_x2",
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("auc_num_x2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins (round 6 wave 3): predicted
+# probabilities (sigmoid of the score proxy) bucketed into 10
+# equal-width bins, each emitting its EXACT positive count vs total and
+# the order-insensitive min/max confidence — the reliability-diagram
+# input for "is the model over-confident". No float sums anywhere
+# (double SUMs are partition-order-dependent; min/max/counts are not).
+#
+# Scale: one scan, one 10-row hash aggregate. The sigmoid/bin edge is
+# a pure per-row expression.
+# ---------------------------------------------------------------------------
+CALIBRATION_ORACLE = """
+WITH scored AS (
+  SELECT 1.0 / (1.0 + EXP(-CAST(embedding[1] AS DOUBLE))) AS p,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+)
+SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       ROUND(MIN(p), 6) AS p_min, ROUND(MAX(p), 6) AS p_max
+FROM scored GROUP BY 1
+"""
+
+
+@register("calibration_bins", CALIBRATION_ORACLE)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.element_at("embedding", 1).cast("double")))
+    scored = emb.select(
+        p.alias("p"), F.when(F.col("label") == 0, 1).otherwise(0).alias("pos")
+    )
+    return scored.groupBy(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.round(F.min("p"), 6).alias("p_min"),
+        F.round(F.max("p"), 6).alias("p_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix + derived metrics (round 6 wave 3): threshold the
+# score proxy at 0 (sigmoid 0.5), emit TP/FP/TN/FN as exact integers
+# and precision/recall/F1 as single rounded double expressions over
+# them. The classification-eval companion to auc_roc.
+#
+# Scale: one scan, four conditional aggregates, 1-row output — the
+# reduce side is a single row with map-side partials.
+# ---------------------------------------------------------------------------
+CONFUSION_ORACLE = """
+WITH scored AS (
+  SELECT CAST(embedding[1] AS DOUBLE) >= 0.0 AS pred,
+         label = 0 AS actual
+  FROM embeddings
+), agg AS (
+  SELECT
+    CAST(COUNT(*) FILTER (pred AND actual) AS BIGINT) AS tp,
+    CAST(COUNT(*) FILTER (pred AND NOT actual) AS BIGINT) AS fp,
+    CAST(COUNT(*) FILTER (NOT pred AND NOT actual) AS BIGINT) AS tn,
+    CAST(COUNT(*) FILTER (NOT pred AND actual) AS BIGINT) AS fn
+  FROM scored
+)
+SELECT tp, fp, tn, fn,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+       ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+FROM agg
+"""
+
+
+@register("confusion_matrix_metrics", CONFUSION_ORACLE)
+def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.element_at("embedding", 1).cast("double") >= 0.0).alias("pred"),
+        (F.col("label") == 0).alias("actual"),
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    agg = scored.agg(
+        cnt(F.col("pred") & F.col("actual")).alias("tp"),
+        cnt(F.col("pred") & ~F.col("actual")).alias("fp"),
+        cnt(~F.col("pred") & ~F.col("actual")).alias("tn"),
+        cnt(~F.col("pred") & F.col("actual")).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"), 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("tp").cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            6,
+        ).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index bins (round 6 wave 3): the drift monitor —
+# the event-value distribution of the first half of the period vs the
+# second, binned equal-width, each bin emitting exact counts and its
+# PSI contribution (p_a - p_b) * ln(p_a / p_b) as ONE rounded double
+# expression over exact integers (the total-PSI sum is left to the
+# reader because cross-bin double summation order is engine-dependent;
+# per-bin terms are deterministic). Laplace-style +1 smoothing keeps
+# empty bins finite, as production PSI monitors do.
+#
+# Scale: one scan, one ~10-row hash aggregate (both periods' counts as
+# conditional sums — not two scans), totals via windows over the
+# bin-bounded aggregate.
+# ---------------------------------------------------------------------------
+PSI_ORACLE = """
+WITH binned AS (
+  SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+  FROM events
+), cells AS (
+  SELECT bin,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) - SUM(in_a) AS BIGINT) AS n_b
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT bin, n_a, n_b,
+         SUM(n_a + 1) OVER () AS tot_a, SUM(n_b + 1) OVER () AS tot_b
+  FROM cells
+)
+SELECT bin, n_a, n_b,
+       ROUND((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a AS DOUBLE)
+               - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b AS DOUBLE))
+             * LN((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a AS DOUBLE))
+                  / (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b AS DOUBLE))), 6)
+         AS psi_term
+FROM tot
+"""
+
+
+@register("psi_drift_bins", PSI_ORACLE)
+def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bin"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("in_a").alias("n_a"),
+        (F.count("*") - F.sum("in_a")).alias("n_b"),
+    )
+    tot = cells.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum(F.col("n_a") + 1).over(W.partitionBy()).alias("tot_a"),
+        F.sum(F.col("n_b") + 1).over(W.partitionBy()).alias("tot_b"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / F.col("tot_a").cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / F.col("tot_b").cast("double")
+    return tot.select(
+        "bin", "n_a", "n_b", F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term")
+    )

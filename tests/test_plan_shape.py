@@ -841,3 +841,54 @@ def test_feature_hashing_single_aggregate_no_dictionary(spark):
     plan = _plan(QS["feature_hashing"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert "Join" not in plan and "Window" not in plan, plan[:2000]
+
+
+def test_auc_prefix_sum_two_phase_offsets_broadcast(spark):
+    """AUC's running negative count rides the two-phase prefix-sum: the
+    per-partition offsets join back BROADCAST (the __offset relation),
+    and no data-sized shuffle join or global ordered Window appears."""
+    plan = _plan(QS["auc_roc"](spark, SF_DIR))
+    assert "__offset" in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:3000]
+
+
+def test_ml_eval_single_scan_family(spark):
+    """calibration / confusion / PSI are one scan + conditional
+    aggregates; no joins."""
+    for name in ("calibration_bins", "confusion_matrix_metrics", "psi_drift_bins"):
+        plan = _plan(QS[name](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, f"{name}\n" + plan[:2000]
+        assert "Join" not in plan, f"{name}\n" + plan[:2000]
+
+
+def test_zipf_topk_never_full_vocabulary_sort(spark):
+    """Top-100 tokens must reach the driver through a bounded top-k —
+    TakeOrderedAndProject (per-partition top-k + 100-row merge; what
+    Spark picks for the unpartitioned rank<=k) or WindowGroupLimit —
+    never a full vocabulary sort through one partition first."""
+    plan = _plan(QS["zipf_law_fit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_ols_single_join_single_global_aggregate(spark):
+    """OLS normal equations: per-order features join orders ONCE (the
+    fact-fact edge may shuffle), then one global aggregate; no windows,
+    no second join."""
+    plan = _plan(QS["ols_multi_regression"](spark, SF_DIR))
+    n_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin")
+    # tree + details double-print: one physical join node appears twice
+    assert n_joins <= 2, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+
+
+def test_allocation_windows_on_dimension_aggregate_only(spark):
+    """Largest-remainder allocation: dims broadcast into the fact
+    aggregate; the apportionment windows run AFTER the 25-row nation
+    aggregate (windows appear above the aggregate in the printed tree)."""
+    plan = _plan(QS["largest_remainder_allocation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:3000]
+    first_window = plan.index("Window")
+    first_agg = plan.index("HashAggregate")
+    assert first_window < first_agg, "windows must be downstream of the nation aggregate"
