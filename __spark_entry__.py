@@ -97,10 +97,13 @@ _CHECK_FIRST = (
     "window_relative_rank",
     "zscore_cap",
     # --- 50-query window boundary is here (15 new + 5 changed + 30
-    # r2-stale). Below: the round-7 queue — the 14 wave-2 queries
+    # r2-stale). Below: the round-7 queue — embedding_neardup_pairs
+    # first (its implementation changed to banded sign-LSH late in
+    # round 6, after the window filled), then the 25 wave-2/3 queries
     # registered late in round 6 (locally oracle-diffed every pytest
     # run; driver-checked first thing next round), then the 36
     # r3-stale queries ---
+    "embedding_neardup_pairs",
     "kaplan_meier_churn",
     "bollinger_breakout",
     "rolling_correlation",

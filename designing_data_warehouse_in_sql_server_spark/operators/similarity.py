@@ -42,17 +42,22 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
-def sign_bucket(vec: Column, bits: int) -> Column:
-    """Sign-bit sketch of the first `bits` dims: '1'/'0' per dim > 0.
-    A deterministic coarse LSH — vectors in the same bucket are the
-    candidate set for the scale path."""
+def sign_bucket_at(vec: Column, start: int, bits: int) -> Column:
+    """Sign-bit sketch of `bits` dims beginning at 0-based `start`:
+    '1'/'0' per dim > 0. A deterministic coarse LSH — vectors sharing a
+    sketch are the candidate set for the scale path."""
     return F.array_join(
         F.transform(
-            F.slice(vec, 1, bits),
+            F.slice(vec, start + 1, bits),
             lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
         ),
         "",
     )
+
+
+def sign_bucket(vec: Column, bits: int) -> Column:
+    """Sign-bit sketch of the first `bits` dims (see sign_bucket_at)."""
+    return sign_bucket_at(vec, 0, bits)
 
 
 def cosine_topk(
@@ -179,29 +184,83 @@ def ivf_topk(
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float,
-    bits: int = 8,
+    bands: int = 4,
+    band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_hint: int | None = None,
+    max_band_bits: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above `threshold`, restricted
-    to sign-bucket collisions (the LSH prefilter bounds the pair space —
-    never the full n^2)."""
-    e = embeddings.select(
+    """Embedding-cosine near-duplicate pairs above `threshold`, BANDED
+    sign-LSH prefilter: band i keys on the sign pattern of dims
+    [i*band_bits, (i+1)*band_bits); a pair is a candidate if it collides
+    in ANY band (OR-banding lifts recall the way minhash banding does),
+    then the exact quantized cosine verifies every candidate.
+
+    Size-adaptive band width (the round-6 sf1 lesson): a FIXED r-bit
+    band has 2^r buckets, so within-band candidates grow ~ n^2/2^r —
+    the measured 40x blowup at 10x data with the old single 8-bit
+    bucket. With `n_hint` (free from parquet footers), band_bits grows
+    as log2(n/8), holding expected bucket occupancy ~8 and candidate
+    volume ~linear. Hard cap `max_band_bits` = dim/bands (16 at 64
+    dims); past ~8 * 2^16 vectors per disjoint sign-space, raise the
+    dimensionality budget or switch to random-hyperplane sketches.
+    Recall shrinks as band_bits grows (p^r per band) — the standard
+    LSH accuracy/volume dial, surfaced as explicit parameters.
+
+    Shape: the band explode carries (id, band, key) only — the
+    quantized vectors join back by id AFTER candidate dedup, so wide
+    arrays never ride the band shuffle and a multi-band collision is
+    verified once."""
+    if n_hint is not None:
+        import math
+
+        band_bits = max(
+            band_bits,
+            min(max_band_bits, math.ceil(math.log2(max(n_hint, 8) / 8))),
+        )
+    sigs = embeddings.select(
         F.col(id_col),
-        quantized(F.col(vec_col)).alias("__v"),
-        sign_bucket(F.col(vec_col), bits).alias("__bucket"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    return (
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        sign_bucket_at(F.col(vec_col), i * band_bits, band_bits).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_q(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    qa = embeddings.select(
+        F.col(id_col).alias("id_a"), quantized(F.col(vec_col)).alias("__va")
+    )
+    qb = embeddings.select(
+        F.col(id_col).alias("id_b"), quantized(F.col(vec_col)).alias("__vb")
+    )
+    return (
+        pairs.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_q(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") > threshold)
     )

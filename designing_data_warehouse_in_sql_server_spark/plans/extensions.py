@@ -395,22 +395,46 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_id=0, k=10, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
 
 
-NEARDUP_ORACLE = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {SQL_BUCKET.format(v='embedding')} AS bucket
-  FROM embeddings
+# banded sign-LSH (round-6 fix): 4 bands x 8 sign bits at oracle scale;
+# the operator widens band_bits with the footer row count (see
+# operators/similarity.neardup_pairs — at sf0.01's 500 vectors the
+# adaptive width resolves to exactly these oracle parameters)
+_ND_BANDS, _ND_BITS = 4, 8
+
+_SQL_ND_SIGS = " UNION ALL ".join(
+    "SELECT vec_id, {i} AS band, array_to_string(list_transform("
+    "embedding[{lo}:{hi}], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+    " AS key FROM embeddings".format(i=i, lo=i * _ND_BITS + 1, hi=(i + 1) * _ND_BITS)
+    for i in range(_ND_BANDS)
 )
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       {_sql_cosine('a.embedding', 'c.embedding')} AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE {_sql_cosine('a.embedding', 'c.embedding')} > 0.8
+
+NEARDUP_ORACLE = f"""
+WITH sigs AS ({_SQL_ND_SIGS}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM sigs a JOIN sigs c
+    ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+)
+SELECT p.id_a, p.id_b, {_sql_cosine('x.embedding', 'y.embedding')} AS cosine
+FROM pairs p
+JOIN embeddings x ON p.id_a = x.vec_id
+JOIN embeddings y ON p.id_b = y.vec_id
+WHERE {_sql_cosine('x.embedding', 'y.embedding')} > 0.8
 """
 
 
 @register("embedding_neardup_pairs", NEARDUP_ORACLE)
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.parquet import table_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs(emb, threshold=0.8, bits=8)
+    return neardup_pairs(
+        emb,
+        threshold=0.8,
+        bands=_ND_BANDS,
+        band_bits=_ND_BITS,
+        n_hint=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 # ---------------------------------------------------------------------------

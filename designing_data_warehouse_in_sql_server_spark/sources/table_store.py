@@ -356,6 +356,166 @@ class TableStore:
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
+    # -- maintenance: retention / layout / data skipping -----------------------
+    def vacuum(self, name: str, keep_last: int = 2) -> list[int]:
+        """Retention: delete version directories older than the newest
+        ``keep_last`` (Delta VACUUM analog, version- rather than
+        timestamp-based because versions are this store's commit unit).
+        Returns the removed version numbers.
+
+        Space semantics with the hard-link fast paths: a data file is
+        freed only when its LAST linking version is vacuumed, so vacuum
+        reclaims exactly the files no retained version references —
+        never a file a survivor still links. The current version can
+        never be removed (keep_last is floored at 1); vacuumed versions
+        stop being time-travelable, which is the documented trade. The
+        CDC feed is NOT vacuumed — change history is an independent
+        retention decision (Delta separates these too)."""
+        cur = self.current_version(name)
+        if cur is None:
+            raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        cutoff = cur - max(keep_last, 1)
+        removed = []
+        for v in range(1, cutoff + 1):
+            vdir = os.path.join(self._dir(name), f"v{v}")
+            if os.path.isdir(vdir):
+                shutil.rmtree(vdir)
+                removed.append(v)
+                stats = self._stats_path(name, v)
+                if os.path.exists(stats):
+                    os.remove(stats)
+        return removed
+
+    def _stats_path(self, name: str, version: int) -> str:
+        return os.path.join(self._dir(name), f"STATS_v{version}.json")
+
+    def collect_file_stats(self, name: str, columns: list[str]) -> dict:
+        """Write the per-FILE min/max manifest for ``columns`` of the
+        current version (Delta data-skipping stats analog). Stats come
+        from parquet FOOTERS via pyarrow — one metadata read per file,
+        no data pages touched; at scale this piggybacks on OPTIMIZE,
+        which just wrote those footers. Returns the manifest."""
+        import glob as _glob
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        vdir = os.path.join(self._dir(name), f"v{v}")
+        files = sorted(
+            _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+        )
+        manifest: dict = {"version": v, "columns": columns, "files": []}
+        for path in files:
+            md = _pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            entry: dict = {
+                "path": os.path.relpath(path, vdir),
+                "rows": md.num_rows,
+                "stats": {},
+            }
+            for col in columns:
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break  # any stats-less row group disables skipping
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    entry["stats"][col] = [
+                        lo if isinstance(lo, (int, float, str)) else str(lo),
+                        hi if isinstance(hi, (int, float, str)) else str(hi),
+                    ]
+            manifest["files"].append(entry)
+        with open(self._stats_path(name, v), "w") as fh:
+            _json.dump(manifest, fh)
+        return manifest
+
+    def read_skipping(self, name: str, col: str, lo, hi) -> DataFrame:
+        """Read with FILE-level data skipping: open only the files whose
+        [min, max] range for ``col`` (from the stats manifest) overlaps
+        [lo, hi], then apply the predicate. Semantically identical to
+        ``read().filter(col BETWEEN lo AND hi)`` — the manifest prunes
+        whole files before any footer or page is opened, which is what
+        keeps a selective probe O(matching files) instead of O(table
+        files) at 100 TB (Spark's own parquet reader only prunes row
+        groups INSIDE files it has already opened and listed). Files
+        with no stats for ``col`` are conservatively kept. Falls back to
+        a plain filtered read when no manifest exists."""
+        import json as _json
+
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        between = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        try:
+            with open(self._stats_path(name, v)) as fh:
+                manifest = _json.load(fh)
+        except FileNotFoundError:
+            return self.read(name).filter(between)
+        vdir = os.path.join(self._dir(name), f"v{v}")
+        keep = [
+            os.path.join(vdir, e["path"])
+            for e in manifest["files"]
+            if col not in e["stats"]
+            or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+        ]
+        if not keep:
+            return self.read(name).filter(between).limit(0)
+        return self.spark.read.parquet(*keep).filter(between)
+
+    def skipping_file_counts(self, name: str, col: str, lo, hi) -> tuple[int, int]:
+        """(files kept, files total) for a range probe — the measurable
+        data-skipping benefit, used by tests and capacity planning."""
+        import json as _json
+
+        v = self.current_version(name)
+        with open(self._stats_path(name, v)) as fh:
+            manifest = _json.load(fh)
+        total = len(manifest["files"])
+        kept = sum(
+            1
+            for e in manifest["files"]
+            if col not in e["stats"]
+            or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+        )
+        return kept, total
+
+    def optimize(
+        self,
+        name: str,
+        zorder_by: tuple[str, str],
+        target_files: int = 8,
+    ) -> int:
+        """OPTIMIZE ZORDER analog: rewrite the current version clustered
+        on the Morton key of two dimensions (sources/layout.write_zordered
+        — range-partitioned by the interleaved key, sorted within files)
+        and collect the file-stats manifest for those dimensions, so
+        read_skipping() probes on EITHER dimension touch a fraction of
+        the files. Maintenance only: data unchanged, no CDC entries,
+        prior versions stay time-travelable (same contract as compact).
+        Unpartitioned tables only — a hive-partitioned table already has
+        its coarse layout dimension; z-ordering within partitions is a
+        separate (unimplemented) rewrite."""
+        from .layout import write_zordered
+
+        if self.partition_spec(name):
+            raise NotImplementedError(
+                "optimize(zorder_by=...) supports unpartitioned tables; "
+                "partitioned tables get their layout from the partition spec"
+            )
+        df = self.read(name)
+        v = (self.current_version(name) or 0) + 1
+        vdir = os.path.join(self._dir(name), f"v{v}")
+        write_zordered(df, vdir, zorder_by[0], zorder_by[1], target_files)
+        self._commit(name, v)
+        self.collect_file_stats(name, list(zorder_by))
+        return v
+
     # -- MERGE ------------------------------------------------------------------
     def merge(
         self,

@@ -892,3 +892,17 @@ def test_allocation_windows_on_dimension_aggregate_only(spark):
     first_window = plan.index("Window")
     first_agg = plan.index("HashAggregate")
     assert first_window < first_agg, "windows must be downstream of the nation aggregate"
+
+
+def test_neardup_banded_dedup_before_vector_verify(spark):
+    """Banded sign-LSH near-dup: the band explode ships only
+    (id, band, key); candidate pairs are DEDUPED (aggregate) before the
+    quantized vectors join back by id for the exact verify — wide
+    arrays never ride the band shuffle and multi-band collisions are
+    verified once."""
+    plan = _plan(QS["embedding_neardup_pairs"](spark, SF_DIR))
+    assert "Generate" in plan, plan[:3000]              # band explode
+    assert "HashAggregate" in plan, plan[:3000]          # pair dedup
+    assert "CartesianProduct" not in plan
+    # pair dedup (printed above) must precede the vector join-back scans
+    assert plan.index("HashAggregate") < plan.rindex("Scan parquet"), plan[:3000]

@@ -374,3 +374,70 @@ def test_compact_partitioned_table(spark, tmp_path):
     part_dirs = {d.split("/")[-2] for d in glob.glob(vdir + "/p=*/*.parquet")}
     assert part_dirs == {"p=0", "p=1", "p=2"}
     assert sorted(store.read("t").collect()) == rows_before
+
+
+def test_vacuum_retention_frees_old_versions_only(spark, tmp_path):
+    """vacuum(keep_last=2) deletes exactly the versions older than the
+    newest two; retained versions (including history for time travel)
+    still read, vacuumed ones are gone from disk, and hard-linked data
+    files survive as long as ANY retained version links them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("t", spark.range(10).select(F.col("id").alias("v")))
+    for i in range(3):
+        store.append("t", spark.range(10 + i, 11 + i).select(F.col("id").alias("v")))
+    assert store.current_version("t") == 4
+    removed = store.vacuum("t", keep_last=2)
+    assert removed == [1, 2]
+    assert not os.path.isdir(str(tmp_path / "t" / "v1"))
+    assert not os.path.isdir(str(tmp_path / "t" / "v2"))
+    # v3 (history) and v4 (current) both still read fully — v3's files
+    # were hard-linked from vacuumed versions and must survive
+    assert store.time_travel("t", 3).count() == 12
+    assert store.read("t").count() == 13
+    # floor at keep_last=1: current version can never be removed
+    assert store.vacuum("t", keep_last=0) == [3]
+    assert store.read("t").count() == 13
+
+
+def test_optimize_zorder_stats_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER + stats manifest + read_skipping: after
+    clustering on (a, b), a narrow range probe on EITHER dimension must
+    (1) return exactly the rows a full filtered read returns and
+    (2) open strictly fewer files than the table has — the measured
+    data-skipping benefit. Before optimize (row_number-ordered layout,
+    hash-partitioned files), the same probe keeps ~all files."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    # two independent uniform dims, deliberately laid out UNclustered:
+    # round-robin repartition spreads every (a,b) range over all files
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 2654435761) % 64).alias("b"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    store.overwrite("t", df)
+    store.collect_file_stats("t", ["a", "b"])
+    kept_before, total_before = store.skipping_file_counts("t", "a", 10, 13)
+    assert total_before == 8
+    assert kept_before == total_before  # unclustered: no file prunable
+
+    v = store.optimize("t", zorder_by=("a", "b"), target_files=8)
+    assert store.current_version("t") == v
+    kept_a, total = store.skipping_file_counts("t", "a", 10, 13)
+    kept_b, _ = store.skipping_file_counts("t", "b", 10, 13)
+    assert total == 8
+    assert kept_a < total and kept_b < total  # both dims prune post-zorder
+
+    want = sorted(
+        store.read("t").filter((F.col("a") >= 10) & (F.col("a") <= 13)).collect()
+    )
+    got = sorted(store.read_skipping("t", "a", 10, 13).collect())
+    assert got == want and len(got) == 4096 // 16
+    # fallback path: no manifest for a fresh overwrite -> plain filtered read
+    store.overwrite("t2", df)
+    assert store.read_skipping("t2", "a", 10, 13).count() == 4096 // 16
