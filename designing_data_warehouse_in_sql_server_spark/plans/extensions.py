@@ -2554,8 +2554,7 @@ def countmin_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     probes = (
-        spark.range(len(_CMS_PROBES))
-        .select(F.col("id").alias("user_id"))
+        spark.createDataFrame([(u,) for u in _CMS_PROBES], "user_id long")
         .select("user_id", F.explode(rows).alias("j"))
         .select("user_id", "j", F.expr(_cms_spark_bucket("j")).alias("bucket"))
     )

@@ -2339,11 +2339,34 @@ def hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates (map-side combine) — no groupBy key at all, so the reduce
 # side is one row; no joins, no windows.
 # ---------------------------------------------------------------------------
-AB_TEST_ORACLE = """
+# THE experiment-assignment law, shared by every A/B operator
+# (ab_test_proportions here, conversion_lag_median in analytics.py):
+# first md5 hex nibble of the user id splits users 50/50,
+# deterministically, identically on both engines. One definition —
+# divergent cohorts between the rate and latency readouts are
+# unrepresentable.
+AB_VARIANT_SQL = (
+    "CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) "
+    "IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END"
+)
+
+
+def ab_variant_col() -> F.Column:
+    """Spark twin of AB_VARIANT_SQL."""
+    return (
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+                *"01234567"
+            ),
+            "A",
+        )
+        .otherwise("B")
+    )
+
+
+AB_TEST_ORACLE = f"""
 WITH tagged AS (
-  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
-                   IN ('0','1','2','3','4','5','6','7')
-              THEN 'A' ELSE 'B' END AS variant,
+  SELECT {AB_VARIANT_SQL} AS variant,
          event_type
   FROM events WHERE event_type IN ('click', 'purchase')
 ), agg AS (
@@ -2371,15 +2394,7 @@ FROM agg
 def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
-        F.when(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
-                *"01234567"
-            ),
-            "A",
-        )
-        .otherwise("B")
-        .alias("variant"),
-        "event_type",
+        ab_variant_col().alias("variant"), "event_type"
     )
 
     def cnt(v: str, et: str):

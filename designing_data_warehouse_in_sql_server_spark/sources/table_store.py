@@ -425,11 +425,16 @@ class TableStore:
                         break  # any stats-less row group disables skipping
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-                if lo is not None:
-                    entry["stats"][col] = [
-                        lo if isinstance(lo, (int, float, str)) else str(lo),
-                        hi if isinstance(hi, (int, float, str)) else str(hi),
-                    ]
+                # only JSON-native primitive stats participate in skipping:
+                # a timestamp/decimal min would round-trip as a string and
+                # compare lexicographically against the caller's probe
+                # value — wrong pruning. Columns without usable stats are
+                # simply absent from the manifest, which read_skipping
+                # treats as "keep the file" (conservative, always correct).
+                if lo is not None and isinstance(lo, (int, float, str)) and isinstance(
+                    hi, (int, float, str)
+                ):
+                    entry["stats"][col] = [lo, hi]
             manifest["files"].append(entry)
         with open(self._stats_path(name, v), "w") as fh:
             _json.dump(manifest, fh)
@@ -466,7 +471,12 @@ class TableStore:
         ]
         if not keep:
             return self.read(name).filter(between).limit(0)
-        return self.spark.read.parquet(*keep).filter(between)
+        # basePath keeps hive partition-directory columns in the schema
+        # when only a subset of leaf files is read — without it a
+        # partitioned table's partition columns would silently vanish
+        return (
+            self.spark.read.option("basePath", vdir).parquet(*keep).filter(between)
+        )
 
     def skipping_file_counts(self, name: str, col: str, lo, hi) -> tuple[int, int]:
         """(files kept, files total) for a range probe — the measurable

@@ -86,9 +86,13 @@ def main() -> None:
     for k in sorted(merged):
         s1 = merged[k]
         s01 = base.get(k)
-        if s01 and s01 > 0.02:
+        if s01:
             r = s1 / s01
             verdict = "linear-or-better" if r <= 12 else "AUDIT"
+            if s01 <= 0.02:
+                # ratio still shown and still auditable — just annotated,
+                # because a <=20 ms denominator is fixed-overhead noise
+                verdict += " (noise-dominated sf0.1 baseline)"
             if r > 12:
                 flagged.append(k)
             lines.append(f"| `{k}` | {s1:.2f} | {s01:.2f} | {r:.2f}x | {verdict} |")

@@ -497,3 +497,65 @@ def test_kaplan_meier_censoring_on_planted_data(spark, tmp_path):
     # the tied censored user (4) is IN the denominator at t=6
     assert got[6].n_at_risk == 3 and got[6].n_churned == 1
     assert got[6].survival == 0.5
+
+
+def test_neardup_adaptive_band_bits_flip_points():
+    """The adaptive sign-LSH band width must stay at the oracle's fixed
+    8 bits through every oracle-checked scale (sf0.01: 500 vectors,
+    sf0.1: 2000) and only widen past 16 * 2^8 = 4096 — a flip below a
+    check scale would silently bucket differently from the committed
+    DuckDB oracle."""
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+        _adaptive_band_bits,
+    )
+
+    for n in (1, 500, 2000, 4096):
+        assert max(8, _adaptive_band_bits(n)) == 8, n
+    assert max(8, _adaptive_band_bits(4097)) == 9
+    assert max(8, _adaptive_band_bits(20000)) == 11  # sf1
+
+
+def test_seasonal_cma_gap_guard_on_planted_data(spark, tmp_path):
+    """A missing calendar month must KILL the centered trend for every
+    kernel that would otherwise stitch non-adjacent months (the ROWS
+    frame alone cannot see the hole); months with a full contiguous
+    13-month kernel keep their trend. Cross-engine parity on exactly
+    this shape."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    rows = []
+    okey = 0
+    # 30 consecutive months, then HOLE (month index 30 missing), then 10 more
+    for mi in [*range(30), *range(31, 41)]:
+        y, m = divmod(mi, 12)
+        for _ in range(3 + mi % 5):  # a few orders per month
+            rows.append(
+                (okey, okey % 7, "O", 100.0 + okey, dt.datetime(1995 + y, m + 1, 1), "1-URGENT")
+            )
+            okey += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    ).astype({"o_orderdate": "datetime64[us]"})
+    d = tmp_path / "sf_gap"
+    d.mkdir()
+    pdf.to_parquet(str(d / "orders.parquet"), index=False)
+    qs, oracles = e.queries(), e.oracle_sql()
+    name = "seasonal_decompose_cma"
+    out_df = qs[name](spark, str(d))
+    problems = compare(out_df, oracles[name], str(d))
+    assert not problems, f"{name}: {problems}"
+    got = {(r.m.year - 1995) * 12 + (r.m.month - 1): r.trend_num24 for r in out_df.collect()}
+    # month 24: kernel 18..30 needs the missing 30 -> no trend; same for
+    # every kernel whose 13-month span crosses the hole
+    for mi in range(24, 30):
+        assert got[mi] is None, mi
+    for mi in range(31, 41):
+        assert got[mi] is None, mi  # right side too short / crosses hole
+    # month 20: kernel 14..26 fully present -> trend emitted
+    assert got[20] is not None

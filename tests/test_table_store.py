@@ -441,3 +441,51 @@ def test_optimize_zorder_stats_skipping(spark, tmp_path):
     # fallback path: no manifest for a fresh overwrite -> plain filtered read
     store.overwrite("t2", df)
     assert store.read_skipping("t2", "a", 10, 13).count() == 4096 // 16
+
+
+def test_read_skipping_partitioned_table_keeps_partition_columns(spark, tmp_path):
+    """Data skipping on a hive-partitioned table must return the SAME
+    schema as read() — the basePath option restores partition-directory
+    columns when only a subset of leaf files is opened."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(400).select(
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.col("id").alias("a"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    store.overwrite("t", df, partition_by=["p"])
+    store.collect_file_stats("t", ["a"])
+    got = store.read_skipping("t", "a", 100, 120)
+    assert set(got.columns) == {"p", "a", "payload"}
+    want = sorted(store.read("t").filter("a BETWEEN 100 AND 120").collect())
+    assert sorted(got.collect()) == want
+
+
+def test_file_stats_skip_non_primitive_columns(spark, tmp_path):
+    """Timestamp min/max would JSON-round-trip as strings and compare
+    lexicographically against probe values — the manifest must omit
+    such columns entirely so read_skipping conservatively keeps every
+    file instead of mis-pruning."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 20)) for i in range(100)],
+        "a long, ts timestamp_ntz",
+    )
+    store.overwrite("t", df)
+    manifest = store.collect_file_stats("t", ["a", "ts"])
+    for entry in manifest["files"]:
+        assert "ts" not in entry["stats"]      # non-primitive: omitted
+        assert "a" in entry["stats"]           # numeric: present
+    # probe on the stats-less column: every file kept, results correct
+    got = store.read_skipping(
+        "t", "ts", dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)
+    )
+    assert got.count() == df.filter(
+        (F.col("ts") >= dt.datetime(2024, 1, 3)) & (F.col("ts") <= dt.datetime(2024, 1, 5))
+    ).count()
