@@ -41,11 +41,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # / percent_rank_global re-measured because their n_hint is now sourced
 # from parquet footers (no plan-construction count job) and
 # percent_rank/abc also picked up the one-sort prefix_sum total.
-# embedding_neardup_pairs: rewritten round 6 (wave 3) from a single
-# fixed 8-bit sign bucket to banded size-adaptive sign-LSH after the
-# sf1 probe measured ~40x at 10x data (n^2/256 candidate growth); its
-# committed sf0.1 minimum describes the deleted implementation.
-FRESH: set[str] = {"embedding_neardup_pairs"}
+# (embedding_neardup_pairs was FRESH for the round-6 refresh after its
+# banded sign-LSH rewrite; its row now describes current code — at
+# sf0.1's 2000 vectors the adaptive width resolves to the same 8 bits
+# before and after the flip-point fix — so it is cleared per the
+# lifecycle above.)
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 
