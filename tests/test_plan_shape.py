@@ -731,6 +731,26 @@ def test_weighted_median_one_sort_per_group(spark):
     assert "SinglePartition" not in plan, plan[:3000]
 
 
+def test_weighted_median_family_two_phase_above_threshold(spark):
+    """Above WINDOW_FORM_MAX_ROWS neither weighted_median nor
+    conversion_lag_median may sort a group through one task: the grouped
+    two-phase form broadcasts the per-(partition, group) offsets back —
+    no SinglePartition exchange, no data-sized shuffle join; the only
+    Windows partition by (__pid, group)."""
+    from designing_data_warehouse_in_sql_server_spark.plans.analytics import (
+        _conversion_lag_plan,
+        _weighted_median_plan,
+    )
+
+    for fn in (_weighted_median_plan, _conversion_lag_plan):
+        plan = _plan(fn(spark, SF_DIR, None))
+        assert "SinglePartition" not in plan, plan[:3000]
+        assert "__offset" in plan, plan[:3000]
+        assert "BroadcastHashJoin" in plan, plan[:3000]
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:3000]
+        assert "__pid" in plan, plan[:3000]
+
+
 def test_asof_nearest_no_join_one_exchange(spark):
     """The nearest mode keeps the directional modes' shape: union + one
     ordered per-user window — never a range join, one exchange."""
