@@ -224,7 +224,10 @@ def neardup_pairs(
     occupancy ~16 and candidate volume ~linear. Hard cap
     `max_band_bits` = dim/bands (16 at 64 dims); past ~16 * 2^16
     vectors per disjoint sign-space, raise the dimensionality budget
-    or switch to random-hyperplane sketches.
+    or switch to random-hyperplane sketches. Bands that would slice
+    past the actual vector end get NULL keys and are dropped (a
+    runtime guard — the cap need not know the true dimension), so a
+    mis-sized cap degrades recall, never candidate volume.
     Recall shrinks as band_bits grows (p^r per band) — the standard
     LSH accuracy/volume dial, surfaced as explicit parameters.
 
@@ -234,22 +237,33 @@ def neardup_pairs(
     verified once."""
     if n_hint is not None:
         band_bits = max(band_bits, min(max_band_bits, _adaptive_band_bits(n_hint)))
-    sigs = embeddings.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        sign_bucket_at(F.col(vec_col), i * band_bits, band_bits).alias(
-                            "key"
-                        ),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    # guard low-dimension embeddings (ADVICE r6): a band whose slice
+    # starts past the vector end would key EVERY vector to the empty
+    # string — n^2 candidates in that band. NULL the key instead (the
+    # equality self-join drops NULLs, so the band contributes nothing);
+    # a partially-in-range band keys on its in-range prefix, which is
+    # consistent across same-dimension vectors.
+    sigs = (
+        embeddings.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.when(
+                                F.size(F.col(vec_col)) > i * band_bits,
+                                sign_bucket_at(F.col(vec_col), i * band_bits, band_bits),
+                            ).alias("key"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+        .filter(F.col("key").isNotNull())
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (
         a.join(

@@ -2440,9 +2440,13 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cancellation — a single-pass raw-power-sum form loses ~10 digits to
 # cancellation at these magnitudes and overflows DECIMAL(38) near 1e9
 # rows). Spark carries the sums in DECIMAL(38,0), the oracle in
-# HUGEINT — both exact (capacity: |d| <= ~3e9 cents keeps d^4 * n
-# within 38 digits at 1e9 rows); the final combination is ONE double
-# expression on identical exact inputs, ROUND 6.
+# HUGEINT — both exact. Capacity: d^4 * n < 1e38 requires
+# |d| <= ~1.8e7 cents (~$180k deviation from the group mean) at 1e9
+# rows, scaling as n^(-1/4) — TPC-H-like prices (|d| ~ 1.1e7 cents)
+# sit inside that bound; past it the t4 SUM overflows (throws under
+# ANSI mode, Spark 4's default — never a silent wrong answer).
+# The final combination is ONE double expression on
+# identical exact inputs, ROUND 6.
 #
 # Scale: pass 1's per-group aggregate is dimension-bounded and
 # broadcast back; both passes are plain hash aggregates with map-side

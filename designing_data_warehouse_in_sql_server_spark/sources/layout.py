@@ -40,16 +40,8 @@ def morton_key(col_a: Column, col_b: Column) -> Column:
     return (spread(col_a) * 2 + spread(col_b)).cast("long")
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    dim_a: str,
-    dim_b: str,
-    n_files: int,
-) -> None:
-    """Write ``df`` as ``n_files`` parquet files clustered on the Morton
-    key of (dim_a, dim_b). The key column itself is not persisted — it
-    only steers the layout.
+def zordered_frame(df: DataFrame, dim_a: str, dim_b: str) -> DataFrame:
+    """``df`` plus a ``__zkey`` Morton-key column over (dim_a, dim_b).
 
     Each dimension is linearly rescaled to the full 16-bit range before
     interleaving: raw interleaving lets the wider-domain dimension's high
@@ -57,7 +49,9 @@ def write_zordered(
     ZERO pruning against a 3500-value date dimension), while after
     normalization both dimensions contribute alternating significant
     bits — the same reason Delta/Iceberg z-order on range-partition ids,
-    not raw values. Cost: one 1-row min/max aggregate broadcast back."""
+    not raw values. Cost: one 1-row min/max aggregate broadcast back.
+    Bounds are GLOBAL — on a hive-partitioned rewrite every partition
+    shares one key space, which keeps the layout a single job."""
     bounds = df.agg(
         F.min(dim_a).alias("__amin"),
         F.max(dim_a).alias("__amax"),
@@ -69,17 +63,34 @@ def write_zordered(
         span = F.greatest(hi - lo, F.lit(1)).cast("double")
         return ((c - lo) * 65535.0 / span).cast("long")
 
-    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "__zkey",
-        morton_key(
-            rescale(F.col(dim_a), F.col("__amin"), F.col("__amax")),
-            rescale(F.col(dim_b), F.col("__bmin"), F.col("__bmax")),
-        ),
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__zkey",
+            morton_key(
+                rescale(F.col(dim_a), F.col("__amin"), F.col("__amax")),
+                rescale(F.col(dim_b), F.col("__bmin"), F.col("__bmax")),
+            ),
+        )
+        .drop("__amin", "__amax", "__bmin", "__bmax")
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_a: str,
+    dim_b: str,
+    n_files: int,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the Morton
+    key of (dim_a, dim_b) (see :func:`zordered_frame`). The key column
+    itself is not persisted — it only steers the layout."""
     (
-        keyed.repartitionByRange(n_files, "__zkey")
+        zordered_frame(df, dim_a, dim_b)
+        .repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
-        .drop("__zkey", "__amin", "__amax", "__bmin", "__bmax")
+        .drop("__zkey")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -91,6 +91,33 @@ def _is_dup_key_error(ex: Exception) -> bool:
     return True
 
 
+def _hive_partition_values(rel_path: str) -> dict:
+    """Parse ``k=v`` directory segments of a file's version-relative path
+    into typed partition values, the way Spark's partition discovery
+    does: URL-unescape, then int -> float -> string; the hive NULL
+    sentinel maps to None (callers treat None as "no usable stat")."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, raw = seg.partition("=")
+        raw = unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+            continue
+        for cast in (int, float):
+            try:
+                out[k] = cast(raw)
+                break
+            except ValueError:
+                continue
+        else:
+            out[k] = raw
+    return out
+
+
 class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -411,12 +438,27 @@ class TableStore:
         for path in files:
             md = _pq.ParquetFile(path).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            rel = os.path.relpath(path, vdir)
+            # hive partition columns live in directory names, not footers
+            # — and they are the most natural skipping target on a
+            # partitioned table: each k=v segment is an exact [v, v] stat
+            part_vals = _hive_partition_values(rel)
             entry: dict = {
-                "path": os.path.relpath(path, vdir),
+                "path": rel,
                 "rows": md.num_rows,
                 "stats": {},
             }
             for col in columns:
+                if col in part_vals:
+                    pv = part_vals[col]
+                    if pv is not None:
+                        entry["stats"][col] = [pv, pv]
+                    continue
+                if col not in idx:
+                    # absent from the footer schema (e.g. a column added
+                    # after this file was written): stats-less — skipped,
+                    # per the documented "simply absent" contract
+                    continue
                 lo = hi = None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx[col]).statistics
@@ -502,28 +544,51 @@ class TableStore:
         target_files: int = 8,
     ) -> int:
         """OPTIMIZE ZORDER analog: rewrite the current version clustered
-        on the Morton key of two dimensions (sources/layout.write_zordered
-        — range-partitioned by the interleaved key, sorted within files)
-        and collect the file-stats manifest for those dimensions, so
+        on the Morton key of two dimensions (sources/layout — range-
+        partitioned by the interleaved key, sorted within files) and
+        collect the file-stats manifest for those dimensions, so
         read_skipping() probes on EITHER dimension touch a fraction of
         the files. Maintenance only: data unchanged, no CDC entries,
         prior versions stay time-travelable (same contract as compact).
-        Unpartitioned tables only — a hive-partitioned table already has
-        its coarse layout dimension; z-ordering within partitions is a
-        separate (unimplemented) rewrite."""
-        from .layout import write_zordered
 
-        if self.partition_spec(name):
-            raise NotImplementedError(
-                "optimize(zorder_by=...) supports unpartitioned tables; "
-                "partitioned tables get their layout from the partition spec"
+        On a hive-partitioned table the rewrite z-orders WITHIN each
+        partition while keeping the partition layout: ONE layout job
+        range-partitions on (partition cols, zkey) — contiguous Morton
+        ranges inside each partition — and writes through partitionBy,
+        never a per-partition job loop (at thousands of partitions the
+        loop's serial job latency IS the maintenance window).
+        ``target_files`` then budgets the table-wide file count, spread
+        across partitions proportional to their row share (range
+        boundaries are row-quantile-based). The manifest covers the
+        z-dims (footer stats) AND the partition columns (directory-name
+        stats), so skipping probes compose on all of them."""
+        from .layout import write_zordered, zordered_frame
+
+        spec = self.partition_spec(name)
+        if any(c in spec for c in zorder_by):
+            raise ValueError(
+                f"zorder_by {zorder_by} overlaps partition spec {spec}: "
+                "partition columns already have directory-level layout"
             )
         df = self.read(name)
         v = (self.current_version(name) or 0) + 1
         vdir = os.path.join(self._dir(name), f"v{v}")
-        write_zordered(df, vdir, zorder_by[0], zorder_by[1], target_files)
+        if not spec:
+            write_zordered(df, vdir, zorder_by[0], zorder_by[1], target_files)
+        else:
+            (
+                zordered_frame(df, zorder_by[0], zorder_by[1])
+                .repartitionByRange(target_files, *spec, "__zkey")
+                .sortWithinPartitions(*spec, "__zkey")
+                .drop("__zkey")
+                .write.mode("overwrite")
+                .partitionBy(*spec)
+                .parquet(vdir)
+            )
         self._commit(name, v)
-        self.collect_file_stats(name, list(zorder_by))
+        self.collect_file_stats(
+            name, list(zorder_by) + [c for c in spec if c not in zorder_by]
+        )
         return v
 
     # -- MERGE ------------------------------------------------------------------

@@ -515,6 +515,31 @@ def test_neardup_adaptive_band_bits_flip_points():
     assert max(8, _adaptive_band_bits(20000)) == 11  # sf1
 
 
+def test_neardup_low_dim_bands_null_not_collide(spark):
+    """Bands slicing past the vector end must contribute ZERO candidates
+    (NULL keys), not collide every vector (ADVICE r6: the empty-slice
+    key '' put all n vectors in one bucket — n^2 in that band). Planted:
+    8-dim vectors with 4x8-bit bands — bands 1-3 are fully out of range;
+    two orthogonal-sign groups collide only within band 0."""
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+        neardup_pairs,
+    )
+
+    # group A: all-positive signs; group B: all-negative — band 0 keys
+    # differ, bands 1-3 out of range for dim 8
+    rows = [(i, [1.0 + 0.01 * i] * 8) for i in range(4)]
+    rows += [(10 + i, [-1.0 - 0.01 * i] * 8) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = neardup_pairs(df, threshold=0.99, bands=4, band_bits=8).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    # within-group pairs survive (same band-0 key, cosine ~1); NO
+    # cross-group pair may even be a candidate — and the candidate
+    # count stays 2 * C(4,2), not C(8,2) per phantom band
+    for a, b in pairs:
+        assert (a < 10) == (b < 10), (a, b)
+    assert len(pairs) == 12  # C(4,2) * 2 groups, via band 0 only
+
+
 def test_seasonal_cma_gap_guard_on_planted_data(spark, tmp_path):
     """A missing calendar month must KILL the centered trend for every
     kernel that would otherwise stitch non-adjacent months (the ROWS
