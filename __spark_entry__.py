@@ -30,79 +30,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 6 front-loads (a0) the 15
-# queries registered this round; (a) the 5 checked-last-round queries whose
-# implementation changed this round (bloom probe-parameter coupling ->
-# decontaminate_bloom; parquet-footer n_hint sourcing -> peak_concurrency /
-# pareto_frontier / abc_classification / percent_rank_global, the last two
-# also picking up the one-sort prefix_sum total); then (b) ALL 30 queries
-# whose latest green driver row is round 2 (the staleness ceiling —
-# VERDICT r5 item 1), which closes the window at exactly 50. The 36
-# r3-stale queries are queued immediately after the boundary for round 7
-# (VERDICT r5 item 7). Entries behind the window all have green rows in
-# CORRECTNESS_r03-r05.json; every query is also oracle-diffed locally in
-# tests/test_oracle_parity.py on every run.
+# the official oracle check each round. Round 7 front-loads (a) the 26
+# queries whose implementation has never had a driver row (VERDICT r6 item
+# 1: the rewritten embedding_neardup_pairs — re-touched this round with the
+# low-dimension band guard — plus the 25 wave-2/3 queries registered after
+# the r6 window filled); (b) the 2 checked queries whose implementation
+# changed this round (weighted_median / conversion_lag_median now dispatch
+# to the grouped two-phase prefix-sum above WINDOW_FORM_MAX_ROWS —
+# conversion_lag_median is already in (a)); (c) the 2 queries registered
+# this round (pipeline_end_to_end: transform_load.sql:9-73 statement-by-
+# statement through the real TableStore pipeline; read_skipping: manifest
+# file pruning with an in-query kept<total assertion). The remaining 21
+# slots take the oldest r3-stale queries (VERDICT r6 item 3), alphabetical;
+# the 15 r3-stale queries past the boundary are queued first for round 8.
+# Every query is also oracle-diffed locally in tests/test_oracle_parity.py
+# on every run.
 _CHECK_FIRST = (
-    # (a0) registered this round — never driver-checked
-    "dedup_incremental_lsh_store",
-    "weighted_median",
-    "asof_join_nearest",
-    "cusum_mean_shift",
-    "equi_depth_histogram",
-    "argmax_per_group",
-    "yoy_growth",
-    "share_of_parent",
-    "benford_first_digit",
-    "contingency_chi_square",
-    "stratified_kfold",
-    "unknown_member_join",
-    "bitmap_exact_distinct",
-    "systematic_sample",
-    "minhash_jaccard_estimate",
-    # (a) implementation changed this round
-    "decontaminate_bloom",
-    "peak_concurrency",
-    "pareto_frontier",
-    "abc_classification",
-    "percent_rank_global",
-    # (b) r2 greens — the full 30-query staleness ceiling, alphabetical
-    "funnel_conversion",
-    "impute_group_mean",
-    "lang_id_ngram",
-    "merge_insert_only",
-    "merge_upsert_full_outer",
-    "mode_per_group",
-    "multimodal_features",
-    "pack_sequences",
-    "pii_scrub",
-    "prepare_corpus",
-    "q12_ship_delay",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q17_small_quantity",
-    "q22_dormant_customers",
-    "q6_revenue_forecast",
-    "quality_repetition",
-    "range_join_event_pairs",
-    "salted_skew_join",
-    "scalar_expressions",
-    "simhash_near_pairs",
-    "stratified_sample",
-    "surrogate_key_join",
-    "text_quality_score",
-    "timeseries_gap_fill",
-    "token_count",
-    "train_val_test_split",
-    "watermark_max_date",
-    "window_relative_rank",
-    "zscore_cap",
-    # --- 50-query window boundary is here (15 new + 5 changed + 30
-    # r2-stale). Below: the round-7 queue — embedding_neardup_pairs
-    # first (its implementation changed to banded sign-LSH late in
-    # round 6, after the window filled), then the 25 wave-2/3 queries
-    # registered late in round 6 (locally oracle-diffed every pytest
-    # run; driver-checked first thing next round), then the 36
-    # r3-stale queries ---
+    # (a) never driver-checked with the current implementation
     "embedding_neardup_pairs",
     "kaplan_meier_churn",
     "bollinger_breakout",
@@ -118,7 +62,6 @@ _CHECK_FIRST = (
     "countmin_frequency",
     "feature_hashing",
     "sliding_distinct_users",
-    # wave-3 (also round 6, also locally oracle-diffed every run)
     "auc_roc",
     "calibration_bins",
     "confusion_matrix_metrics",
@@ -130,6 +73,12 @@ _CHECK_FIRST = (
     "readability_scores",
     "largest_remainder_allocation",
     "conversion_lag_median",
+    # (b) implementation changed this round
+    "weighted_median",
+    # (c) registered this round
+    "pipeline_end_to_end",
+    "read_skipping",
+    # r3-stale rotation, alphabetical — first 21 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",
@@ -151,6 +100,8 @@ _CHECK_FIRST = (
     "pagerank_fixed",
     "quantile_cont",
     "rolling_anomaly_zscore",
+    # --- 50-query window boundary is here. Below: the round-8 queue
+    # (the remaining r3/r4-stale queries, alphabetical) ---
     "salted_aggregation",
     "scd2_point_in_time",
     "session_paths_topk",

@@ -636,3 +636,237 @@ def unknown_member_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_name", F.lit("Unknown")).alias("cust_name"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The reference pipeline END-TO-END (VERDICT r6 item 7): the six
+# statements of transform_load.sql:9-73 executed as ONE composite —
+# statement ORDER is load-bearing (clean before merges, dim before
+# fact, flag last; SURVEY §3) — through the real plans/pipeline.py
+# transform_load against a real TableStore, emitting the final fact
+# table. The oracle replays the script statement-by-statement in SQL
+# over the SAME weather-shaped staging, derived deterministically from
+# `orders` (the HTTP extract is injected as pre-seeded staging: no
+# network in the sandbox; extract() itself is covered by
+# test_pipeline's fake fetcher).
+#
+# Determinism by construction (the cross-engine hash gate):
+# - all raw temps are INTEGER-valued doubles, so every imputation mean
+#   is an exact integer-sum / count — bit-identical on any engine and
+#   any partitioning;
+# - planted NULLs (impute path) are restricted to months > 1 and
+#   planted outliers (cap path) to month 1, so no imputed value ever
+#   contains an outlier and every z-score sits far from the 3.0
+#   threshold (z≈16 for outliers vs z≲1 for clean rows — float-ulp
+#   noise cannot flip a decision);
+# - rows duplicated within a (city, date) group are IDENTICAL (all
+#   columns derive from (city, date) alone; only is_processed derives
+#   from the row id), so the reference's nondeterministic dedup
+#   tiebreak (ORDER BY (SELECT NULL), transform_load.sql:12) cannot
+#   produce divergent survivors;
+# - surrogate keys replay exactly: dim ids are max_id + alphabetical
+#   row_number (city names chosen so alphabetical order == city_num
+#   order), fact ids are max_wid + (city_id, date) rank over the WHOLE
+#   merge source (matched rows consume ranks without using them —
+#   update keeps the target id), matching assign_sequential_ids.
+# ---------------------------------------------------------------------------
+_E2E_STG = """
+  SELECT (o_custkey % 5) AS city_num,
+         o_orderdate AS date,
+         (o_orderkey % 3 = 0) AS is_processed,
+         ((DAYOFYEAR(o_orderdate) * ((o_custkey % 5) + 3)) % 350) AS base,
+         DAY(o_orderdate) AS dom,
+         MONTH(o_orderdate) AS moy
+  FROM orders
+"""
+
+PIPELINE_E2E_ORACLE = f"""
+WITH d0 AS ({_E2E_STG}),
+stg AS (
+  SELECT city_num, date, is_processed,
+    CASE WHEN moy > 1 AND (dom * 5 + city_num) % 10 = 0 THEN NULL
+         WHEN moy = 1 AND (dom + city_num) % 31 = 30 THEN CAST(3000 + base AS DOUBLE)
+         ELSE CAST(base AS DOUBLE) END AS temp_max,
+    CASE WHEN (dom * 3 + city_num) % 11 = 0 THEN NULL
+         ELSE CAST(base AS DOUBLE) - 15.0 END AS temp_min,
+    CAST(moy + city_num AS DOUBLE) AS precipitation,
+    CASE WHEN moy > 1 AND (dom * 5 + city_num) % 10 = 0 THEN NULL
+         ELSE CAST(base AS DOUBLE) END AS seed_temp_max
+  FROM d0
+),
+seed_fact AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY city_id, date) AS BIGINT) AS weather_id, *
+  FROM (
+    SELECT DISTINCT CAST(city_num + 1 AS INT) AS city_id, date,
+           CAST(seed_temp_max AS DECIMAL(5,2)) AS temp_max,
+           CAST(temp_min AS DECIMAL(5,2)) AS temp_min,
+           CAST(precipitation AS DECIMAL(5,2)) AS precipitation
+    FROM stg WHERE is_processed AND city_num <= 2
+  )
+),
+deduped AS (  -- statement 1: dedup UNPROCESSED rows only (identical dups)
+  SELECT DISTINCT city_num, date, temp_max, temp_min, precipitation, TRUE AS is_unproc
+  FROM stg WHERE NOT is_processed
+  UNION ALL
+  SELECT city_num, date, temp_max, temp_min, precipitation, FALSE
+  FROM stg WHERE is_processed
+),
+imputed AS (  -- statement 2: (city, month) mean over ALL rows, fill unprocessed
+  SELECT city_num, date, is_unproc, precipitation,
+    CASE WHEN temp_max IS NULL AND is_unproc
+         THEN AVG(temp_max) OVER (PARTITION BY city_num, MONTH(date))
+         ELSE temp_max END AS temp_max,
+    CASE WHEN temp_min IS NULL AND is_unproc
+         THEN AVG(temp_min) OVER (PARTITION BY city_num, MONTH(date))
+         ELSE temp_min END AS temp_min
+  FROM deduped
+),
+capped AS (  -- statement 3: cap z > 3 to the city mean, unprocessed only
+  SELECT city_num, date, is_unproc, precipitation, temp_min,
+    CASE WHEN is_unproc
+              AND ABS(temp_max - AVG(temp_max) OVER (PARTITION BY city_num))
+                  / STDDEV(temp_max) OVER (PARTITION BY city_num) > 3
+         THEN AVG(temp_max) OVER (PARTITION BY city_num)
+         ELSE temp_max END AS temp_max
+  FROM imputed
+),
+-- statement 4 (dim insert-only merge) is implicit: city_id == city_num + 1
+-- because alphabetical insert order matches city_num order (see note above)
+src AS (  -- statement 5's source: cleaned unprocessed + surrogate lookup
+  SELECT CAST(city_num + 1 AS INT) AS city_id, date,
+         CAST(temp_max AS DECIMAL(5,2)) AS temp_max,
+         CAST(temp_min AS DECIMAL(5,2)) AS temp_min,
+         CAST(precipitation AS DECIMAL(5,2)) AS precipitation
+  FROM capped WHERE is_unproc
+),
+src_ids AS (
+  SELECT *, (SELECT COUNT(*) FROM seed_fact)
+            + ROW_NUMBER() OVER (ORDER BY city_id, date) AS new_wid
+  FROM src
+)
+SELECT CAST(COALESCE(t.weather_id, s.new_wid) AS BIGINT) AS weather_id,
+       CAST(COALESCE(s.city_id, t.city_id) AS BIGINT) AS city_id,
+       COALESCE(s.date, t.date) AS date,
+       CAST(CASE WHEN s.new_wid IS NOT NULL THEN s.temp_max ELSE t.temp_max END AS DOUBLE) AS temp_max,
+       CAST(CASE WHEN s.new_wid IS NOT NULL THEN s.temp_min ELSE t.temp_min END AS DOUBLE) AS temp_min,
+       CAST(CASE WHEN s.new_wid IS NOT NULL THEN s.precipitation ELSE t.precipitation END AS DOUBLE) AS precipitation,
+       CASE WHEN s.new_wid IS NOT NULL THEN TIMESTAMP '2024-06-01 00:00:00'
+            ELSE TIMESTAMP '2024-01-01 00:00:00' END AS load_timestamp
+FROM seed_fact t
+FULL OUTER JOIN src_ids s ON t.city_id = s.city_id AND t.date = s.date
+"""
+
+_E2E_CITIES = ("alpha", "bravo", "charlie", "delta", "echo")
+
+
+@register("pipeline_end_to_end", PIPELINE_E2E_ORACLE)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.table_store import TableStore
+    from ..operators.ids import assign_sequential_ids
+    from .pipeline import DIM, FACT, STG, transform_load
+
+    orders = load_table(spark, sf_dir, "orders")
+    city_num = (F.col("o_custkey") % 5).cast("int")
+    dom = F.dayofmonth("o_orderdate")
+    moy = F.month("o_orderdate")
+    base = (F.dayofyear("o_orderdate") * (city_num + 3)) % 350
+    null_max = (moy > 1) & ((dom * 5 + city_num) % 10 == 0)
+    outlier = (moy == 1) & ((dom + city_num) % 31 == 30)
+    derived = orders.select(
+        city_num.alias("city_num"),
+        F.element_at(F.array(*[F.lit(c) for c in _E2E_CITIES]), city_num + 1).alias(
+            "city_name"
+        ),
+        F.col("o_orderdate").alias("date"),
+        (F.col("o_orderkey") % 3 == 0).alias("is_processed"),
+        F.when(null_max, F.lit(None).cast("double"))
+        .when(outlier, (base + 3000).cast("double"))
+        .otherwise(base.cast("double"))
+        .alias("temp_max"),
+        F.when((dom * 3 + city_num) % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(base.cast("double") - 15.0)
+        .alias("temp_min"),
+        (moy + city_num).cast("double").alias("precipitation"),
+        F.when(null_max, F.lit(None).cast("double"))
+        .otherwise(base.cast("double"))
+        .alias("seed_temp_max"),
+    )
+    old_ts, load_ts = "2024-01-01 00:00:00", "2024-06-01 00:00:00"
+    tmp = tempfile.mkdtemp(prefix="ddw_e2e_")
+    try:
+        store = TableStore(spark, tmp)
+        store.overwrite(
+            STG,
+            derived.select(
+                "city_name",
+                "date",
+                "temp_max",
+                "temp_min",
+                "precipitation",
+                F.when(F.col("is_processed"), F.lit(old_ts))
+                .otherwise(F.lit(load_ts))
+                .cast("timestamp_ntz")
+                .alias("load_timestamp"),
+                "is_processed",
+            ),
+        )
+        store.overwrite(
+            DIM,
+            spark.createDataFrame(
+                [(i + 1, c) for i, c in enumerate(_E2E_CITIES[:3])],
+                "city_id int, city_name string",
+            ).select(
+                "city_id",
+                "city_name",
+                F.lit(None).cast("string").alias("country"),
+                F.lit(None).cast("decimal(9,6)").alias("latitude"),
+                F.lit(None).cast("decimal(9,6)").alias("longitude"),
+                F.lit(None).cast("string").alias("timezone"),
+                F.lit(old_ts).cast("timestamp_ntz").alias("valid_from"),
+                F.lit("9999-12-31").cast("timestamp_ntz").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ),
+        )
+        seed = (
+            derived.filter(F.col("is_processed") & (F.col("city_num") <= 2))
+            .select(
+                (F.col("city_num") + 1).cast("int").alias("city_id"),
+                "date",
+                F.col("seed_temp_max").cast("decimal(5,2)").alias("temp_max"),
+                F.col("temp_min").cast("decimal(5,2)").alias("temp_min"),
+                F.col("precipitation").cast("decimal(5,2)").alias("precipitation"),
+            )
+            .distinct()
+        )
+        seed = assign_sequential_ids(seed, "weather_id", ["city_id", "date"])
+        store.overwrite(
+            FACT,
+            seed.select(
+                "weather_id",
+                "city_id",
+                "date",
+                "temp_max",
+                "temp_min",
+                "precipitation",
+                F.lit(old_ts).cast("timestamp_ntz").alias("load_timestamp"),
+            ),
+        )
+        transform_load(spark, store, load_ts)
+        return (
+            store.read(FACT)
+            .select(
+                F.col("weather_id").cast("long"),
+                F.col("city_id").cast("long"),
+                "date",
+                F.col("temp_max").cast("double"),
+                F.col("temp_min").cast("double"),
+                F.col("precipitation").cast("double"),
+                "load_timestamp",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -46,7 +46,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # sf0.1's 2000 vectors the adaptive width resolves to the same 8 bits
 # before and after the flip-point fix — so it is cleared per the
 # lifecycle above.)
-FRESH: set[str] = set()
+# Round-7 FRESH set: weighted_median / conversion_lag_median now
+# dispatch size-adaptively to the grouped two-phase prefix-sum (at
+# sf0.1 the footer hint still selects the window form, but the hint
+# source adds a footer read to plan construction); embedding_neardup_pairs
+# picked up the low-dimension band NULL guard (same plan at 64 dims,
+# but the keying expression changed).
+FRESH: set[str] = {
+    "weighted_median",
+    "conversion_lag_median",
+    "embedding_neardup_pairs",
+}
 
 BASELINE = "BASELINE.md"
 
