@@ -40,9 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # conversion_lag_median is already in (a)); (c) the 2 queries registered
 # this round (pipeline_end_to_end: transform_load.sql:9-73 statement-by-
 # statement through the real TableStore pipeline; read_skipping: manifest
-# file pruning with an in-query kept<total assertion). The remaining 21
-# slots take the oldest r3-stale queries (VERDICT r6 item 3), alphabetical;
-# the 15 r3-stale queries past the boundary are queued first for round 8.
+# file pruning with an in-query kept<total assertion; and the wave-4
+# additions clamped_running_sum / bfs_khop / per_group_trend /
+# covariance_matrix / snapshot_diff). The remaining 16 slots take the
+# oldest r3-stale queries (VERDICT r6 item 3), alphabetical; the 20
+# r3-stale queries past the boundary are queued first for round 8.
 # Every query is also oracle-diffed locally in tests/test_oracle_parity.py
 # on every run.
 _CHECK_FIRST = (
@@ -78,6 +80,11 @@ _CHECK_FIRST = (
     # (c) registered this round
     "pipeline_end_to_end",
     "read_skipping",
+    "clamped_running_sum",
+    "bfs_khop",
+    "per_group_trend",
+    "covariance_matrix",
+    "snapshot_diff",
     # r3-stale rotation, alphabetical — first 21 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
@@ -95,13 +102,13 @@ _CHECK_FIRST = (
     "incremental_agg_refresh",
     "interval_coalesce",
     "kmeans_embeddings",
+    # --- 50-query window boundary is here. Below: the round-8 queue
+    # (the remaining r3/r4-stale queries, alphabetical) ---
     "m4_downsample",
     "multimodal_frame_sample",
     "pagerank_fixed",
     "quantile_cont",
     "rolling_anomaly_zscore",
-    # --- 50-query window boundary is here. Below: the round-8 queue
-    # (the remaining r3/r4-stale queries, alphabetical) ---
     "salted_aggregation",
     "scd2_point_in_time",
     "session_paths_topk",

@@ -70,3 +70,43 @@ def pagerank_fixed(
             .alias("rank")
         )
     return ranks.select(F.col("node").alias("node_id"), F.col("rank").alias("rank_scaled"))
+
+
+def bfs_min_dist(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Bounded-depth BFS over the symmetrized edge list: every node
+    reachable from any seed within ``max_hops`` hops, with its EXACT
+    minimum hop distance. Returns (node, dist); seeds carry dist 0 even
+    when isolated. The batch analog of a bounded recursive CTE (the
+    reference has no recursion either — labeled extension next to
+    PageRank / connected components).
+
+    Per hop: one shuffle join of the static (checkpointed) edge relation
+    against the CURRENT frontier only — never the full visited set — a
+    distinct on the new frontier, and an anti-join against visited, all
+    hash-partitioned on node. Frontiers are eagerly checkpointed, so
+    lineage stays O(1) per hop and each round's work is proportional to
+    the frontier, the property that makes BFS tractable when the graph
+    is 100 TB but the k-hop neighborhood is not. ``max_hops`` is a small
+    fixed constant (a bounded recursion, not a fixpoint loop)."""
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    visited = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited

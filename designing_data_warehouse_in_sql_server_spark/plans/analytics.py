@@ -3447,3 +3447,92 @@ def conversion_lag_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # users <= events, so the events footer count is a free upper bound
     # on the largest variant group (see weighted_median's hint note).
     return _conversion_lag_plan(spark, sf_dir, table_row_count(sf_dir, "events"))
+
+
+# ===========================================================================
+# Round-7 additions (wave 4)
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Clamped (floor-at-zero) running inventory balance per part: sales
+# ('A'/'N' status lines) draw stock down, returns ('R') restock; the
+# balance can never go negative — a shipment against empty stock is a
+# stockout, not negative inventory. The recurrence
+# C_i = max(0, C_{i-1} + delta_i) looks inherently sequential (and is
+# usually written as a recursive CTE or a per-key UDF loop), but the
+# lower-reflected walk has a CLOSED FORM over plain prefix sums:
+#     C_i = P_i - LEAST(0, MIN_{j<=i} P_j)
+# (reflection at the floor: the clamp only ever adds back the deepest
+# violation so far). Both frames — running sum and running min — share
+# ONE per-part sort, so the whole operator is a single window pass, no
+# recursion, no UDF, exact integer arithmetic.
+#
+# Scale: one shuffle on l_partkey; groups are numerous and small (the
+# opposite regime from weighted_median's few-huge-groups), so per-group
+# windows are the right parallelism at any table size. The per-part
+# report aggregate reuses the window's partitioning.
+# ---------------------------------------------------------------------------
+CLAMPED_INV_ORACLE = """
+WITH deltas AS (
+  SELECT l_partkey,
+         CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+              ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+         l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+), walk AS (
+  SELECT l_partkey, delta, l_shipdate, l_orderkey, l_linenumber,
+         SUM(delta) OVER (PARTITION BY l_partkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM deltas
+), clamped AS (
+  SELECT l_partkey, delta,
+         p - LEAST(0, MIN(p) OVER (PARTITION BY l_partkey
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bal
+  FROM walk
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(MAX(bal) AS BIGINT) AS peak_balance,
+       CAST(SUM(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stockouts
+FROM clamped
+GROUP BY l_partkey
+"""
+
+
+@register("clamped_running_sum", CLAMPED_INV_ORACLE)
+def clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    deltas = li.select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity").cast("long"))
+        .otherwise(-F.col("l_quantity").cast("long"))
+        .alias("delta"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # two chained same-sort frames (sum, then min of the sum): Catalyst
+    # stacks both onto ONE sort — a single Window pass, no second exchange
+    walk = deltas.withColumn("p", F.sum("delta").over(w)).withColumn(
+        "runmin", F.min("p").over(w)
+    )
+    bal = F.col("p") - F.least(F.lit(0), F.col("runmin"))
+    return (
+        walk.select("l_partkey", "delta", bal.alias("bal"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.max("bal").cast("long").alias("peak_balance"),
+            F.sum(F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stockouts"),
+        )
+    )

@@ -2774,3 +2774,138 @@ def read_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS (round 7): minimum hop distance from a seed set of
+# suppliers over the supplier<->customer trade graph — the batch analog
+# of a depth-bounded recursive CTE, and the fourth iterative showcase
+# (next to PageRank, connected components, k-means). The oracle unrolls
+# the same three hops in SQL (frontier = neighbors minus everything
+# seen); hop counts are exact, so the parity is bit-for-bit.
+#
+# Scale: see operators/graph.bfs_min_dist — per hop one frontier-sized
+# join against the checkpointed edge relation plus an anti-join against
+# visited; work is O(neighborhood), never O(graph) per hop.
+# ---------------------------------------------------------------------------
+BFS_SEED_MAX = 10
+BFS_HOPS = 3
+
+BFS_ORACLE = f"""
+WITH raw AS (
+  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+sym AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+d0 AS (SELECT DISTINCT s_suppkey * 2 AS node FROM supplier WHERE s_suppkey <= {BFS_SEED_MAX}),
+f1 AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN d0 ON s.src = d0.node),
+d1 AS (SELECT node FROM f1 WHERE node NOT IN (SELECT node FROM d0)),
+f2 AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN d1 ON s.src = d1.node),
+d2 AS (SELECT node FROM f2 WHERE node NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)),
+f3 AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN d2 ON s.src = d2.node),
+d3 AS (SELECT node FROM f3 WHERE node NOT IN
+       (SELECT node FROM d0 UNION ALL SELECT node FROM d1 UNION ALL SELECT node FROM d2))
+SELECT node AS node_id, CAST(dist AS INT) AS dist FROM (
+  SELECT node, 0 AS dist FROM d0
+  UNION ALL SELECT node, 1 FROM d1
+  UNION ALL SELECT node, 2 FROM d2
+  UNION ALL SELECT node, 3 FROM d3
+)
+"""
+
+
+@register("bfs_khop", BFS_ORACLE)
+def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_min_dist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= BFS_SEED_MAX)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .distinct()
+    )
+    out = bfs_min_dist(edges, seeds, max_hops=BFS_HOPS)
+    return out.select(F.col("node").alias("node_id"), "dist")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (round 7): reconcile two versions of a TableStore table
+# without a CDC feed — every key added, removed, or changed between v1
+# and v2, with old/new values. The time-travel consumption pattern
+# Delta users hand-write as two AS OF reads + EXCEPT, as a store
+# primitive (sources/table_store.diff); versions here are built through
+# the real write path (overwrite -> merge upsert + delete-shaped
+# overwrite), then diffed.
+#
+# Scale: the diff scans only files NOT hard-link-shared between the
+# versions (inode pruning — an append's diff reads the increment, not
+# the table), then one full-outer shuffle join on the key with
+# null-safe change classification. The unchanged majority inside
+# rewritten files cancels in the join's filter.
+# ---------------------------------------------------------------------------
+SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT k, cents + 1000 AS cents FROM v1 WHERE k % 5 <> 0 AND k % 7 = 0
+  UNION ALL
+  SELECT k, cents FROM v1 WHERE k % 5 <> 0 AND k % 7 <> 0
+  UNION ALL
+  SELECT -k, cents FROM v1 WHERE k % 11 = 0
+)
+SELECT COALESCE(n.k, o.k) AS k,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       o.cents AS old_cents,
+       n.cents AS new_cents
+FROM v1 o FULL OUTER JOIN v2 n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.cents <> n.cents
+"""
+
+
+@register("snapshot_diff", SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.table_store import TableStore
+
+    v1_df = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    kept = v1_df.filter(F.col("k") % 5 != 0)
+    v2_df = (
+        kept.filter(F.col("k") % 7 == 0).select("k", (F.col("cents") + 1000).alias("cents"))
+        .unionByName(kept.filter(F.col("k") % 7 != 0))
+        .unionByName(
+            v1_df.filter(F.col("k") % 11 == 0).select(
+                (-F.col("k")).alias("k"), "cents"
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="ddw_diff_")
+    try:
+        store = TableStore(spark, tmp)
+        v1 = store.overwrite("t", v1_df)
+        v2 = store.overwrite("t", v2_df)
+        return (
+            store.diff("t", v1, v2, on=["k"])
+            .select("k", "change", "old_cents", "new_cents")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

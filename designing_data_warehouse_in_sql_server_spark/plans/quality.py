@@ -2936,3 +2936,153 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_sentences", "n_syllables",
         F.round(ease, 4).alias("flesch_ease"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group trend (round 7): the least-squares slope of monthly revenue
+# vs month index PER NATION — "which markets are growing" as one number
+# per group, the grouped sibling of corr_regression_stats' global
+# moments and ols_multi_regression's closed form. Co-moments are exact:
+# integer cents, month index t = months-since-1992, and every product
+# sum carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — n * S_ty
+# reaches ~1.7e19 at sf1, past int64. The slope is ONE double division
+# of identical exact integers, ROUND 4. Groups with a single month are
+# dropped (slope undefined, denominator 0).
+#
+# Scale: fact scan -> broadcast dim joins -> (nation x month) hash
+# aggregate (map-side combinable) -> dimension-bounded second aggregate.
+# No windows, no self-joins; the month relation is ~#nations * #months.
+# ---------------------------------------------------------------------------
+TREND_ORACLE = """
+WITH monthly AS (
+  SELECT n.n_name,
+         (YEAR(o.o_orderdate) - 1992) * 12 + MONTH(o.o_orderdate) - 1 AS t,
+         SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+fit AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(t AS HUGEINT)) AS st,
+         SUM(CAST(t AS HUGEINT) * y) AS sty,
+         SUM(CAST(t AS HUGEINT) * t) AS stt
+  FROM monthly GROUP BY n_name
+)
+SELECT n_name,
+       CAST(n AS BIGINT) AS n_months,
+       CAST(sy AS BIGINT) AS total_cents,
+       ROUND(CAST(n * sty - st * sy AS DOUBLE)
+             / CAST(n * stt - st * st AS DOUBLE), 4) AS slope_cents_per_month
+FROM fit WHERE n >= 2
+"""
+
+
+@register("per_group_trend", TREND_ORACLE)
+def per_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = "decimal(38,0)"
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("y")
+        )
+    )
+    fit = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum((F.col("t").cast(dec) * F.col("y")).cast(dec)).alias("sty"),
+        F.sum((F.col("t").cast(dec) * F.col("t")).cast(dec)).alias("stt"),
+    )
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    return fit.filter(F.col("n") >= 2).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_months"),
+        F.col("sy").cast("long").alias("total_cents"),
+        F.round(num.cast("double") / den.cast("double"), 4).alias(
+            "slope_cents_per_month"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Covariance matrix (round 7): the full 4x4 sample covariance matrix of
+# (quantity, price cents, discount bp, tax bp) in ONE aggregate pass,
+# emitted long-form (upper triangle incl. diagonal = 10 rows). The
+# feature-engineering sibling of corr_regression_stats (2 fixed
+# measures) and ols_multi_regression (2 predictors): co-moment sums are
+# exact integers in DECIMAL(38,0)/HUGEINT — n * S_xy for the
+# price-price cell reaches ~3.6e27 at sf1, past int64 but 10 digits
+# inside DECIMAL(38) (headroom to ~1e9 rows at these magnitudes; wider
+# rows need per-column rescaling). Each covariance is ONE double
+# division of identical exact integers, ROUND 4.
+#
+# Scale: one scan, one 1-row aggregate with map-side partials (10 cross
+# sums ride the same shuffle write as 4 plain sums); the long-form
+# stack is a 1-row->10-row projection on the driver-sized result.
+# ---------------------------------------------------------------------------
+_COV_FEATURES = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price_cents", "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"),
+    ("discount_bp", "CAST(ROUND(l_discount * 100) AS BIGINT)"),
+    ("tax_bp", "CAST(ROUND(l_tax * 100) AS BIGINT)"),
+]
+
+_COV_PAIRS = [
+    (_COV_FEATURES[i][0], _COV_FEATURES[j][0])
+    for i in range(len(_COV_FEATURES))
+    for j in range(i, len(_COV_FEATURES))
+]
+
+COV_MATRIX_ORACLE = (
+    "WITH t AS (SELECT "
+    + ", ".join(f"{expr} AS {name}" for name, expr in _COV_FEATURES)
+    + " FROM lineitem), s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+    + ", ".join(f"SUM(CAST({a} AS HUGEINT)) AS s_{a}" for a, _ in _COV_FEATURES)
+    + ", "
+    + ", ".join(
+        f"SUM(CAST({a} AS HUGEINT) * {b}) AS s_{a}_{b}" for a, b in _COV_PAIRS
+    )
+    + " FROM t) "
+    + " UNION ALL ".join(
+        f"SELECT '{a}' AS feature_a, '{b}' AS feature_b, "
+        f"ROUND(CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        f" / CAST(n * (n - 1) AS DOUBLE), 4) AS covar FROM s"
+        for a, b in _COV_PAIRS
+    )
+)
+
+
+@register("covariance_matrix", COV_MATRIX_ORACLE)
+def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    t = li.selectExpr(*[f"{expr} AS {name}" for name, expr in _COV_FEATURES])
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    aggs += [F.sum(F.col(a).cast(dec)).alias(f"s_{a}") for a, _ in _COV_FEATURES]
+    aggs += [
+        F.sum((F.col(a).cast(dec) * F.col(b)).cast(dec)).alias(f"s_{a}_{b}")
+        for a, b in _COV_PAIRS
+    ]
+    s = t.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', ROUND(CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        f" / CAST(n * (n - 1) AS DOUBLE), 4)"
+        for a, b in _COV_PAIRS
+    )
+    return s.selectExpr(
+        f"stack({len(_COV_PAIRS)}, {stack_args}) AS (feature_a, feature_b, covar)"
+    )

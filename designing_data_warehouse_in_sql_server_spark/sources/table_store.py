@@ -159,6 +159,98 @@ class TableStore:
         covers the reference's system-versioned dim history, README.md:91)."""
         return self.spark.read.parquet(os.path.join(self._dir(name), f"v{version}"))
 
+    def _unshared_files(
+        self, name: str, v_old: int, v_new: int
+    ) -> tuple[list[str], list[str]]:
+        """Files unique to each of two versions, by INODE: the hard-link
+        fast paths (append / pruned merge / untouched partitions) link
+        unchanged files into new versions, so a shared inode means
+        byte-identical content on both sides — those files can never
+        contribute a diff row and are pruned before any read."""
+        import glob as _glob
+
+        def inodes(v: int) -> dict[int, str]:
+            vdir = os.path.join(self._dir(name), f"v{v}")
+            return {
+                os.stat(p).st_ino: p
+                for p in _glob.glob(
+                    os.path.join(vdir, "**", "*.parquet"), recursive=True
+                )
+            }
+
+        old, new = inodes(v_old), inodes(v_new)
+        shared = old.keys() & new.keys()
+        return (
+            sorted(p for i, p in old.items() if i not in shared),
+            sorted(p for i, p in new.items() if i not in shared),
+        )
+
+    def diff(
+        self,
+        name: str,
+        v_old: int,
+        v_new: int | None = None,
+        on: list[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot diff between two versions WITHOUT a CDC feed: one
+        row per key that was added, removed, or changed between
+        ``v_old`` and ``v_new`` (default: current), with ``old_<col>`` /
+        ``new_<col>`` for every non-key column. The reconciliation
+        query Delta users write as two time-travel reads + EXCEPT,
+        shipped as a store primitive.
+
+        Scale: both sides scan ONLY the files not shared (by inode)
+        between the versions — the hard-link fast paths make an
+        append's or pruned merge's diff O(changed files), not O(table)
+        (see _unshared_files). Rows that merely moved between rewritten
+        files survive the pruning on both sides and are filtered by the
+        null-safe column comparison, so pruning never changes results.
+        The join shuffles on the key columns; unchanged-row filtering
+        rides the join's projection."""
+        if v_new is None:
+            v_new = self.current_version(name)
+            if v_new is None:
+                raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        if not on:
+            raise ValueError("diff() needs the key columns: on=[...]")
+        schema_df = self.time_travel(name, v_new).limit(0)
+        cols = schema_df.columns
+        val_cols = [c for c in cols if c not in on]
+        old_files, new_files = self._unshared_files(name, v_old, v_new)
+
+        def side(files: list[str], v: int) -> DataFrame:
+            if not files:
+                return schema_df
+            vdir = os.path.join(self._dir(name), f"v{v}")
+            return self.spark.read.option("basePath", vdir).parquet(*files)
+
+        # side-presence markers (never-NULL literals): detecting a full-
+        # outer miss via key nullability would misclassify NULL key values
+        o = side(old_files, v_old).withColumn("__o", F.lit(True)).alias("o")
+        n = side(new_files, v_new).withColumn("__n", F.lit(True)).alias("n")
+        cond = F.lit(True)
+        for k in on:
+            cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        joined = o.join(n, cond, "full_outer")
+        o_hit = F.col("o.__o").isNotNull()
+        n_hit = F.col("n.__n").isNotNull()
+        same = F.lit(True)
+        for c in val_cols:
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        change = (
+            F.when(~o_hit, F.lit("added"))
+            .when(~n_hit, F.lit("removed"))
+            .otherwise(F.lit("changed"))
+        )
+        out_cols = [
+            F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in on
+        ]
+        out_cols.append(change.alias("change"))
+        for c in val_cols:
+            out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+            out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+        return joined.filter((~o_hit) | (~n_hit) | (~same)).select(*out_cols)
+
     # -- partition spec ---------------------------------------------------------
     def _spec_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "PARTITION_SPEC")

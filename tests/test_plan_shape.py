@@ -926,3 +926,43 @@ def test_neardup_banded_dedup_before_vector_verify(spark):
     assert "CartesianProduct" not in plan
     # pair dedup (printed above) must precede the vector join-back scans
     assert plan.index("HashAggregate") < plan.rindex("Scan parquet"), plan[:3000]
+
+
+def test_clamped_running_sum_single_sort_two_stacked_windows(spark):
+    """The reflected-walk closed form must plan as ONE exchange + ONE
+    per-part sort with both running frames (sum, min-of-sum) stacked on
+    it, and the report aggregate reusing the window's partitioning —
+    never a recursive per-key loop or a second shuffle."""
+    plan = _plan(QS["clamped_running_sum"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan[:3000]
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_bfs_khop_frontier_checkpointed_no_joins_in_final_plan(spark):
+    """BFS materializes each hop eagerly: the returned plan is a pure
+    union of checkpointed frontiers (seeds + one per hop) — the
+    per-hop joins already ran, bounded by the frontier, and nothing
+    re-derives the graph at consumption time."""
+    plan = _plan(QS["bfs_khop"](spark, SF_DIR))
+    assert "Join" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 4, plan[:3000]
+
+
+def test_per_group_trend_broadcast_dims_no_window(spark):
+    """Trend slopes: dims broadcast into the fact aggregate; both
+    aggregates are hash aggregates — no windows, no shuffle joins."""
+    plan = _plan(QS["per_group_trend"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_covariance_matrix_one_scan_one_aggregate(spark):
+    """All 15 moment sums ride ONE scan and one 1-row aggregate; the
+    long-form stack is a projection above it (Generate), never a join
+    or a second pass."""
+    plan = _plan(QS["covariance_matrix"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]

@@ -545,3 +545,40 @@ def test_file_stats_skip_non_primitive_columns(spark, tmp_path):
     assert got.count() == df.filter(
         (F.col("ts") >= dt.datetime(2024, 1, 3)) & (F.col("ts") <= dt.datetime(2024, 1, 5))
     ).count()
+
+
+def test_diff_inode_pruning_and_classification(spark, tmp_path):
+    """Snapshot diff: (1) an append's diff scans ONLY the increment
+    files (hard-link inode pruning — old side empty); (2) full
+    classification added/removed/changed with old/new values; (3) a
+    rewritten version (update) still reports exactly the changed keys —
+    unchanged rows inside rewritten files cancel in the null-safe
+    compare, so pruning never changes results."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    v1 = store.overwrite("t", base)
+    v2 = store.append(
+        "t", spark.range(100, 110).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    old_only, new_only = store._unshared_files("t", v1, v2)
+    assert old_only == [] and len(new_only) >= 1
+    d = store.diff("t", v1, v2, on=["k"]).collect()
+    assert len(d) == 10 and all(r.change == "added" for r in d)
+    assert {r.k for r in d} == set(range(100, 110))
+    assert all(r.old_v is None and r.new_v == r.k * 2 for r in d)
+
+    v3 = store.update("t", {"v": F.lit(-1)}, where=F.col("k") % 10 == 0)
+    d2 = {r.k: r for r in store.diff("t", v2, v3, on=["k"]).collect()}
+    assert set(d2) == set(range(0, 110, 10))
+    assert all(r.change == "changed" and r.new_v == -1 and r.old_v == k * 2
+               for k, r in d2.items())
+
+    # cross-version diff v1 -> v3: the appended keys are adds, the
+    # updated original keys are changes, nothing else
+    d3 = store.diff("t", v1, v3, on=["k"]).collect()
+    adds = {r.k for r in d3 if r.change == "added"}
+    chgs = {r.k for r in d3 if r.change == "changed"}
+    assert adds == set(range(100, 110))
+    assert chgs == set(range(0, 100, 10))
