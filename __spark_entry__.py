@@ -42,9 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # statement through the real TableStore pipeline; read_skipping: manifest
 # file pruning with an in-query kept<total assertion; and the wave-4
 # additions clamped_running_sum / bfs_khop / per_group_trend /
-# covariance_matrix / snapshot_diff). The remaining 16 slots take the
-# oldest r3-stale queries (VERDICT r6 item 3), alphabetical; the 20
-# r3-stale queries past the boundary are queued first for round 8.
+# covariance_matrix / snapshot_diff / welch_ttest /
+# set_similarity_prefix_join). The remaining 14 slots take the oldest
+# r3-stale queries (VERDICT r6 item 3), alphabetical; the 22 r3-stale
+# queries past the boundary are queued first for round 8.
 # Every query is also oracle-diffed locally in tests/test_oracle_parity.py
 # on every run.
 _CHECK_FIRST = (
@@ -85,7 +86,9 @@ _CHECK_FIRST = (
     "per_group_trend",
     "covariance_matrix",
     "snapshot_diff",
-    # r3-stale rotation, alphabetical — first 21 fit the 50-query window
+    "welch_ttest",
+    "set_similarity_prefix_join",
+    # r3-stale rotation, alphabetical — first 14 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",
@@ -100,10 +103,10 @@ _CHECK_FIRST = (
     "forward_fill_locf",
     "heavy_hitter_users",
     "incremental_agg_refresh",
-    "interval_coalesce",
-    "kmeans_embeddings",
     # --- 50-query window boundary is here. Below: the round-8 queue
     # (the remaining r3/r4-stale queries, alphabetical) ---
+    "interval_coalesce",
+    "kmeans_embeddings",
     "m4_downsample",
     "multimodal_frame_sample",
     "pagerank_fixed",

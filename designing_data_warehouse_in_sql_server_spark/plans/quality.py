@@ -3086,3 +3086,91 @@ def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.selectExpr(
         f"stack({len(_COV_PAIRS)}, {stack_args}) AS (feature_a, feature_b, covar)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (round 7): difference in mean purchase
+# value between the md5-assigned A/B variants (shared assignment law,
+# AB_VARIANT_SQL) — the means companion to ab_test_proportions' rates
+# readout and conversion_lag_median's latency readout. Per-variant
+# (n, S, SS) are EXACT integer cents sums in DECIMAL(38,0)/HUGEINT
+# (SS ~ 1e19 at sf1-like volumes, past int64); t, Welch-Satterthwaite
+# df, and the mean difference are single double expressions over those
+# identical exact integers — no float accumulates anywhere.
+#
+# Scale: one fact scan, one 1-row conditional aggregate with map-side
+# partials; no joins, no windows.
+# ---------------------------------------------------------------------------
+WELCH_ORACLE = f"""
+WITH t AS (
+  SELECT {AB_VARIANT_SQL} AS variant,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (variant = 'A') AS HUGEINT) AS na,
+    CAST(COUNT(*) FILTER (variant = 'B') AS HUGEINT) AS nb,
+    SUM(CAST(cents AS HUGEINT)) FILTER (variant = 'A') AS sa,
+    SUM(CAST(cents AS HUGEINT)) FILTER (variant = 'B') AS sb,
+    SUM(CAST(cents AS HUGEINT) * cents) FILTER (variant = 'A') AS ssa,
+    SUM(CAST(cents AS HUGEINT) * cents) FILTER (variant = 'B') AS ssb
+  FROM t
+), v AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         CAST(na * ssa - sa * sa AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE)
+           / CAST(na AS DOUBLE) AS va_n,
+         CAST(nb * ssb - sb * sb AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE)
+           / CAST(nb AS DOUBLE) AS vb_n
+  FROM s
+)
+SELECT n_a, n_b,
+       ROUND(ma - mb, 4) AS mean_diff_cents,
+       ROUND((ma - mb) / SQRT(va_n + vb_n), 6) AS t_stat,
+       ROUND((va_n + vb_n) * (va_n + vb_n)
+             / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 4)
+         AS df_welch
+FROM v
+"""
+
+
+@register("welch_ttest", WELCH_ORACLE)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    is_a = ab_variant_col() == "A"
+    t = events.filter(F.col("event_type") == "purchase").select(
+        is_a.alias("a"), cents.alias("cents")
+    )
+    s = t.agg(
+        F.count(F.when(F.col("a"), 1)).cast(dec).alias("na"),
+        F.count(F.when(~F.col("a"), 1)).cast(dec).alias("nb"),
+        F.sum(F.when(F.col("a"), F.col("cents")).cast(dec)).alias("sa"),
+        F.sum(F.when(~F.col("a"), F.col("cents")).cast(dec)).alias("sb"),
+        F.sum(
+            F.when(F.col("a"), (F.col("cents").cast(dec) * F.col("cents")).cast(dec))
+        ).alias("ssa"),
+        F.sum(
+            F.when(~F.col("a"), (F.col("cents").cast(dec) * F.col("cents")).cast(dec))
+        ).alias("ssb"),
+    )
+    v = s.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma",
+        "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb",
+        "CAST(na * ssa - sa * sa AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE)"
+        " / CAST(na AS DOUBLE) AS va_n",
+        "CAST(nb * ssb - sb * sb AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE)"
+        " / CAST(nb AS DOUBLE) AS vb_n",
+    )
+    return v.selectExpr(
+        "n_a",
+        "n_b",
+        "ROUND(ma - mb, 4) AS mean_diff_cents",
+        "ROUND((ma - mb) / SQRT(va_n + vb_n), 6) AS t_stat",
+        "ROUND((va_n + vb_n) * (va_n + vb_n)"
+        " / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 4) AS df_welch",
+    )

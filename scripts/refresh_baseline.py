@@ -46,17 +46,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # sf0.1's 2000 vectors the adaptive width resolves to the same 8 bits
 # before and after the flip-point fix — so it is cleared per the
 # lifecycle above.)
-# Round-7 FRESH set: weighted_median / conversion_lag_median now
-# dispatch size-adaptively to the grouped two-phase prefix-sum (at
-# sf0.1 the footer hint still selects the window form, but the hint
-# source adds a footer read to plan construction); embedding_neardup_pairs
-# picked up the low-dimension band NULL guard (same plan at 64 dims,
-# but the keying expression changed).
-FRESH: set[str] = {
-    "weighted_median",
-    "conversion_lag_median",
-    "embedding_neardup_pairs",
-}
+# Round-7 FRESH set (cleared 2026-08-14 after the refresh from the two
+# round-7 passes): weighted_median / conversion_lag_median re-measured
+# after their grouped two-phase prefix-sum dispatch (window form still
+# selected at sf0.1, but the footer-hint read moved into plan
+# construction); embedding_neardup_pairs re-measured after the
+# low-dimension band NULL guard. Their committed rows now describe
+# current code.
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 

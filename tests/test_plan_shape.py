@@ -966,3 +966,21 @@ def test_covariance_matrix_one_scan_one_aggregate(spark):
     plan = _plan(QS["covariance_matrix"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert "Join" not in plan and "Window" not in plan, plan[:2000]
+
+
+def test_welch_ttest_single_scan_no_joins(spark):
+    """Welch's t: one conditional-aggregate pass — no joins, no windows,
+    a single parquet scan."""
+    plan = _plan(QS["welch_ttest"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert "Join" not in plan and "Window" not in plan, plan[:2000]
+
+
+def test_set_similarity_prefix_join_no_cartesian_equi_joins_only(spark):
+    """The prefix-filter join must stay all equi-joins: candidates come
+    from the prefix-token equi-join (the a.oid < b.oid predicate is a
+    join residual, not a nested loop), and the verify stage joins
+    deduped candidate pairs back by key."""
+    plan = _plan(QS["set_similarity_prefix_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "HashAggregate" in plan, plan[:2000]
