@@ -359,12 +359,55 @@ def build_sf1(out_root: str) -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# Round-7 frontier: push the three new heavy kernels to the 100x
+# frontier. bfs_khop's seeds (s_suppkey <= 10) live only in the FIRST
+# copy of the key-offset scaled graph, so the probe separates the two
+# cost components the operator header claims: edge derivation is a
+# linear full scan, but frontier expansion work tracks the seed
+# NEIGHBORHOOD, not the (100x bigger) graph. set_similarity_prefix_join
+# sees disjoint per-copy part catalogs (per-part df scale-invariant) —
+# candidate volume must stay linear. covariance_matrix is the pure
+# scan + DECIMAL(38) aggregate control.
+# ---------------------------------------------------------------------------
+FRONTIER_R7 = ("bfs_khop", "set_similarity_prefix_join", "covariance_matrix")
+
+
+def main_frontier_r7() -> None:
+    import tempfile
+
+    global _SCALED_TABLES, _PASSTHROUGH
+    _SCALED_TABLES = _FRONTIER_TABLES
+    # supplier passes through unscaled: bfs_khop reads it only for the
+    # seed set (s_suppkey <= 10), which by design lives in the first
+    # copy of the key-offset graph
+    _PASSTHROUGH = ("region", "nation", "documents", "embeddings", "supplier",
+                    "customer", "part")
+
+    spark = get_spark("ddw-scaling-probe-frontier-r7")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_R7)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_frontier_r7_") as tmp:
+        build_scaled_dir(spark, tmp, SCALE)
+        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_R7)
+    summary = {
+        "mode": "frontier_r7",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
         main_frontier()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r7":
+        main_frontier_r7()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "build_sf1":
         build_sf1(os.environ.get("SPARK_GRAFT_SF1_ROOT", "/tmp/ddw_testdata"))
