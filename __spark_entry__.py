@@ -43,8 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # file pruning with an in-query kept<total assertion; and the wave-4
 # additions clamped_running_sum / bfs_khop / per_group_trend /
 # covariance_matrix / snapshot_diff / welch_ttest /
-# set_similarity_prefix_join). The remaining 14 slots take the oldest
-# r3-stale queries (VERDICT r6 item 3), alphabetical; the 22 r3-stale
+# set_similarity_prefix_join; zscore_cap joins (b) after its few-group
+# stats-frame dispatch). The remaining 13 slots take the oldest
+# r3-stale queries (VERDICT r6 item 3), alphabetical; the 23 r3-stale
 # queries past the boundary are queued first for round 8.
 # Every query is also oracle-diffed locally in tests/test_oracle_parity.py
 # on every run.
@@ -78,6 +79,7 @@ _CHECK_FIRST = (
     "conversion_lag_median",
     # (b) implementation changed this round
     "weighted_median",
+    "zscore_cap",
     # (c) registered this round
     "pipeline_end_to_end",
     "read_skipping",
@@ -88,7 +90,7 @@ _CHECK_FIRST = (
     "snapshot_diff",
     "welch_ttest",
     "set_similarity_prefix_join",
-    # r3-stale rotation, alphabetical — first 14 fit the 50-query window
+    # r3-stale rotation, alphabetical — first 13 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",
@@ -102,9 +104,9 @@ _CHECK_FIRST = (
     "file_format_roundtrip",
     "forward_fill_locf",
     "heavy_hitter_users",
-    "incremental_agg_refresh",
     # --- 50-query window boundary is here. Below: the round-8 queue
     # (the remaining r3/r4-stale queries, alphabetical) ---
+    "incremental_agg_refresh",
     "interval_coalesce",
     "kmeans_embeddings",
     "m4_downsample",

@@ -15,9 +15,15 @@ Reference parity:
   documented stddev NULL/0 edge: the value is kept (SQL Server would
   error on 0; Spark yields NULL -> otherwise-branch).
 
-Scale: all three are single-shuffle window-aggregate plans on the group
-key — no groupBy + self-join back (which would shuffle the fact twice).
-No UDFs: everything stays inside WholeStageCodegen.
+Scale: single-shuffle window-aggregate plans on the group key by
+default (the right shape for the operators' typical day-sized staging
+increments — no groupBy + self-join back, which would shuffle the
+increment twice). With a ``rows_per_group_hint`` above
+WINDOW_FORM_MAX_ROWS, the stats operators dispatch to a hash aggregate
++ broadcast stats join instead: an unordered Window.partitionBy still
+buffers every group through ONE task, so a 3-group fact-table call
+would otherwise run at parallelism 3 (the VERDICT r6 single-task
+ceiling, swept proactively here). No UDFs either way.
 """
 
 from __future__ import annotations
@@ -42,18 +48,75 @@ def dedupe(
     )
 
 
+def _join_form_stats(
+    df: DataFrame,
+    group_keys: Sequence[Column | str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Group statistics via hash aggregate + null-safe BROADCAST join
+    back — the few-huge-groups form of the per-group window (an
+    unordered ``Window.partitionBy`` still buffers each group through
+    ONE task; with 3-5 groups over a fact table, effective parallelism
+    = #groups — the same ceiling VERDICT r6 flagged for the
+    weighted-median family, here for the unordered stats frame). The
+    aggregate is map-side combinable and the stats relation is
+    group-cardinality-sized, so the join never shuffles the fact."""
+    keyed, names = df, []
+    for i, k in enumerate(group_keys):
+        if isinstance(k, str):
+            names.append(k)
+        else:
+            nm = f"__gk{i}"
+            keyed = keyed.withColumn(nm, k)
+            names.append(nm)
+    stats = keyed.groupBy(*names).agg(
+        *[c.alias(alias) for alias, c in aggs.items()]
+    )
+    cond = F.lit(True)
+    for n in names:
+        cond = cond & keyed[n].eqNullSafe(stats[n])
+    out = keyed.join(F.broadcast(stats), cond, "left")
+    for n in names:
+        out = out.drop(stats[n])
+    return out.drop(*[n for n in names if n.startswith("__gk")])
+
+
 def impute_group_mean(
     df: DataFrame,
     group_keys: Sequence[Column | str],
     cols: Sequence[str],
     update_filter: Column | None = None,
+    rows_per_group_hint: int | None = None,
 ) -> DataFrame:
     """Fill NULLs in ``cols`` with the per-group mean.
 
     The mean is computed over ALL rows of the group (including rows the
     ``update_filter`` excludes from being updated) — the reference's
     filter asymmetry, preserved for parity.
-    """
+
+    ``rows_per_group_hint``: optional upper bound on the largest group.
+    Above ``WINDOW_FORM_MAX_ROWS`` the stats come from a hash aggregate
+    + broadcast join (see _join_form_stats) instead of a per-group
+    window, so no group ever buffers through one task. Default (no
+    hint) keeps the window form: the operator's typical input is a
+    day-sized staging increment (plans/pipeline.py), where one window
+    pass beats an aggregate + join; fact-table callers pass the free
+    parquet-footer count."""
+    from .ids import _window_form_ok
+
+    if not _window_form_ok(rows_per_group_hint) and rows_per_group_hint is not None:
+        out = _join_form_stats(
+            df, group_keys, {f"__mean_{c}": F.avg(c) for c in cols}
+        )
+        for c in cols:
+            should_fill = F.col(c).isNull()
+            if update_filter is not None:
+                should_fill = should_fill & update_filter
+            out = out.withColumn(
+                c, F.when(should_fill, F.col(f"__mean_{c}")).otherwise(F.col(c))
+            )
+        # the join reorders columns; restore the input schema order
+        return out.select(*df.columns)
     w = W.partitionBy(*group_keys)
     out = df
     for c in cols:
@@ -71,10 +134,35 @@ def cap_outliers_zscore(
     cols: Sequence[str],
     z: float = 3.0,
     update_filter: Column | None = None,
+    rows_per_group_hint: int | None = None,
 ) -> DataFrame:
     """Replace values more than ``z`` sample-stddevs from the group mean
     with the group mean. Stats come from ALL rows; only rows matching
-    ``update_filter`` are modified (reference asymmetry, as above)."""
+    ``update_filter`` are modified (reference asymmetry, as above).
+
+    ``rows_per_group_hint``: same size-adaptive dispatch as
+    :func:`impute_group_mean` — above the threshold the (mean, stddev)
+    pairs ride a hash aggregate + broadcast join, never a one-task-per-
+    group window buffer."""
+    from .ids import _window_form_ok
+
+    if not _window_form_ok(rows_per_group_hint) and rows_per_group_hint is not None:
+        aggs: dict[str, Column] = {}
+        for c in cols:
+            aggs[f"__mean_{c}"] = F.avg(c)
+            aggs[f"__std_{c}"] = F.stddev(c)
+        out = _join_form_stats(df, group_keys, aggs)
+        for c in cols:
+            exceeds = (
+                F.abs(F.col(c) - F.col(f"__mean_{c}")) / F.col(f"__std_{c}")
+            ) > z
+            if update_filter is not None:
+                exceeds = exceeds & update_filter
+            out = out.withColumn(
+                c, F.when(exceeds, F.col(f"__mean_{c}")).otherwise(F.col(c))
+            )
+        # the join reorders columns; restore the input schema order
+        return out.select(*df.columns)
     w = W.partitionBy(*group_keys)
     out = df
     for c in cols:

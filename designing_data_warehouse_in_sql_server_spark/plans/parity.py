@@ -216,17 +216,35 @@ FROM stats
 """
 
 
-@register("zscore_cap", ZSCORE_ORACLE)
-def zscore_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _zscore_cap_plan(
+    spark: SparkSession, sf_dir: str, rows_per_group_hint: int | None
+) -> DataFrame:
+    from ..operators.ids import _window_form_ok
+
     lineitem = load_table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag")
-    stats = lineitem.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        F.avg("l_extendedprice").over(w).alias("grp_mean"),
-        F.stddev("l_extendedprice").over(w).alias("grp_std"),
-    )
+    if rows_per_group_hint is not None and not _window_form_ok(rows_per_group_hint):
+        # few-huge-groups form (proactive sweep of the VERDICT r6
+        # single-task ceiling): an UNORDERED Window.partitionBy still
+        # buffers each group through one task, so above the threshold
+        # the 3-row stats relation comes from a map-side-combinable
+        # hash aggregate and broadcasts back — the fact never sits in
+        # a per-group window buffer
+        grp = lineitem.groupBy("l_returnflag").agg(
+            F.avg("l_extendedprice").alias("grp_mean"),
+            F.stddev("l_extendedprice").alias("grp_std"),
+        )
+        stats = lineitem.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+        ).join(F.broadcast(grp), "l_returnflag")
+    else:
+        w = W.partitionBy("l_returnflag")
+        stats = lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.avg("l_extendedprice").over(w).alias("grp_mean"),
+            F.stddev("l_extendedprice").over(w).alias("grp_std"),
+        )
     z_exceeds = (F.abs(F.col("l_extendedprice") - F.col("grp_mean")) / F.col("grp_std")) > 3
     return stats.select(
         "l_orderkey",
@@ -236,6 +254,15 @@ def zscore_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_capped"),
         F.coalesce(z_exceeds, F.lit(False)).alias("was_capped"),
     )
+
+
+@register("zscore_cap", ZSCORE_ORACLE)
+def zscore_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.parquet import table_row_count
+
+    # footer count = free upper bound on the largest l_returnflag group
+    # (see weighted_median's hint note)
+    return _zscore_cap_plan(spark, sf_dir, table_row_count(sf_dir, "lineitem"))
 
 
 # ---------------------------------------------------------------------------

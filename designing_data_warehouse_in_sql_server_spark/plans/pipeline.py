@@ -89,6 +89,13 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
     """
     t0 = time.monotonic()
     stg = store.read(STG)
+    # staging accumulates an increment per run (rows are flagged
+    # processed, never deleted), so the cleaning stats operators get the
+    # free footer row count as their size-adaptive dispatch hint — above
+    # WINDOW_FORM_MAX_ROWS their 5-city stats frames switch to the
+    # broadcast stats join instead of buffering each city through one
+    # window task (operators/cleaning.py)
+    n_staging = store.row_count(STG)
     unprocessed = F.col("is_processed") == False  # noqa: E712  (P3)
     n_unprocessed = stg.filter(unprocessed).count()
 
@@ -108,6 +115,7 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
         group_keys=["city_name", F.month("date")],
         cols=["temp_max", "temp_min"],
         update_filter=unprocessed,
+        rows_per_group_hint=n_staging,
     )
 
     # 3. cap >3σ outliers to the city mean (stats from all rows)
@@ -117,6 +125,7 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
         cols=["temp_max"],
         z=3.0,
         update_filter=unprocessed,
+        rows_per_group_hint=n_staging,
     )
 
     # 4. dim upsert, insert-only (J4): unseen cities get a surrogate key;

@@ -159,6 +159,26 @@ class TableStore:
         covers the reference's system-versioned dim history, README.md:91)."""
         return self.spark.read.parquet(os.path.join(self._dir(name), f"v{version}"))
 
+    def row_count(self, name: str) -> int:
+        """Exact row count of the current version from parquet FOOTERS —
+        a driver-side metadata read (one footer per file, no job). The
+        store-side twin of sources/parquet.table_row_count: the free
+        source for size-adaptive dispatch hints over store tables
+        (plans/pipeline.py passes it to the cleaning operators, whose
+        staging input grows with every retained increment)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        v = self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        vdir = os.path.join(self._dir(name), f"v{v}")
+        return sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+        )
+
     def _unshared_files(
         self, name: str, v_old: int, v_new: int
     ) -> tuple[list[str], list[str]]:

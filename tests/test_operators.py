@@ -219,3 +219,35 @@ def test_simhash_near_pairs_rejects_mismatched_bits(spark):
         simhash_near_pairs(fp, "doc_id", max_hamming=3, n_bits=16).collect()
     # matching width works
     assert simhash_near_pairs(fp, "doc_id", max_hamming=3, n_bits=32).count() == 0
+
+
+def test_cleaning_stats_join_form_matches_window_form(spark):
+    """impute_group_mean / cap_outliers_zscore above the dispatch
+    threshold (broadcast stats join) must return the same rows and the
+    same SCHEMA ORDER as the window form (the pipeline writes these
+    frames to versioned storage, so column order is part of the
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.operators.cleaning import (
+        cap_outliers_zscore,
+        impute_group_mean,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (g, None if i % 5 == 0 else float(i * 7 if i != 13 else 9999), i)
+            for g in (0, 1)
+            for i in range(20)
+        ],
+        "g int, v double, rid int",
+    )
+    key = lambda t: (t[0], t[1] is None, t[1] or 0.0, t[2])  # noqa: E731
+    for fn in (impute_group_mean, cap_outliers_zscore):
+        # expression group keys exercise the __gk materialization path
+        a = fn(df, [F.col("g") % 2], ["v"]).collect()
+        b = fn(df, [F.col("g") % 2], ["v"], rows_per_group_hint=10**9).collect()
+        assert a[0].__fields__ == b[0].__fields__ == ["g", "v", "rid"]
+        assert sorted(((r.g, r.v, r.rid) for r in a), key=key) == sorted(
+            ((r.g, r.v, r.rid) for r in b), key=key
+        ), fn.__name__

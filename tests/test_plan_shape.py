@@ -984,3 +984,17 @@ def test_set_similarity_prefix_join_no_cartesian_equi_joins_only(spark):
     plan = _plan(QS["set_similarity_prefix_join"](spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     assert "HashAggregate" in plan, plan[:2000]
+
+
+def test_zscore_cap_stats_join_above_threshold(spark):
+    """Above WINDOW_FORM_MAX_ROWS the z-score stats must come from a
+    hash aggregate + BROADCAST join — an unordered per-group window
+    would buffer each of the 3 return-flag groups through one task."""
+    from designing_data_warehouse_in_sql_server_spark.plans.parity import (
+        _zscore_cap_plan,
+    )
+
+    plan = _plan(_zscore_cap_plan(spark, SF_DIR, 10**12))
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
