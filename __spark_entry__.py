@@ -43,10 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # file pruning with an in-query kept<total assertion; and the wave-4
 # additions clamped_running_sum / bfs_khop / per_group_trend /
 # covariance_matrix / snapshot_diff / welch_ttest /
-# set_similarity_prefix_join; zscore_cap joins (b) after its few-group
-# stats-frame dispatch). The remaining 13 slots take the oldest
-# r3-stale queries (VERDICT r6 item 3), alphabetical; the 23 r3-stale
-# queries past the boundary are queued first for round 8.
+# set_similarity_prefix_join / fifo_allocation; zscore_cap joins (b)
+# after its few-group stats-frame dispatch). The remaining 12 slots
+# take the oldest r3-stale queries (VERDICT r6 item 3), alphabetical;
+# the 24 r3-stale queries past the boundary are queued first for
+# round 8.
 # Every query is also oracle-diffed locally in tests/test_oracle_parity.py
 # on every run.
 _CHECK_FIRST = (
@@ -90,7 +91,8 @@ _CHECK_FIRST = (
     "snapshot_diff",
     "welch_ttest",
     "set_similarity_prefix_join",
-    # r3-stale rotation, alphabetical — first 13 fit the 50-query window
+    "fifo_allocation",
+    # r3-stale rotation, alphabetical — first 12 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",
@@ -103,9 +105,9 @@ _CHECK_FIRST = (
     "events_hourly_unique_users",
     "file_format_roundtrip",
     "forward_fill_locf",
-    "heavy_hitter_users",
     # --- 50-query window boundary is here. Below: the round-8 queue
     # (the remaining r3/r4-stale queries, alphabetical) ---
+    "heavy_hitter_users",
     "incremental_agg_refresh",
     "interval_coalesce",
     "kmeans_embeddings",

@@ -3536,3 +3536,111 @@ def clamped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_stockouts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO allocation (round 7): match every sale line to the purchase lots
+# it consumes under first-in-first-out costing — the classic "hard in
+# SQL" inventory problem, usually written as a cursor loop or a
+# quadratic per-part join. The closed form: in per-part cumulative-
+# quantity space, lot i covers supply interval [P_{i-1}, P_i) and sale
+# j covers demand interval [D_{j-1}, D_j); FIFO allocates their
+# OVERLAP, qty = least(P_i, D_j) - greatest(P_{i-1}, D_{j-1}) when
+# positive. Both prefix families are per-part running sums (many small
+# groups — windows parallelize), and the interval intersection becomes
+# an EQUI-join by exploding each interval onto fixed-width buckets of
+# the cumulative axis: a lot of quantity q touches at most q/B + 1
+# buckets (B = 64 >= the 1-50 quantity domain, so almost always 1-2),
+# candidates per sale are the handful of lots in its buckets, and the
+# exact overlap predicate filters the rest. All-integer, exact.
+#
+# Scale: two per-part window passes + one hash equi-join on
+# (part, bucket) — candidate volume ~ rows * (avg_qty/B + 1), linear;
+# never the oracle's per-part all-pairs form. Unfilled demand (sales
+# beyond total supply) simply yields no pair, like real backorders.
+# ---------------------------------------------------------------------------
+_FIFO_BUCKET = 64
+
+FIFO_ORACLE = """
+WITH p AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM lineitem WHERE l_returnflag = 'R'
+), p2 AS (SELECT *, hi - q AS lo FROM p),
+s AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM lineitem WHERE l_returnflag <> 'R'
+), s2 AS (SELECT *, hi - q AS lo FROM s)
+SELECT p2.l_partkey,
+       p2.l_orderkey AS lot_orderkey, p2.l_linenumber AS lot_linenumber,
+       s2.l_orderkey AS sale_orderkey, s2.l_linenumber AS sale_linenumber,
+       CAST(LEAST(p2.hi, s2.hi) - GREATEST(p2.lo, s2.lo) AS BIGINT) AS qty_alloc
+FROM p2 JOIN s2 ON p2.l_partkey = s2.l_partkey
+WHERE LEAST(p2.hi, s2.hi) - GREATEST(p2.lo, s2.lo) > 0
+"""
+
+
+def _fifo_intervals(li: DataFrame, pred) -> DataFrame:
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.filter(pred)
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("long").alias("q"),
+            "l_shipdate",
+        )
+        .withColumn("hi", F.sum("q").over(w))
+        .withColumn("lo", F.col("hi") - F.col("q"))
+        .drop("l_shipdate", "q")
+    )
+
+
+@register("fifo_allocation", FIFO_ORACLE)
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    B = _FIFO_BUCKET
+    lots = _fifo_intervals(li, F.col("l_returnflag") == "R").select(
+        "l_partkey",
+        F.col("l_orderkey").alias("lot_orderkey"),
+        F.col("l_linenumber").alias("lot_linenumber"),
+        F.col("lo").alias("p_lo"),
+        F.col("hi").alias("p_hi"),
+        F.explode(
+            F.sequence(F.expr(f"lo div {B}"), F.expr(f"(hi - 1) div {B}"))
+        ).alias("bucket"),
+    )
+    sales = _fifo_intervals(li, F.col("l_returnflag") != "R").select(
+        "l_partkey",
+        F.col("l_orderkey").alias("sale_orderkey"),
+        F.col("l_linenumber").alias("sale_linenumber"),
+        F.col("lo").alias("s_lo"),
+        F.col("hi").alias("s_hi"),
+        F.explode(
+            F.sequence(F.expr(f"lo div {B}"), F.expr(f"(hi - 1) div {B}"))
+        ).alias("bucket"),
+    )
+    qty = F.least("p_hi", "s_hi") - F.greatest("p_lo", "s_lo")
+    return (
+        lots.join(sales, ["l_partkey", "bucket"])
+        .filter(qty > 0)
+        .select(
+            "l_partkey",
+            "lot_orderkey",
+            "lot_linenumber",
+            "sale_orderkey",
+            "sale_linenumber",
+            qty.cast("long").alias("qty_alloc"),
+        )
+        .distinct()  # an overlapping pair can collide in 2+ shared buckets
+    )

@@ -2982,9 +2982,14 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     ln = tok.groupBy("oid").agg(F.count(F.lit(1)).alias("n"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # basket size via an unordered window on the SAME oid partitioning
+    # the rank window already needs — one exchange serves both, where a
+    # join against `ln` would shuffle the (order, part) relation twice
+    # (`ln` itself is still needed, but only against the candidate-
+    # bounded final projection)
     ranked = (
         tok.join(dfreq, "tok")
-        .join(ln, "oid")
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("oid")))
         .withColumn(
             "rn", F.row_number().over(W.partitionBy("oid").orderBy("df", "tok"))
         )

@@ -584,3 +584,37 @@ def test_seasonal_cma_gap_guard_on_planted_data(spark, tmp_path):
         assert got[mi] is None, mi  # right side too short / crosses hole
     # month 20: kernel 14..26 fully present -> trend emitted
     assert got[20] is not None
+
+
+def test_fifo_allocation_planted_lots(spark, tmp_path):
+    """FIFO semantics on a handcrafted ledger: supply lots (10, 5),
+    demand (7, 6, 9) -> sale1 takes 7 from lot1; sale2 takes the
+    remaining 3 from lot1 and 3 from lot2; sale3 takes lot2's last 2
+    and its unfilled 7 yields NO pair (backorder). Exercises interval
+    splits across lots and demand beyond supply."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    d = tmp_path
+    rows = []
+    # (orderkey, partkey, linenumber, quantity, returnflag, shipdate)
+    for i, (qty, flag) in enumerate([(10, "R"), (5, "R"), (7, "N"), (6, "N"), (9, "N")]):
+        rows.append((i + 1, 42, 1, float(qty), flag, pd.Timestamp("1995-01-0%d" % (i + 1))))
+    pd.DataFrame(
+        rows,
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+                 "l_returnflag", "l_shipdate"],
+    ).to_parquet(
+        str(d / "lineitem.parquet"),
+        # pandas defaults to TIMESTAMP(NANOS), which Spark's reader rejects
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    out = e.queries()["fifo_allocation"](spark, str(d))
+    got = {
+        (r.lot_orderkey, r.sale_orderkey): r.qty_alloc for r in out.collect()
+    }
+    assert got == {(1, 3): 7, (1, 4): 3, (2, 4): 3, (2, 5): 2}
+    assert not compare(out, e.oracle_sql()["fifo_allocation"], str(d))

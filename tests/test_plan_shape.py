@@ -998,3 +998,12 @@ def test_zscore_cap_stats_join_above_threshold(spark):
     assert "Window" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+
+
+def test_fifo_allocation_bucketed_equi_join(spark):
+    """The FIFO interval intersection must ride the bucket explode +
+    (part, bucket) equi-join — Generate feeding a hash-keyed join —
+    never a per-part all-pairs or range nested loop."""
+    plan = _plan(QS["fifo_allocation"](spark, SF_DIR))
+    assert "Generate" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
