@@ -63,6 +63,13 @@ CDC_UPDATE_POST = "update_postimage"
 CDC_DELETE = "delete"
 
 _DUP_KEY_MARK = "MERGE_DUPLICATE_SOURCE_KEYS"
+_CHECK_MARK = "CHECK_CONSTRAINT_VIOLATION"
+
+
+def is_check_violation(ex: Exception) -> bool:
+    """True iff ``ex`` is a CHECK-constraint guard firing (same typed +
+    message-mark evidence as the merge duplicate-key guard)."""
+    return _CHECK_MARK in str(ex)
 
 
 def _is_dup_key_error(ex: Exception) -> bool:
@@ -294,15 +301,85 @@ class TableStore:
             pred = pred | conj
         return pred
 
+    # -- CHECK constraints ------------------------------------------------------
+    def _constraints_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "CONSTRAINTS")
+
+    def check_constraints(self, name: str) -> dict[str, str]:
+        """Active CHECK constraints as {constraint_name: sql_expr}."""
+        import json as _json
+
+        try:
+            with open(self._constraints_path(name)) as fh:
+                return _json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def add_check_constraint(self, name: str, cname: str, expr_sql: str) -> None:
+        """Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK`` analog: verify
+        every EXISTING row satisfies ``expr_sql`` (one scan, fails loud
+        with a sample violation), then persist the constraint; every
+        subsequent write to the table validates it INSIDE the write job
+        (assert_true folded into the first output column, the same
+        can't-be-pruned trick as merge's duplicate-key guard — zero
+        extra passes) and fails BEFORE the version pointer moves, so a
+        violating write leaves readers on the old version. SQL CHECK
+        semantics: NULL passes, only FALSE violates."""
+        import json as _json
+
+        bad = self.read(name).filter(F.expr(expr_sql) == False)  # noqa: E712
+        sample = bad.take(1)
+        if sample:
+            raise ValueError(
+                f"cannot add CHECK constraint {cname!r} ({expr_sql}): "
+                f"existing row violates it: {sample[0]}"
+            )
+        cons = self.check_constraints(name)
+        cons[cname] = expr_sql
+        with open(self._constraints_path(name), "w") as fh:
+            _json.dump(cons, fh)
+
+    def drop_check_constraint(self, name: str, cname: str) -> None:
+        import json as _json
+
+        cons = self.check_constraints(name)
+        cons.pop(cname, None)
+        with open(self._constraints_path(name), "w") as fh:
+            _json.dump(cons, fh)
+
+    def _guarded(self, name: str, df: DataFrame) -> DataFrame:
+        """Fold the table's CHECK constraints into the first output
+        column so every write job validates rows as it writes them —
+        Catalyst cannot prune the guard because the column's value
+        expression contains it (see merge's dup-key guard)."""
+        cons = self.check_constraints(name)
+        if not cons or not df.columns:
+            return df
+        first = df.columns[0]
+        guarded = F.col(first)
+        for cname, expr_sql in sorted(cons.items()):
+            c = F.expr(expr_sql)
+            guard = F.assert_true(
+                c.isNull() | c,
+                F.lit(
+                    f"{_CHECK_MARK}: {cname}: row violates CHECK ({expr_sql})"
+                ),
+            )
+            # assert_true either raises or yields NULL -> otherwise-branch
+            guarded = F.when(guard.isNotNull(), F.lit(None)).otherwise(guarded)
+        return df.withColumn(first, guarded)
+
     # -- writes ----------------------------------------------------------------
     def _stage_version(self, name: str, df: DataFrame) -> tuple[int, str]:
         """Write the files of the next version WITHOUT committing the
-        pointer; readers keep seeing the current version until _commit."""
+        pointer; readers keep seeing the current version until _commit.
+        CHECK constraints validate inside this write job (``_guarded``);
+        a violation aborts the job with the pointer untouched."""
         v = (self.current_version(name) or 0) + 1
         os.makedirs(self._dir(name), exist_ok=True)
         vdir = os.path.join(self._dir(name), f"v{v}")
         spec = self.partition_spec(name)
-        writer = df.write.mode("overwrite")
+        writer = self._guarded(name, df).write.mode("overwrite")
         if spec:
             writer = writer.partitionBy(*spec)
         writer.parquet(vdir)

@@ -582,3 +582,43 @@ def test_diff_inode_pruning_and_classification(spark, tmp_path):
     chgs = {r.k for r in d3 if r.change == "changed"}
     assert adds == set(range(100, 110))
     assert chgs == set(range(0, 100, 10))
+
+
+def test_check_constraints_enforced_atomically(spark, store):
+    """Delta CHECK-constraint parity: (1) adding a constraint validates
+    existing rows; (2) a violating append fails INSIDE the write job and
+    the version pointer never moves (readers keep the old version);
+    (3) NULL passes (SQL CHECK semantics); (4) dropped constraints stop
+    enforcing; (5) a violating merge source aborts the same way."""
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        is_check_violation,
+    )
+
+    store.overwrite("t", spark.createDataFrame([(1, 10), (2, None)], "k int, v int"))
+    store.add_check_constraint("t", "v_nonneg", "v >= 0")  # NULL row passes
+    with pytest.raises(ValueError, match="existing row"):
+        store.add_check_constraint("t", "v_big", "v > 100")
+
+    v_before = store.current_version("t")
+    try:
+        store.append("t", spark.createDataFrame([(3, -5)], "k int, v int"))
+        raise AssertionError("violating append must fail")
+    except Exception as ex:  # Spark wraps the guard in a job failure
+        assert is_check_violation(ex), ex
+    assert store.current_version("t") == v_before  # pointer untouched
+    assert store.read("t").count() == 2
+
+    # valid writes still succeed, including NULLs
+    store.append("t", spark.createDataFrame([(3, None), (4, 7)], "k int, v int"))
+    assert store.read("t").count() == 4
+
+    try:
+        store.merge("t", spark.createDataFrame([(4, -1)], "k int, v int"), on=["k"])
+        raise AssertionError("violating merge must fail")
+    except Exception as ex:
+        assert is_check_violation(ex), ex
+    assert {r.v for r in store.read("t").filter("k = 4").collect()} == {7}
+
+    store.drop_check_constraint("t", "v_nonneg")
+    store.append("t", spark.createDataFrame([(5, -9)], "k int, v int"))
+    assert store.read("t").filter("v = -9").count() == 1
