@@ -92,7 +92,11 @@ _CHECK_FIRST = (
     "welch_ttest",
     "set_similarity_prefix_join",
     "fifo_allocation",
-    # r3-stale rotation, alphabetical — first 12 fit the 50-query window
+    "bellman_ford_mincost",
+    "acf_daily_revenue",
+    "rolling_median_7d",
+    "bpe_pair_merge",
+    # r3-stale rotation, alphabetical — first 8 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",
@@ -101,12 +105,12 @@ _CHECK_FIRST = (
     "dedup_containment",
     "domain_cap_sample",
     "embedding_decontaminate",
+    # --- 50-query window boundary is here. Below: the round-8 queue
+    # (the remaining r3/r4-stale queries, alphabetical) ---
     "event_transition_matrix",
     "events_hourly_unique_users",
     "file_format_roundtrip",
     "forward_fill_locf",
-    # --- 50-query window boundary is here. Below: the round-8 queue
-    # (the remaining r3/r4-stale queries, alphabetical) ---
     "heavy_hitter_users",
     "incremental_agg_refresh",
     "interval_coalesce",

@@ -110,3 +110,64 @@ def bfs_min_dist(
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
+
+
+def bellman_ford_min_cost(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+) -> DataFrame:
+    """Bounded Bellman-Ford: minimum path COST from any seed within
+    ``max_hops`` edges, over the undirected weighted edge list
+    ``edges(src, dst, w)`` (integer weights — costs stay exact int64,
+    bit-identical on any partitioning or engine). Returns (node, cost);
+    seeds carry cost 0. The weighted companion of ``bfs_min_dist``:
+    hop-count BFS answers "how far", this answers "how cheap".
+
+    DELTA relaxation, not full relaxation: each round expands only the
+    nodes whose cost IMPROVED last round (classic Bellman-Ford queue
+    optimization). A node improved at round j propagates at j+1, and
+    every shortest <=k-edge path improves monotonically along its
+    prefix rounds, so k delta rounds = k full relaxations — but each
+    round's join is O(improved-frontier adjacency), never O(graph),
+    the property that keeps bounded search tractable when the graph is
+    100 TB and the k-hop neighborhood is not. Per round: one shuffle
+    join of the checkpointed symmetric edge relation against the
+    frontier, a min-aggregate on dst (map-side partials collapse
+    parallel edges), a broadcast-free left join against current bests,
+    and an anti-join merge — all hash-partitioned on node. Frontiers
+    eagerly checkpointed: lineage O(1) per round.
+    """
+    fwd = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w").cast("long").alias("w")
+    )
+    # parallel edges collapse to their min weight once, before the loop
+    sym = (
+        fwd.union(rev).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    ).localCheckpoint(eager=True)
+    best = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("cost"),
+    ).localCheckpoint(eager=True)
+    frontier = best
+    for _ in range(max_hops):
+        cand = (
+            sym.join(frontier, sym["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            cand.join(best.select("node", F.col("cost").alias("old")), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        best = (
+            best.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

@@ -3644,3 +3644,126 @@ def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # an overlapping pair can collide in 2+ shared buckets
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (round 7): ACF of the daily order-revenue
+# series at lags 1..7 — the standard seasonality / memory diagnostic a
+# forecasting pipeline runs before choosing model order (the weekday
+# cycle shows up as a lag-7 peak). Per lag k the pairs are
+# (y_t, y_{t-k}) aligned by LAG over the daily grain; per-lag
+# (n, Sx, Sy, Sxy, Sxx, Syy) are EXACT integer co-moments in
+# DECIMAL(38,0)/HUGEINT (daily cents ~1e8 at sf1, squared 1e16, x2400
+# days ~2.4e19 — past int64, far inside 38 digits), combined into
+# Pearson r in ONE double expression identical on both engines, ROUND 6.
+#
+# Scale: one fact-sized hash aggregate to the day grain; the ordered
+# window (7 LAG columns in a single pass) and the per-lag aggregate run
+# over the calendar-bounded daily relation only (~2.4k rows at any SF).
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS y
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT y, {", ".join(f"LAG(y, {k}) OVER (ORDER BY d) AS y{k}" for k in range(1, ACF_MAX_LAG + 1))}
+  FROM daily
+), pairs AS (
+  {" UNION ALL ".join(f"SELECT {k} AS lag, y, y{k} AS x FROM lagged WHERE y{k} IS NOT NULL" for k in range(1, ACF_MAX_LAG + 1))}
+), m AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+FROM m
+"""
+
+
+@register("acf_daily_revenue", ACF_ORACLE)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("DAY", "o_orderdate").alias("d")).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("decimal(38,0)")
+        .alias("y")
+    )
+    w = W.orderBy("d")  # calendar-bounded daily relation only
+    lagged = daily.select(
+        "y", *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, ACF_MAX_LAG + 1)]
+    )
+    stack = ", ".join(f"{k}, y{k}" for k in range(1, ACF_MAX_LAG + 1))
+    pairs = lagged.selectExpr(
+        "y", f"stack({ACF_MAX_LAG}, {stack}) AS (lag, x)"
+    ).filter(F.col("x").isNotNull())
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    acf = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * F.sqrt(nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling window median (round 7): trailing-7-day median of daily order
+# revenue — the robust companion to the moving average (outlier days
+# don't drag it). Exercises the AGGREGATE-AS-WINDOW-FUNCTION surface:
+# Spark `percentile(y, 0.5) OVER frame` vs DuckDB `quantile_cont` —
+# both linear-interpolating, and over INTEGER cents every median is an
+# exactly-representable x.0 / x.5 double, so the parity is bit-for-bit
+# with no rounding step.
+#
+# Scale: one fact-sized hash aggregate to the day grain; the ordered
+# frame runs over the calendar-bounded daily relation only. The window
+# quantile buffers 7 values per row — O(frame), not O(partition).
+# ---------------------------------------------------------------------------
+ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+)
+SELECT CAST(d AS TIMESTAMP) AS d, y AS cents,
+       quantile_cont(y, 0.5) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS med_7d
+FROM daily
+"""
+
+
+@register("rolling_median_7d", ROLLING_MEDIAN_ORACLE)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("DAY", "o_orderdate").alias("d")).agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("y")
+    )
+    w = W.orderBy("d").rowsBetween(-6, W.currentRow)
+    return daily.select(
+        "d",
+        F.col("y").alias("cents"),
+        F.expr("percentile(y, 0.5)").over(w).alias("med_7d"),
+    )

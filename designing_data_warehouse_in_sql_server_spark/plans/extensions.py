@@ -2839,6 +2839,82 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded Bellman-Ford (round 7): minimum path COST within 3 hops from
+# the seed suppliers over the supplier<->customer trade graph, edge
+# weight = the lane's best (minimum) ship delay in days — the weighted
+# companion to bfs_khop ("how cheap", not just "how far"; e.g. fastest
+# 3-leg routing through the trade network). Exact integer costs; the
+# oracle unrolls three FULL relaxation rounds in SQL while the Spark
+# operator runs DELTA relaxation (only nodes improved last round
+# expand) — equal within k rounds because every shortest <=k-edge
+# path improves monotonically along its prefix rounds.
+#
+# Scale: see operators/graph.bellman_ford_min_cost — per round one
+# frontier-adjacency join against the checkpointed weighted edge
+# relation, a dst min-aggregate with map-side partials, and an
+# anti-join merge into bests; work O(improved set), never O(graph).
+# ---------------------------------------------------------------------------
+BF_SEED_MAX = 5
+BF_HOPS = 3
+
+BELLMAN_FORD_ORACLE = f"""
+WITH raw AS (
+  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b,
+         MIN(DATE_DIFF('day', o_orderdate, l_shipdate)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT a AS src, b AS dst, w FROM raw
+    UNION ALL SELECT b, a, w FROM raw
+  ) GROUP BY 1, 2
+),
+d0 AS (SELECT s_suppkey * 2 AS node, CAST(0 AS BIGINT) AS cost
+       FROM supplier WHERE s_suppkey <= {BF_SEED_MAX}),
+r1 AS (SELECT dst AS node, MIN(d0.cost + w) AS cost
+       FROM sym JOIN d0 ON sym.src = d0.node GROUP BY 1),
+d1 AS (SELECT node, MIN(cost) AS cost FROM
+       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+r2 AS (SELECT dst AS node, MIN(d1.cost + w) AS cost
+       FROM sym JOIN d1 ON sym.src = d1.node GROUP BY 1),
+d2 AS (SELECT node, MIN(cost) AS cost FROM
+       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+r3 AS (SELECT dst AS node, MIN(d2.cost + w) AS cost
+       FROM sym JOIN d2 ON sym.src = d2.node GROUP BY 1),
+d3 AS (SELECT node, MIN(cost) AS cost FROM
+       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
+SELECT node AS node_id, CAST(cost AS BIGINT) AS min_cost FROM d3
+"""
+
+
+@register("bellman_ford_mincost", BELLMAN_FORD_ORACLE)
+def bellman_ford_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bellman_ford_min_cost
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min(F.expr("datediff(l_shipdate, o_orderdate)")).alias("w"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= BF_SEED_MAX)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .distinct()
+    )
+    out = bellman_ford_min_cost(edges, seeds, max_hops=BF_HOPS)
+    return out.select(F.col("node").alias("node_id"), F.col("cost").alias("min_cost"))
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff (round 7): reconcile two versions of a TableStore table
 # without a CDC feed — every key added, removed, or changed between v1
 # and v2, with old/new values. The time-travel consumption pattern

@@ -3174,3 +3174,57 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND((va_n + vb_n) * (va_n + vb_n)"
         " / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 4) AS df_welch",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (round 7): the most frequent ADJACENT CHARACTER
+# PAIRS inside corpus words — the exact statistic byte-pair-encoding
+# tokenizer training computes on its first merge step (the pair chosen
+# becomes the first learned merge rule). LLM-pipeline flavor: this is
+# the corpus-side half of training a tokenizer at 100 TB; subsequent
+# merge rounds are the same aggregate over re-segmented symbols.
+#
+# Scale: explode words then adjacent pairs = O(total chars) rows — the
+# same order as any token-level pass; ONE hash aggregate with map-side
+# partials collapses the pair counts (distinct pairs bounded by the
+# alphabet^2, so the reduce side is tiny), then TakeOrderedAndProject
+# for the top-k. No joins, no windows.
+# ---------------------------------------------------------------------------
+BPE_TOP_K = 20
+
+BPE_PAIR_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM words, LATERAL (SELECT unnest(range(1, length(w))) AS i) u
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+"""
+
+
+@register("bpe_pair_merge", BPE_PAIR_ORACLE)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.explode(words_col(F.col("text"))).alias("w")
+    pairs = (
+        docs.select(w)
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(BPE_TOP_K)
+    )
