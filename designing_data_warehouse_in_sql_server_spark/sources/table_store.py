@@ -148,11 +148,56 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
-    def _commit(self, name: str, version: int) -> None:
+    def _commit(self, name: str, version: int, op: str = "write") -> None:
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(version))
         os.replace(tmp, self._pointer(name))  # atomic pointer swap
+        self._log_history(name, version, op)
+
+    # -- history (DESCRIBE HISTORY analog) -------------------------------------
+    def _history_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_history.jsonl")
+
+    def _log_history(self, name: str, version: int, op: str) -> None:
+        """One JSONL event per committed version: operation, wall time,
+        file count and row count of the committed version (both from a
+        driver-side directory walk / parquet-footer read — no job).
+        Written AFTER the pointer swap: a crash can lose a history row
+        for a committed version, never record one for a phantom version
+        (same ordering contract as the CDC feed)."""
+        import glob as _glob
+        import json as _json
+        import time as _time
+
+        import pyarrow.parquet as _pq
+
+        vdir = os.path.join(self._dir(name), f"v{version}")
+        files = _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+        event = {
+            "version": version,
+            "op": op,
+            "ts": round(_time.time(), 3),
+            "num_files": len(files),
+            "num_rows": sum(_pq.ParquetFile(p).metadata.num_rows for p in files),
+        }
+        with open(self._history_path(name), "a") as fh:
+            fh.write(_json.dumps(event) + "\n")
+
+    def history(self, name: str) -> list[dict]:
+        """Commit history, newest first (Delta ``DESCRIBE HISTORY``
+        analog): [{version, op, ts, num_files, num_rows}, ...]. Survives
+        vacuum (history of reclaimed versions is retained — retention of
+        data and of audit trail are independent decisions, as in Delta);
+        dropped with the table."""
+        import json as _json
+
+        try:
+            with open(self._history_path(name)) as fh:
+                events = [_json.loads(line) for line in fh if line.strip()]
+        except FileNotFoundError:
+            return []
+        return sorted(events, key=lambda e: e["version"], reverse=True)
 
     # -- reads ---------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
@@ -385,11 +430,13 @@ class TableStore:
         writer.parquet(vdir)
         return v, vdir
 
-    def _write_version(self, name: str, df: DataFrame, link_untouched: bool = False) -> int:
+    def _write_version(
+        self, name: str, df: DataFrame, link_untouched: bool = False, op: str = "write"
+    ) -> int:
         v, vdir = self._stage_version(name, df)
         if link_untouched and self.partition_spec(name):
             self._link_untouched(name, vdir)
-        self._commit(name, v)
+        self._commit(name, v, op)
         return v
 
     def _link_untouched(self, name: str, vdir: str) -> None:
@@ -455,7 +502,7 @@ class TableStore:
                 fh.write(",".join(partition_by))
         want_cdc = capture_cdc and self._feed_exists(name) and self.exists(name)
         pre = self.read(name).withColumn("_change_type", F.lit(CDC_DELETE)) if want_cdc else None
-        v = self._write_version(name, df)
+        v = self._write_version(name, df, op="overwrite")
         if want_cdc:
             changes = pre.unionByName(
                 df.withColumn("_change_type", F.lit(CDC_INSERT)), allowMissingColumns=True
@@ -468,7 +515,7 @@ class TableStore:
         extract_weather.py:57-67). O(increment): writes only ``df``'s rows;
         all previous files are hard-linked into the new version."""
         if not self.exists(name):
-            return self._write_version(name, df)
+            return self._write_version(name, df, op="append")
         # align column order with the stored layout (metadata-only select);
         # fail loud first — a silent select() would drop misnamed/extra
         # increment columns without any error
@@ -483,7 +530,7 @@ class TableStore:
         df = df.select(*stored)
         v, vdir = self._stage_version(name, df)
         self._link_prev_files(name, vdir)
-        self._commit(name, v)
+        self._commit(name, v, "append")
         if capture_cdc and self._feed_exists(name):
             self._append_changes(name, df.withColumn("_change_type", F.lit(CDC_INSERT)), v)
         return v
@@ -491,7 +538,7 @@ class TableStore:
     def truncate(self, name: str, capture_cdc: bool = True) -> int:
         old = self.read(name)
         want_cdc = capture_cdc and self._feed_exists(name)
-        v = self._write_version(name, old.limit(0))
+        v = self._write_version(name, old.limit(0), op="truncate")
         if want_cdc:
             self._append_changes(name, old.withColumn("_change_type", F.lit(CDC_DELETE)), v)
         return v
@@ -531,7 +578,7 @@ class TableStore:
         v, vdir = self._stage_version(name, updated.drop("__upd"))
         if pruned:
             self._link_untouched(name, vdir)
-        self._commit(name, v)
+        self._commit(name, v, "update")
         if want_cdc:
             # pre/post images of matching rows only (match evaluated on the
             # OLD values — the flag is computed before the SET is applied)
@@ -567,7 +614,7 @@ class TableStore:
             df = df.repartition(target_files, *spec)
         else:
             df = df.repartition(target_files)
-        return self._write_version(name, df)
+        return self._write_version(name, df, op="compact")
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
@@ -774,7 +821,7 @@ class TableStore:
                 .partitionBy(*spec)
                 .parquet(vdir)
             )
-        self._commit(name, v)
+        self._commit(name, v, "optimize")
         self.collect_file_stats(
             name, list(zorder_by) + [c for c in spec if c not in zorder_by]
         )
@@ -881,7 +928,7 @@ class TableStore:
             raise
         if pruned:
             self._link_untouched(name, vdir)
-        self._commit(name, v)
+        self._commit(name, v, "merge")
         # CDC after the main commit: a failure here can lose a feed entry
         # for a committed version, never record one for a phantom version.
         if capture_cdc:
@@ -907,7 +954,7 @@ class TableStore:
             .withColumn("_change_type", F.lit(""))
             .withColumn("_commit_version", F.lit(0))
         )
-        self._write_version(self._cdc_table(name), empty)
+        self._write_version(self._cdc_table(name), empty, op="cdc-init")
 
     def _append_changes(self, name: str, changes: DataFrame, version: int) -> None:
         """Append this commit's change rows to the feed table (O(increment))
@@ -918,9 +965,9 @@ class TableStore:
             changes = changes.select(*self.read(cdc).columns)
             v, vdir = self._stage_version(cdc, changes)
             self._link_prev_files(cdc, vdir)
-            self._commit(cdc, v)
+            self._commit(cdc, v, "cdc-append")
         else:
-            self._write_version(cdc, changes)
+            self._write_version(cdc, changes, op="cdc-append")
         # append-only copy for streaming consumers (file source sees only
         # new files; see streaming/cdc.py)
         stream_dir = os.path.join(self.root, "_cdc_stream", name)

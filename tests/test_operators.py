@@ -251,3 +251,40 @@ def test_cleaning_stats_join_form_matches_window_form(spark):
         assert sorted(((r.g, r.v, r.rid) for r in a), key=key) == sorted(
             ((r.g, r.v, r.rid) for r in b), key=key
         ), fn.__name__
+
+
+def test_bellman_ford_delta_relaxation_planted(spark):
+    """Planted graph pinning the delta-relaxation edge cases: (1) a node
+    first reached expensively in round 1 must be RE-improved when a
+    cheaper 2-hop path lands in round 2 (the improved-frontier must
+    re-expand it); (2) that improvement must PROPAGATE onward in round 3;
+    (3) unreachable nodes are absent; (4) nodes beyond max_hops absent;
+    (5) parallel / reverse edges collapse to their min weight; (6) the
+    hop BOUND is semantic: a node whose cheap route needs 4 edges
+    reports its best <=3-edge cost at max_hops=3, then improves."""
+    from designing_data_warehouse_in_sql_server_spark.operators.graph import (
+        bellman_ford_min_cost,
+    )
+
+    #   1 --100/90-- 2 --1-- 5 --1-- 7    (2 greedily costs 90 at hop 1,
+    #   1 --1-- 3 --1-- 2                  but 1-3-2 costs 2 at hop 2 and
+    #   8 --3-- 6 (disconnected)           must re-expand to improve 5, 7)
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 100),
+            (2, 1, 90),  # reverse orientation, still one undirected edge: min 90
+            (1, 3, 1),
+            (3, 2, 1),
+            (2, 5, 1),
+            (5, 7, 1),
+            (8, 6, 3),  # disconnected from the seed component
+        ],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.cost for r in bellman_ford_min_cost(edges, seeds, max_hops=3).collect()}
+    # 7's best <=3-edge walk is the expensive 1-2-5-7 = 90+1+1; the cheap
+    # 4-edge route hasn't reached it yet — bounded-hop semantics, pinned
+    assert got == {1: 0, 3: 1, 2: 2, 5: 3, 7: 92}
+    got4 = {r.node: r.cost for r in bellman_ford_min_cost(edges, seeds, max_hops=4).collect()}
+    assert got4 == {1: 0, 3: 1, 2: 2, 5: 3, 7: 4}

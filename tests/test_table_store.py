@@ -622,3 +622,30 @@ def test_check_constraints_enforced_atomically(spark, store):
     store.drop_check_constraint("t", "v_nonneg")
     store.append("t", spark.createDataFrame([(5, -9)], "k int, v int"))
     assert store.read("t").filter("v = -9").count() == 1
+
+
+def test_history_describe_analog(spark, store):
+    """DESCRIBE HISTORY analog: one event per committed version, newest
+    first, op-labeled, with file/row counts; survives vacuum (audit
+    trail retention is independent of data retention); absent table ->
+    []."""
+    assert store.history("nope") == []
+    store.overwrite("h", spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    store.append("h", spark.createDataFrame([(3, 30)], "k int, v int"))
+    store.merge("h", spark.createDataFrame([(3, 31), (4, 40)], "k int, v int"), on=["k"])
+    store.update("h", {"v": F.col("v") + 1}, where=F.col("k") == 1)
+    store.truncate("h")
+    hist = store.history("h")
+    assert [e["op"] for e in hist] == ["truncate", "update", "merge", "append", "overwrite"]
+    assert [e["version"] for e in hist] == [5, 4, 3, 2, 1]
+    byv = {e["version"]: e for e in hist}
+    assert byv[1]["num_rows"] == 2
+    assert byv[2]["num_rows"] == 3  # append links prior files + increment
+    assert byv[3]["num_rows"] == 4
+    assert byv[5]["num_rows"] == 0
+    assert all(e["num_files"] >= 1 for e in hist if e["version"] < 5)
+    assert all(isinstance(e["ts"], float) for e in hist)
+    # vacuum removes old version DATA but history keeps their events
+    removed = store.vacuum("h", keep_last=1)
+    assert removed
+    assert [e["version"] for e in store.history("h")] == [5, 4, 3, 2, 1]
