@@ -96,7 +96,8 @@ _CHECK_FIRST = (
     "acf_daily_revenue",
     "rolling_median_7d",
     "bpe_pair_merge",
-    # r3-stale rotation, alphabetical — first 8 fit the 50-query window
+    "jl_projection_topk",
+    # r3-stale rotation, alphabetical — first 7 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",
@@ -104,9 +105,9 @@ _CHECK_FIRST = (
     "data_quality_profile",
     "dedup_containment",
     "domain_cap_sample",
-    "embedding_decontaminate",
     # --- 50-query window boundary is here. Below: the round-8 queue
     # (the remaining r3/r4-stale queries, alphabetical) ---
+    "embedding_decontaminate",
     "event_transition_matrix",
     "events_hourly_unique_users",
     "file_format_roundtrip",

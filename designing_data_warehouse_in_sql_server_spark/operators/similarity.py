@@ -363,3 +363,79 @@ def cross_set_decontaminate(
         .filter(F.col("__rn") == 1)
         .select("eval_id", "train_id", "cosine")
     )
+
+
+# -- Johnson-Lindenstrauss random projection ---------------------------------
+JL_PRIME = 97
+JL_THRESH = 48  # signs are +1 with prob 48/97 (~0.495) — near-balanced
+
+
+def jl_sign(i, j) -> Column:
+    """Deterministic Rademacher-style sign s(i,j) in {-1,+1} from a
+    fixed multiplicative-hash formula (mod a prime) — pure integer
+    arithmetic, so Spark and an oracle reproduce the SAME projection
+    matrix with no side channel. In production the matrix would be a
+    true Gaussian/Rademacher draw broadcast to executors; the formula
+    variant keeps the plan UDF-free and the parity bit-exact, and a
+    quasi-random sign matrix preserves the JL distance-concentration
+    behavior this operator showcases."""
+    il, jl = i.cast("long"), j.cast("long")
+    mix = il * F.lit(73856093) + jl * F.lit(19349663) + il * jl * F.lit(83492791)
+    return F.when(mix % JL_PRIME < JL_THRESH, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+
+def jl_project(vec: Column, in_dim: int, out_dim: int) -> Column:
+    """Project a quantized integer vector to ``out_dim`` dims:
+    projected[j] = sum_i q[i] * s(i,j). All-integer (exact,
+    order-insensitive), runs inside codegen as nested higher-order
+    expressions — per-row narrow work, no shuffle, no UDF. Capacity:
+    |q[i]| <= 1e4 x |x|, so |projected[j]| <= in_dim * 1e4 * max|x| —
+    int64-safe for any realistic embedding scale."""
+    q = quantized(vec)
+    idx = F.sequence(F.lit(0), F.lit(in_dim - 1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(q, idx, lambda x, i: x * jl_sign(i, j)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def jl_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine in JL-PROJECTED space (dimensionality reduction
+    as a first-class pipeline step: 4x fewer dims = 4x cheaper distance
+    evaluations and 4x smaller ANN index memory, at a bounded distance
+    distortion). Same scale shape as cosine_topk: broadcast 1-row query
+    side, TakeOrderedAndProject ranking — only the per-row arithmetic
+    shrinks."""
+    proj = embeddings.select(
+        id_col, jl_project(F.col(vec_col), in_dim, out_dim).alias("__pv")
+    )
+    q = proj.filter(F.col(id_col) == query_id).select(F.col("__pv").alias("__qv"))
+    return (
+        proj.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(
+                dot_q(F.col("__pv"), F.col("__qv")).cast("double")
+                / F.sqrt(
+                    dot_q(F.col("__pv"), F.col("__pv")).cast("double")
+                    * dot_q(F.col("__qv"), F.col("__qv")).cast("double")
+                ),
+                6,
+            ).alias("cosine_proj"),
+        )
+        .orderBy(F.col("cosine_proj").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -395,6 +395,64 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_id=0, k=10, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
 
 
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection top-k (round 7): rank neighbors in
+# 16-d PROJECTED space instead of the raw 64-d space — dimensionality
+# reduction as a first-class pipeline step (4x cheaper distances, 4x
+# smaller ANN index memory at bounded distortion; the standard preamble
+# to IVF/LSH indexing at corpus scale). The sign matrix s(i,j) is a
+# deterministic multiplicative-hash formula mod a prime
+# (operators/similarity.jl_sign), so the oracle reproduces the SAME
+# matrix relationally (unnest + group) while Spark evaluates it as
+# nested codegen higher-order expressions; all arithmetic is exact
+# int64 until the final cosine division, ROUND 6.
+#
+# Scale: projection is per-row narrow work inside whole-stage codegen
+# (no shuffle, no UDF); query side is a broadcast 1-row build;
+# ranking is TakeOrderedAndProject. At 100 TB the projected column is
+# written once at ingest and every downstream distance pass gets the
+# 4x saving.
+# ---------------------------------------------------------------------------
+JL_IN_DIM, JL_OUT_DIM = 64, 16
+
+_SQL_JL_Q = SQL_QUANT.format(v="embedding")
+_SQL_JL_SIGN = (
+    "CASE WHEN (CAST(i AS BIGINT) * 73856093 + CAST(j AS BIGINT) * 19349663"
+    " + CAST(i AS BIGINT) * CAST(j AS BIGINT) * 83492791) % 97 < 48"
+    " THEN 1 ELSE -1 END"
+)
+_SQL_JL_DOT16 = "list_sum(list_transform(range(1, {n}), i -> ({a})[i] * ({b})[i]))".format(
+    n=JL_OUT_DIM + 1, a="{a}", b="{b}"
+)
+
+JL_TOPK_ORACLE = f"""
+WITH proj AS (
+  SELECT vec_id,
+         list_transform(range(0, {JL_OUT_DIM}), j ->
+           list_sum(list_transform(range(0, {JL_IN_DIM}), i ->
+             ({_SQL_JL_Q})[CAST(i AS INT) + 1] * {_SQL_JL_SIGN}))) AS pv
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(CAST({_SQL_JL_DOT16.format(a='e.pv', b='q.pv')} AS DOUBLE)
+             / SQRT(CAST({_SQL_JL_DOT16.format(a='e.pv', b='e.pv')} AS DOUBLE)
+                    * CAST({_SQL_JL_DOT16.format(a='q.pv', b='q.pv')} AS DOUBLE)), 6)
+         AS cosine_proj
+FROM proj e, (SELECT pv FROM proj WHERE vec_id = 0) q
+WHERE e.vec_id != 0
+ORDER BY cosine_proj DESC, e.vec_id
+LIMIT 20
+"""
+
+
+@register("jl_projection_topk", JL_TOPK_ORACLE)
+def jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import jl_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_topk(emb, query_id=0, k=20, in_dim=JL_IN_DIM, out_dim=JL_OUT_DIM)
+
+
 # banded sign-LSH (round-6 fix): 4 bands x 8 sign bits at oracle scale;
 # the operator widens band_bits with the footer row count (see
 # operators/similarity.neardup_pairs — at sf0.01's 500 vectors the

@@ -399,9 +399,49 @@ def main_frontier_r7() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave-5 frontier: the two new heavy kernels at the 100x
+# frontier. fifo_allocation's bucketed interval join must keep
+# candidates ~ rows x (qty/B + 1) (linear — key-offset copies give
+# disjoint per-part ledgers, each the same size, so per-part cumulative
+# ranges are scale-invariant). bellman_ford_mincost separates the same
+# two cost components as bfs_khop: edge derivation is a linear scan of
+# the 100x graph, but delta-relaxation work tracks the seed copy's
+# neighborhood only (seeds s_suppkey <= 5 live in the first key-offset
+# copy by construction).
+# ---------------------------------------------------------------------------
+FRONTIER_W5 = ("fifo_allocation", "bellman_ford_mincost")
+
+
+def main_frontier_w5() -> None:
+    import tempfile
+
+    global _SCALED_TABLES, _PASSTHROUGH
+    _SCALED_TABLES = _FRONTIER_TABLES
+    _PASSTHROUGH = ("region", "nation", "documents", "embeddings", "supplier",
+                    "customer", "part")
+
+    spark = get_spark("ddw-scaling-probe-frontier-w5")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_W5)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_frontier_w5_") as tmp:
+        build_scaled_dir(spark, tmp, SCALE)
+        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_W5)
+    summary = {
+        "mode": "frontier_w5",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_w5":
+        main_frontier_w5()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
         main_frontier()
