@@ -387,8 +387,9 @@ def jl_sign(i, j) -> Column:
 def jl_project(vec: Column, in_dim: int, out_dim: int) -> Column:
     """Project a quantized integer vector to ``out_dim`` dims:
     projected[j] = sum_i q[i] * s(i,j). All-integer (exact,
-    order-insensitive), runs inside codegen as nested higher-order
-    expressions — per-row narrow work, no shuffle, no UDF. Capacity:
+    order-insensitive), evaluated as nested JVM-side higher-order
+    expressions (interpreted, not whole-stage codegen — but still no
+    Python boundary) — per-row narrow work, no shuffle, no UDF. Capacity:
     |q[i]| <= 1e4 x |x|, so |projected[j]| <= in_dim * 1e4 * max|x| —
     int64-safe for any realistic embedding scale."""
     q = quantized(vec)

@@ -404,11 +404,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic multiplicative-hash formula mod a prime
 # (operators/similarity.jl_sign), so the oracle reproduces the SAME
 # matrix relationally (unnest + group) while Spark evaluates it as
-# nested codegen higher-order expressions; all arithmetic is exact
+# nested JVM-side higher-order expressions; all arithmetic is exact
 # int64 until the final cosine division, ROUND 6.
 #
-# Scale: projection is per-row narrow work inside whole-stage codegen
-# (no shuffle, no UDF); query side is a broadcast 1-row build;
+# Scale: projection is per-row narrow work (interpreted higher-order
+# expressions — JVM-side, no Python boundary, though outside
+# whole-stage codegen; no shuffle); query side is a broadcast 1-row build;
 # ranking is TakeOrderedAndProject. At 100 TB the projected column is
 # written once at ingest and every downstream distance pass gets the
 # 4x saving.
