@@ -97,16 +97,19 @@ _CHECK_FIRST = (
     "rolling_median_7d",
     "bpe_pair_merge",
     "jl_projection_topk",
-    # r3-stale rotation, alphabetical — first 7 fit the 50-query window
+    "temporal_split_embargo",
+    "walk_forward_splits",
+    "kcore_decomposition",
+    # r3-stale rotation, alphabetical — first 4 fit the 50-query window
     "bm25_search",
     "boilerplate_removal",
     "corr_regression_stats",
     "cumulative_distinct_users",
+    # --- 50-query window boundary is here. Below: the round-8 queue
+    # (the remaining r3/r4-stale queries, alphabetical) ---
     "data_quality_profile",
     "dedup_containment",
     "domain_cap_sample",
-    # --- 50-query window boundary is here. Below: the round-8 queue
-    # (the remaining r3/r4-stale queries, alphabetical) ---
     "embedding_decontaminate",
     "event_transition_matrix",
     "events_hourly_unique_users",

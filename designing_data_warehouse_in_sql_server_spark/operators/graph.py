@@ -171,3 +171,44 @@ def bellman_ford_min_cost(
         )
         frontier = improved
     return best
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of the standard
+    peel (drop nodes with degree < k, take the induced subgraph,
+    repeat) over the undirected view of ``edges(src, dst)``. Returns
+    the surviving nodes with their post-peel degrees ``(node_id,
+    degree)``. When the peel has converged within ``rounds`` the result
+    IS the k-core; with fewer rounds it is the (well-defined)
+    intermediate state of the cascade — callers pin ``rounds`` to the
+    depth they can afford, exactly like the other bounded iterative
+    operators here (PageRank, Bellman-Ford).
+
+    Scale shape per round: one hash aggregate for degrees (map-side
+    partials) and two shuffle joins restricting to surviving endpoints
+    — all partitioned on node ids; the src-side join reuses the
+    degree aggregate's partitioning. Nothing iterates on the driver;
+    the edge relation is eagerly localCheckpoint-ed each round so
+    lineage stays O(1) (swap for reliable ``checkpoint`` on a real
+    cluster). The keep-set is joined, never collected or broadcast —
+    it shrinks monotonically but starts at |nodes|.
+    """
+    alive = symmetrize(edges).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        alive = (
+            alive.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .select(F.col("src").alias("node_id"), "degree")
+    )

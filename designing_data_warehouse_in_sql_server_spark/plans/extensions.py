@@ -1642,6 +1642,62 @@ def pagerank_fixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded k-core peeling (round 7) on the same supplier-customer
+# bipartite graph as pagerank_fixed: ROUNDS iterations of "drop nodes
+# with degree < K, induce, repeat". The full fixpoint at sf0.01 is
+# EMPTY (the cascade collapses: 1600 -> 193 -> 148 -> 0 nodes at K=48),
+# so the registered query pins ROUNDS=2 — the mid-cascade state, which
+# exercises the iterated-induction machinery and stays non-empty; the
+# true-core convergence semantics are pinned by a planted-graph unit
+# test (tests/test_operators.py). The oracle unrolls the identical two
+# rounds; degrees are exact integers, no floats anywhere.
+#
+# Scale: see operators/graph.kcore_peel — per round one map-side-
+# partial degree aggregate + two node-partitioned joins, keep-set never
+# broadcast or collected, lineage checkpoint-truncated per round.
+# ---------------------------------------------------------------------------
+KCORE_K = 48
+KCORE_ROUNDS = 2
+
+KCORE_ORACLE = f"""
+WITH raw AS (
+  SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS (SELECT a AS src, b AS dst FROM raw UNION SELECT b, a FROM raw),
+k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
+e1 AS (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN k1 s ON e.src = s.src JOIN k1 t ON e.dst = t.src
+),
+k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
+e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN k2 s ON e.src = s.src JOIN k2 t ON e.dst = t.src
+)
+SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e2 GROUP BY src
+"""
+
+
+@register("kcore_decomposition", KCORE_ORACLE)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Video frame-sampling plumbing as a driver-checked query: assets get a
 # synthetic duration (10 ms per char), the mapInPandas sampler fans out
 # 1 asset row -> N frame rows executor-side (Arrow both directions), and

@@ -555,3 +555,136 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "bin", "n_a", "n_b", F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-aware temporal split with embargo (round 7): per-user 80/20
+# time-ordered train/test split where events inside a 1-hour embargo
+# window after each user's train boundary are EXCLUDED from test — the
+# standard guard against target leakage through short-horizon
+# autocorrelation (purged/embargoed splits, Lopez de Prado-style).
+#
+# Exactness: the boundary rank is ceil(0.8*n) computed as the INTEGER
+# (4n+4) DIV 5 — never float (0.8*n in doubles misrounds at n % 5 == 0:
+# 0.8*55 = 44.000000000000007, ceil 45). Timestamp comparisons are
+# microsecond-exact in both engines.
+#
+# Scale: one shuffle on user_id; the rank window, the per-user count,
+# and the boundary-timestamp pick all share that partitioning (one sort,
+# chained Window operators, no second exchange); the split label is a
+# projection and the final rollup is a 3-group hash aggregate with
+# map-side partials. Parallelism = number of users.
+# ---------------------------------------------------------------------------
+TEMPORAL_SPLIT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), brk AS (
+  SELECT *, (4 * n + 4) // 5 AS boundary_rn FROM ranked
+), bounded AS (
+  SELECT *,
+         MAX(CASE WHEN rn = boundary_rn THEN ts END)
+           OVER (PARTITION BY user_id) AS boundary_ts
+  FROM brk
+)
+SELECT CASE WHEN rn <= boundary_rn THEN 'train'
+            WHEN ts <= boundary_ts + INTERVAL 1 HOUR THEN 'embargo'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM bounded
+GROUP BY 1
+"""
+
+
+@register("temporal_split_embargo", TEMPORAL_SPLIT_ORACLE)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    ranked = events.select(
+        "user_id",
+        "ts",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(wu).alias("n"),
+    ).withColumn("boundary_rn", F.expr("(4 * n + 4) DIV 5"))
+    bounded = ranked.withColumn(
+        "boundary_ts",
+        F.max(F.when(F.col("rn") == F.col("boundary_rn"), F.col("ts"))).over(wu),
+    )
+    split = F.when(F.col("rn") <= F.col("boundary_rn"), F.lit("train")).otherwise(
+        F.when(
+            F.col("ts") <= F.col("boundary_ts") + F.expr("INTERVAL 1 HOUR"),
+            F.lit("embargo"),
+        ).otherwise(F.lit("test"))
+    )
+    return bounded.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward (rolling-origin) backtest folds (round 7): F expanding
+# train windows, each tested on the following fixed horizon — the
+# time-series cross-validation analog of k-fold. Fold f trains on
+# everything up to 2024-01-01 + 5f days and tests on the next 5 days.
+#
+# Scale: the fold spec is a F-row broadcast; each fact row fans out to
+# at most the folds whose test window hasn't closed before it (bounded
+# by F, a small constant), and the fan-out is consumed immediately by a
+# map-side-partial hash aggregate — no F-times shuffle, no window, no
+# sort. This is the standard "materialize the fold dimension" backtest
+# shape; at 100 TB the broadcast join keeps the fact scan single-pass.
+# ---------------------------------------------------------------------------
+WALK_FORWARD_FOLDS = 4
+WALK_FORWARD_STEP_DAYS = 5
+
+WALK_FORWARD_ORACLE = f"""
+WITH folds AS (
+  SELECT CAST(f AS BIGINT) AS fold,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + INTERVAL ({WALK_FORWARD_STEP_DAYS}) DAY * f AS train_end
+  FROM range(1, {WALK_FORWARD_FOLDS + 1}) t(f)
+)
+SELECT fold, train_end,
+       CAST(SUM(CASE WHEN ts <= train_end THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN ts > train_end
+                      AND ts <= train_end + INTERVAL ({WALK_FORWARD_STEP_DAYS}) DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(COUNT(DISTINCT CASE WHEN ts > train_end
+                      AND ts <= train_end + INTERVAL ({WALK_FORWARD_STEP_DAYS}) DAY
+                     THEN user_id END) AS BIGINT) AS n_test_users
+FROM events CROSS JOIN folds
+GROUP BY fold, train_end
+"""
+
+
+@register("walk_forward_splits", WALK_FORWARD_ORACLE)
+def walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    folds = spark.range(1, WALK_FORWARD_FOLDS + 1).select(
+        F.col("id").alias("fold"),
+        F.timestamp_add(
+            "DAY",
+            (F.col("id") * WALK_FORWARD_STEP_DAYS).cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("train_end"),
+    )
+    test_end = F.timestamp_add(
+        "DAY", F.lit(WALK_FORWARD_STEP_DAYS), F.col("train_end")
+    )
+    in_test = (F.col("ts") > F.col("train_end")) & (F.col("ts") <= test_end)
+    return (
+        events.crossJoin(F.broadcast(folds))
+        .groupBy("fold", "train_end")
+        .agg(
+            F.sum(F.when(F.col("ts") <= F.col("train_end"), 1).otherwise(0)).alias(
+                "n_train"
+            ),
+            F.sum(F.when(in_test, 1).otherwise(0)).alias("n_test"),
+            F.countDistinct(F.when(in_test, F.col("user_id"))).alias("n_test_users"),
+        )
+    )

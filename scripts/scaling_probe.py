@@ -436,12 +436,48 @@ def main_frontier_w5() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# Round-7 wave-6 frontier: kcore_decomposition's peel rounds must track
+# surviving edges (key-offset copies give 100 disjoint subgraphs, each
+# identical to the 1x graph, so per-round keep-sets scale linearly);
+# temporal_split_embargo is one user-partitioned window pass whose only
+# growth is the fact scan + sort within each user's partition.
+# ---------------------------------------------------------------------------
+FRONTIER_W6 = ("kcore_decomposition", "temporal_split_embargo")
+
+
+def main_frontier_w6() -> None:
+    import tempfile
+
+    global _SCALED_TABLES, _PASSTHROUGH
+    _SCALED_TABLES = _FRONTIER_TABLES
+    _PASSTHROUGH = ("region", "nation", "documents", "embeddings", "supplier",
+                    "customer", "part")
+
+    spark = get_spark("ddw-scaling-probe-frontier-w6")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_W6)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_frontier_w6_") as tmp:
+        build_scaled_dir(spark, tmp, SCALE)
+        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_W6)
+    summary = {
+        "mode": "frontier_w6",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_w5":
         main_frontier_w5()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_w6":
+        main_frontier_w6()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
         main_frontier()

@@ -618,3 +618,53 @@ def test_fifo_allocation_planted_lots(spark, tmp_path):
     }
     assert got == {(1, 3): 7, (1, 4): 3, (2, 4): 3, (2, 5): 2}
     assert not compare(out, e.oracle_sql()["fifo_allocation"], str(d))
+
+
+def test_temporal_split_embargo_boundaries_on_planted_data(spark, tmp_path):
+    """Planted edge cases for the embargoed temporal split:
+    (a) n divisible by 5 — the boundary rank must be the INTEGER
+    ceil(0.8n)=4n/5 (float 0.8*n overshoots: 0.8*5 = 4.000000000000001
+    would ceil to 5, swallowing the whole test set into train);
+    (b) an event EXACTLY at boundary_ts + 1 hour lands in embargo
+    (inclusive <=), one microsecond later lands in test;
+    (c) duplicate timestamps at the boundary rank break ties by
+    event_id, so the boundary_ts pick is deterministic."""
+    import datetime as dt
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: n=5 -> boundary rank 4; events 1h apart, 5th exactly at
+    # boundary_ts + 1h -> embargo (nothing in test for this user)
+    for i in range(4):
+        rows.append((i, t0 + dt.timedelta(hours=i), 1, "view", 1.0, "{}"))
+    rows.append((4, t0 + dt.timedelta(hours=4), 1, "view", 1.0, "{}"))
+    # user 2: n=5; duplicate ts at ranks 3,4 (event_id tiebreak), 5th a
+    # microsecond past the embargo horizon -> test
+    for eid, minutes in [(10, 0), (11, 60), (12, 120), (13, 120)]:
+        rows.append((eid, t0 + dt.timedelta(minutes=minutes), 2, "view", 1.0, "{}"))
+    rows.append(
+        (14, t0 + dt.timedelta(minutes=180, microseconds=1), 2, "view", 1.0, "{}")
+    )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "sf_embargo"
+    d.mkdir()
+    pdf = events.toPandas().astype({"ts": "datetime64[us]"})
+    pdf.to_parquet(str(d / "events.parquet"), index=False)
+    qs, oracles = e.queries(), e.oracle_sql()
+    name = "temporal_split_embargo"
+    problems = compare(qs[name](spark, str(d)), oracles[name], str(d))
+    assert not problems, f"{name}: {problems}"
+    got = {
+        r.split: (r.n_events, r.n_users)
+        for r in qs[name](spark, str(d)).collect()
+    }
+    # user 1: 4 train + 1 embargo (exactly at horizon); user 2: 4 train
+    # (dup-ts rank 4 is boundary) + 1 test (1 us past horizon)
+    assert got == {"train": (8, 2), "embargo": (1, 1), "test": (1, 1)}

@@ -288,3 +288,37 @@ def test_bellman_ford_delta_relaxation_planted(spark):
     assert got == {1: 0, 3: 1, 2: 2, 5: 3, 7: 92}
     got4 = {r.node: r.cost for r in bellman_ford_min_cost(edges, seeds, max_hops=4).collect()}
     assert got4 == {1: 0, 3: 1, 2: 2, 5: 3, 7: 4}
+
+
+def test_kcore_peel_planted_cascade_and_convergence(spark):
+    """Planted graph pinning the peel semantics: a triangle (the true
+    2-core) with a 2-node tail hanging off it. Round 1 removes the tail
+    tip (degree 1); that removal DROPS the next tail node to degree 1,
+    so round 2 removes it — the cascade the bounded peel must follow.
+    Rounds 2 and 3 agree (converged), and the converged result is the
+    textbook k-core: the triangle, every node at degree exactly 2.
+    Also pins: reverse/duplicate orientations collapse via symmetrize,
+    and an isolated edge (both endpoints degree 1) vanishes in round 1."""
+    from designing_data_warehouse_in_sql_server_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2),
+            (2, 3),
+            (3, 1),
+            (2, 1),  # duplicate reverse orientation — one undirected edge
+            (3, 4),  # tail: 3-4-5
+            (4, 5),
+            (8, 9),  # isolated edge, gone in round 1
+        ],
+        "src long, dst long",
+    )
+
+    def result(rounds):
+        return {
+            r.node_id: r.degree for r in kcore_peel(edges, k=2, rounds=rounds).collect()
+        }
+
+    assert result(1) == {1: 2, 2: 2, 3: 3, 4: 1}  # tip 5 + isolated pair gone
+    assert result(2) == {1: 2, 2: 2, 3: 2}  # cascade removed 4; true 2-core
+    assert result(3) == result(2)  # converged — fixpoint reached

@@ -1007,3 +1007,33 @@ def test_fifo_allocation_bucketed_equi_join(spark):
     plan = _plan(QS["fifo_allocation"](spark, SF_DIR))
     assert "Generate" in plan, plan[:2000]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_temporal_split_embargo_single_user_exchange(spark):
+    """The rank window, per-user count, and boundary-timestamp pick all
+    partition by user_id — the plan must shuffle on user_id ONCE and
+    chain the Window operators over it; and nothing may collapse to a
+    single partition (the split must scale with users)."""
+    plan = _plan(QS["temporal_split_embargo"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    user_exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(user_exchanges) == 1, plan[:3000]
+
+
+def test_walk_forward_splits_broadcast_no_sort(spark):
+    """The fold spec is a constant-size dimension: it must broadcast
+    (never shuffle the fact side for it), and the whole query is scan →
+    fan-out → hash aggregate — no sort anywhere."""
+    plan = _plan(QS["walk_forward_splits"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "Sort" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_kcore_decomposition_no_single_partition(spark):
+    """Each peel round is degree-aggregate + two node-partitioned joins;
+    no stage may collapse to a single partition, and the keep-set is
+    joined relationally (the plan contains real joins, not a collected
+    IN-list literal)."""
+    plan = _plan(QS["kcore_decomposition"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
