@@ -38,12 +38,20 @@ from pyspark.sql import functions as F
 # metadata-scale count (e.g. the parquet row count of the dimension
 # that bounds the aggregate's key space). With no hint — or a hint
 # above the threshold — the two-phase form runs, so an unhinted call
-# is always scale-safe. 4M rows x ~50 B is ~200 MB through one task:
+# is always scale-safe for the UNGROUPED operators (their offset
+# relation is O(#partitions); grouped_prefix_sum's is O(#partitions +
+# #groups) — see its docstring). 4M rows x ~50 B is ~200 MB through one task:
 # comfortably within one executor's sort budget, far below the point
 # where the single task becomes the job.
 WINDOW_FORM_MAX_ROWS = int(
     os.environ.get("SPARK_GRAFT_WINDOW_FORM_MAX_ROWS", 4_000_000)
 )
+
+# grouped_prefix_sum's two-phase path folds an O(#partitions + #groups)
+# offset relation on the driver; past this many rows the group
+# cardinality no longer matches the few-huge-groups shape the path is
+# for, and the call fails fast instead of risking a driver OOM.
+_MAX_OFFSET_ROWS = 1_000_000
 
 
 def _window_form_ok(n_hint: int | None) -> bool:
@@ -219,8 +227,16 @@ def grouped_prefix_sum(
     ``rows_per_group_hint``: optional UPPER BOUND on the largest group's
     row count; at most ``WINDOW_FORM_MAX_ROWS`` selects the bit-identical
     single-sort-per-group window form (running frame and full frame share
-    one sort, as the in-window form always did). No hint → two-phase,
-    so an unhinted call is always scale-safe."""
+    one sort, as the in-window form always did). No hint → two-phase.
+
+    Driver cost of the two-phase path: the offset relation is
+    O(#partitions + #groups) rows (range contiguity bounds each group
+    to whole partitions plus two edges), collected and broadcast — safe
+    for the few-huge-groups shape it exists for, NOT for high-
+    cardinality groups, where the window form is already scale-safe
+    (parallelism = #groups, each sort small) and should be selected via
+    the hint. An unhinted call over many groups fails fast with a clear
+    error at ``_MAX_OFFSET_ROWS`` instead of collecting unbounded rows."""
     gcols = list(group_cols)
     order_cols = list(order_by)
     if _window_form_ok(rows_per_group_hint):
@@ -255,7 +271,15 @@ def grouped_prefix_sum(
         eager=False
     )
     totals_sdf = ranged.groupBy("__pid", *gcols).agg(F.sum(value_col).alias("__t"))
-    rows = totals_sdf.collect()
+    rows = totals_sdf.limit(_MAX_OFFSET_ROWS + 1).collect()
+    if len(rows) > _MAX_OFFSET_ROWS:
+        raise ValueError(
+            "grouped_prefix_sum: offset relation exceeds "
+            f"{_MAX_OFFSET_ROWS} rows — group cardinality is too high for "
+            "the two-phase form's driver-side offset fold; pass "
+            "rows_per_group_hint <= WINDOW_FORM_MAX_ROWS to select the "
+            "per-group window form, which is scale-safe for many small groups"
+        )
 
     def gkey(r):
         # None-safe per-column sort key (nulls first, like the range sort)

@@ -225,9 +225,15 @@ def neardup_pairs(
     `max_band_bits` = dim/bands (16 at 64 dims); past ~16 * 2^16
     vectors per disjoint sign-space, raise the dimensionality budget
     or switch to random-hyperplane sketches. Bands that would slice
-    past the actual vector end get NULL keys and are dropped (a
-    runtime guard — the cap need not know the true dimension), so a
-    mis-sized cap degrades recall, never candidate volume.
+    past the actual vector end — even partially — get NULL keys and
+    are dropped (a runtime guard — the cap need not know the true
+    dimension), so a mis-sized cap degrades recall, never candidate
+    volume. (A partially-in-range band would key on its 1-2 surviving
+    sign bits = 2-4 buckets — exactly the near-quadratic blowup the
+    guard exists to prevent; full-band-or-nothing keeps every live
+    band at 2^band_bits buckets.) If NO band fits the dimension, the
+    prefilter yields no candidates — size bands*band_bits to the
+    embedding dimension, as the registered queries do from config.
     Recall shrinks as band_bits grows (p^r per band) — the standard
     LSH accuracy/volume dial, surfaced as explicit parameters.
 
@@ -237,12 +243,13 @@ def neardup_pairs(
     verified once."""
     if n_hint is not None:
         band_bits = max(band_bits, min(max_band_bits, _adaptive_band_bits(n_hint)))
-    # guard low-dimension embeddings (ADVICE r6): a band whose slice
-    # starts past the vector end would key EVERY vector to the empty
-    # string — n^2 candidates in that band. NULL the key instead (the
-    # equality self-join drops NULLs, so the band contributes nothing);
-    # a partially-in-range band keys on its in-range prefix, which is
-    # consistent across same-dimension vectors.
+    # guard low-dimension embeddings (ADVICE r6, tightened r7): a band
+    # whose slice extends past the vector end — fully OR partially —
+    # gets a NULL key (the equality self-join drops NULLs, so the band
+    # contributes nothing). A fully-out-of-range band would key EVERY
+    # vector to the empty string (n^2 candidates); a partially-in-range
+    # band would key on its 1-2 surviving sign bits = 2-4 buckets —
+    # the same blowup, so the guard requires the WHOLE band in range.
     sigs = (
         embeddings.select(
             F.col(id_col),
@@ -252,7 +259,7 @@ def neardup_pairs(
                         F.struct(
                             F.lit(i).alias("band"),
                             F.when(
-                                F.size(F.col(vec_col)) > i * band_bits,
+                                F.size(F.col(vec_col)) >= (i + 1) * band_bits,
                                 sign_bucket_at(F.col(vec_col), i * band_bits, band_bits),
                             ).alias("key"),
                         )

@@ -224,18 +224,22 @@ def _zscore_cap_plan(
     lineitem = load_table(spark, sf_dir, "lineitem")
     if rows_per_group_hint is not None and not _window_form_ok(rows_per_group_hint):
         # few-huge-groups form (proactive sweep of the VERDICT r6
-        # single-task ceiling): an UNORDERED Window.partitionBy still
-        # buffers each group through one task, so above the threshold
-        # the 3-row stats relation comes from a map-side-combinable
-        # hash aggregate and broadcasts back — the fact never sits in
-        # a per-group window buffer
-        grp = lineitem.groupBy("l_returnflag").agg(
-            F.avg("l_extendedprice").alias("grp_mean"),
-            F.stddev("l_extendedprice").alias("grp_std"),
+        # single-task ceiling): the shared stats-join dispatch —
+        # map-side-combinable hash aggregate broadcast back, the fact
+        # never sits in a per-group window buffer (one implementation,
+        # operators/cleaning._join_form_stats, r7 review dedup)
+        from ..operators.cleaning import _join_form_stats
+
+        stats = _join_form_stats(
+            lineitem.select(
+                "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+            ),
+            ["l_returnflag"],
+            {
+                "grp_mean": F.avg("l_extendedprice"),
+                "grp_std": F.stddev("l_extendedprice"),
+            },
         )
-        stats = lineitem.select(
-            "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
-        ).join(F.broadcast(grp), "l_returnflag")
     else:
         w = W.partitionBy("l_returnflag")
         stats = lineitem.select(

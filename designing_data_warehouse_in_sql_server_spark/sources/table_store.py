@@ -129,7 +129,34 @@ class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # parquet-footer row counts keyed by (inode, size, mtime_ns):
+        # hard-link versioning means a shared inode is byte-identical
+        # content, so appends / pruned merges re-read footers only for
+        # their NEW files — a commit's metadata cost is O(changed
+        # files), not O(table). size+mtime guard against an inode
+        # recycled by vacuum for a different file.
+        self._footer_rows: dict[tuple[int, int, int], int] = {}
         os.makedirs(root, exist_ok=True)
+
+    def _version_stats(self, name: str, version: int) -> tuple[int, int]:
+        """(num_files, num_rows) of a version from parquet footers —
+        driver-side metadata only, inode-cached (see __init__)."""
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        vdir = os.path.join(self._dir(name), f"v{version}")
+        files = _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+        total = 0
+        for p in files:
+            st = os.stat(p)
+            key = (st.st_ino, st.st_size, st.st_mtime_ns)
+            rows = self._footer_rows.get(key)
+            if rows is None:
+                rows = _pq.ParquetFile(p).metadata.num_rows
+                self._footer_rows[key] = rows
+            total += rows
+        return len(files), total
 
     # -- paths / versions ---------------------------------------------------
     def _dir(self, name: str) -> str:
@@ -162,24 +189,22 @@ class TableStore:
     def _log_history(self, name: str, version: int, op: str) -> None:
         """One JSONL event per committed version: operation, wall time,
         file count and row count of the committed version (both from a
-        driver-side directory walk / parquet-footer read — no job).
-        Written AFTER the pointer swap: a crash can lose a history row
-        for a committed version, never record one for a phantom version
-        (same ordering contract as the CDC feed)."""
-        import glob as _glob
+        driver-side directory walk / inode-cached parquet-footer read —
+        no job, and O(changed files) per commit since hard-link-shared
+        files hit the cache). Written AFTER the pointer swap: a crash
+        can lose a history row for a committed version, never record
+        one for a phantom version (same ordering contract as the CDC
+        feed)."""
         import json as _json
         import time as _time
 
-        import pyarrow.parquet as _pq
-
-        vdir = os.path.join(self._dir(name), f"v{version}")
-        files = _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+        num_files, num_rows = self._version_stats(name, version)
         event = {
             "version": version,
             "op": op,
             "ts": round(_time.time(), 3),
-            "num_files": len(files),
-            "num_rows": sum(_pq.ParquetFile(p).metadata.num_rows for p in files),
+            "num_files": num_files,
+            "num_rows": num_rows,
         }
         with open(self._history_path(name), "a") as fh:
             fh.write(_json.dumps(event) + "\n")
@@ -218,18 +243,10 @@ class TableStore:
         source for size-adaptive dispatch hints over store tables
         (plans/pipeline.py passes it to the cleaning operators, whose
         staging input grows with every retained increment)."""
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
         v = self.current_version(name)
         if v is None:
             raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
-        vdir = os.path.join(self._dir(name), f"v{v}")
-        return sum(
-            _pq.ParquetFile(p).metadata.num_rows
-            for p in _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
-        )
+        return self._version_stats(name, v)[1]
 
     def _unshared_files(
         self, name: str, v_old: int, v_new: int
@@ -263,6 +280,7 @@ class TableStore:
         v_old: int,
         v_new: int | None = None,
         on: list[str] | None = None,
+        prune: bool = True,
     ) -> DataFrame:
         """Snapshot diff between two versions WITHOUT a CDC feed: one
         row per key that was added, removed, or changed between
@@ -271,35 +289,71 @@ class TableStore:
         query Delta users write as two time-travel reads + EXCEPT,
         shipped as a store primitive.
 
-        Scale: both sides scan ONLY the files not shared (by inode)
-        between the versions — the hard-link fast paths make an
-        append's or pruned merge's diff O(changed files), not O(table)
-        (see _unshared_files). Rows that merely moved between rewritten
-        files survive the pruning on both sides and are filtered by the
-        null-safe column comparison, so pruning never changes results.
-        The join shuffles on the key columns; unchanged-row filtering
-        rides the join's projection."""
+        Scale: with ``prune=True`` both sides scan ONLY the files not
+        shared (by inode) between the versions — the hard-link fast
+        paths make an append's or pruned merge's diff O(changed files),
+        not O(table) (see _unshared_files). Rows that merely moved
+        between rewritten files survive the pruning on both sides and
+        are filtered by the null-safe column comparison.
+
+        Pruning precondition: ``on`` must be key-unique within each
+        version (the invariant ``merge`` maintains). A version that
+        VIOLATES it — e.g. a raw ``append`` that re-adds an existing
+        key — can place two rows for one key in different files, only
+        one of which is shared; pruning then drops the shared row and
+        the key reports 'added' instead of 'changed'. For tables
+        without the key guarantee pass ``prune=False`` (full two-sided
+        scan, always exact).
+
+        Schema evolution: columns present in only one version diff as
+        typed NULLs on the missing side (an added column's backfill
+        shows as old_<col>=NULL); the key columns must exist in both
+        versions. The join shuffles on the key columns; unchanged-row
+        filtering rides the join's projection."""
         if v_new is None:
             v_new = self.current_version(name)
             if v_new is None:
                 raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
         if not on:
             raise ValueError("diff() needs the key columns: on=[...]")
-        schema_df = self.time_travel(name, v_new).limit(0)
-        cols = schema_df.columns
+        old_schema = dict(self.time_travel(name, v_old).limit(0).dtypes)
+        new_schema = dict(self.time_travel(name, v_new).limit(0).dtypes)
+        missing_keys = [k for k in on if k not in old_schema or k not in new_schema]
+        if missing_keys:
+            raise ValueError(
+                f"diff() key columns {missing_keys} must exist in both "
+                f"versions v{v_old} and v{v_new} of {name!r}"
+            )
+        # deterministic union order: new version's columns first, then
+        # columns that only the old version still has
+        cols = list(new_schema) + [c for c in old_schema if c not in new_schema]
         val_cols = [c for c in cols if c not in on]
-        old_files, new_files = self._unshared_files(name, v_old, v_new)
+        if prune:
+            old_files, new_files = self._unshared_files(name, v_old, v_new)
+        else:
+            old_files = new_files = None  # sentinel: full time-travel reads
 
-        def side(files: list[str], v: int) -> DataFrame:
-            if not files:
-                return schema_df
-            vdir = os.path.join(self._dir(name), f"v{v}")
-            return self.spark.read.option("basePath", vdir).parquet(*files)
+        def side(files: list[str] | None, v: int, schema: dict[str, str]) -> DataFrame:
+            if files is None:
+                df = self.time_travel(name, v)
+            elif not files:
+                df = self.time_travel(name, v).limit(0)
+            else:
+                vdir = os.path.join(self._dir(name), f"v{v}")
+                df = self.spark.read.option("basePath", vdir).parquet(*files)
+            # pad columns the other version has: typed NULLs, so the
+            # null-safe compare and old_/new_ projection stay uniform
+            pads = [
+                F.lit(None).cast((new_schema | old_schema)[c]).alias(c)
+                for c in cols
+                if c not in schema
+            ]
+            return df.select("*", *pads)
 
         # side-presence markers (never-NULL literals): detecting a full-
         # outer miss via key nullability would misclassify NULL key values
-        o = side(old_files, v_old).withColumn("__o", F.lit(True)).alias("o")
-        n = side(new_files, v_new).withColumn("__n", F.lit(True)).alias("n")
+        o = side(old_files, v_old, old_schema).withColumn("__o", F.lit(True)).alias("o")
+        n = side(new_files, v_new, new_schema).withColumn("__n", F.lit(True)).alias("n")
         cond = F.lit(True)
         for k in on:
             cond = cond & F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))

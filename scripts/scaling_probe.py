@@ -373,25 +373,26 @@ def build_sf1(out_root: str) -> None:
 FRONTIER_R7 = ("bfs_khop", "set_similarity_prefix_join", "covariance_matrix")
 
 
-def main_frontier_r7() -> None:
+def run_frontier(mode: str, names: tuple[str, ...]) -> None:
+    """Shared frontier runner: 1x vs SCALE-x on the lineitem/orders/
+    events key-offset tables; dimensions (incl. supplier — seed sets
+    like bfs/bellman's s_suppkey <= K live in the first key-offset copy
+    by design) pass through unscaled."""
     import tempfile
 
     global _SCALED_TABLES, _PASSTHROUGH
     _SCALED_TABLES = _FRONTIER_TABLES
-    # supplier passes through unscaled: bfs_khop reads it only for the
-    # seed set (s_suppkey <= 10), which by design lives in the first
-    # copy of the key-offset graph
     _PASSTHROUGH = ("region", "nation", "documents", "embeddings", "supplier",
                     "customer", "part")
 
-    spark = get_spark("ddw-scaling-probe-frontier-r7")
+    spark = get_spark(f"ddw-scaling-probe-{mode}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_R7)
-    with tempfile.TemporaryDirectory(prefix="ddw_probe_frontier_r7_") as tmp:
+    base = run_heavies_named(spark, SF_DIR, 1, names)
+    with tempfile.TemporaryDirectory(prefix=f"ddw_probe_{mode}_") as tmp:
         build_scaled_dir(spark, tmp, SCALE)
-        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_R7)
+        scaled = run_heavies_named(spark, tmp, SCALE, names)
     summary = {
-        "mode": "frontier_r7",
+        "mode": mode,
         "scale": SCALE,
         "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
     }
@@ -413,29 +414,6 @@ def main_frontier_r7() -> None:
 FRONTIER_W5 = ("fifo_allocation", "bellman_ford_mincost")
 
 
-def main_frontier_w5() -> None:
-    import tempfile
-
-    global _SCALED_TABLES, _PASSTHROUGH
-    _SCALED_TABLES = _FRONTIER_TABLES
-    _PASSTHROUGH = ("region", "nation", "documents", "embeddings", "supplier",
-                    "customer", "part")
-
-    spark = get_spark("ddw-scaling-probe-frontier-w5")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_W5)
-    with tempfile.TemporaryDirectory(prefix="ddw_probe_frontier_w5_") as tmp:
-        build_scaled_dir(spark, tmp, SCALE)
-        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_W5)
-    summary = {
-        "mode": "frontier_w5",
-        "scale": SCALE,
-        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
-    }
-    print(json.dumps(summary), flush=True)
-    spark.stop()
-
-
 # ---------------------------------------------------------------------------
 # Round-7 wave-6 frontier: kcore_decomposition's peel rounds must track
 # surviving edges (key-offset copies give 100 disjoint subgraphs, each
@@ -445,45 +423,23 @@ def main_frontier_w5() -> None:
 # ---------------------------------------------------------------------------
 FRONTIER_W6 = ("kcore_decomposition", "temporal_split_embargo")
 
-
-def main_frontier_w6() -> None:
-    import tempfile
-
-    global _SCALED_TABLES, _PASSTHROUGH
-    _SCALED_TABLES = _FRONTIER_TABLES
-    _PASSTHROUGH = ("region", "nation", "documents", "embeddings", "supplier",
-                    "customer", "part")
-
-    spark = get_spark("ddw-scaling-probe-frontier-w6")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_W6)
-    with tempfile.TemporaryDirectory(prefix="ddw_probe_frontier_w6_") as tmp:
-        build_scaled_dir(spark, tmp, SCALE)
-        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_W6)
-    summary = {
-        "mode": "frontier_w6",
-        "scale": SCALE,
-        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
-    }
-    print(json.dumps(summary), flush=True)
-    spark.stop()
+_FRONTIER_MODES = {
+    "frontier_r7": FRONTIER_R7,
+    "frontier_w5": FRONTIER_W5,
+    "frontier_w6": FRONTIER_W6,
+}
 
 
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()
         return
-    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_w5":
-        main_frontier_w5()
-        return
-    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_w6":
-        main_frontier_w6()
+    mode = os.environ.get("SPARK_GRAFT_PROBE_MODE", "")
+    if mode in _FRONTIER_MODES:
+        run_frontier(mode, _FRONTIER_MODES[mode])
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
         main_frontier()
-        return
-    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r7":
-        main_frontier_r7()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "build_sf1":
         build_sf1(os.environ.get("SPARK_GRAFT_SF1_ROOT", "/tmp/ddw_testdata"))

@@ -539,6 +539,19 @@ def test_neardup_low_dim_bands_null_not_collide(spark):
         assert (a < 10) == (b < 10), (a, b)
     assert len(pairs) == 12  # C(4,2) * 2 groups, via band 0 only
 
+    # PARTIALLY-in-range band (r7 tightening): 12-dim vectors — band 1
+    # covers dims 8..15, only 8..11 exist. Two vectors opposite in band
+    # 0 but identical in dims 8..11: a prefix-keyed band 1 would make
+    # them a candidate pair; the full-band-or-nothing guard must not.
+    # threshold=-1 accepts every VERIFIED candidate, so the candidate
+    # set itself is observable in the output.
+    df12 = spark.createDataFrame(
+        [(0, [1.0] * 8 + [1.0] * 4), (1, [-1.0] * 8 + [1.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    got12 = neardup_pairs(df12, threshold=-1.0, bands=4, band_bits=8).collect()
+    assert got12 == [], got12  # band 0 keys differ; band 1 is partial -> NULL
+
 
 def test_seasonal_cma_gap_guard_on_planted_data(spark, tmp_path):
     """A missing calendar month must KILL the centered trend for every

@@ -649,3 +649,50 @@ def test_history_describe_analog(spark, store):
     removed = store.vacuum("h", keep_last=1)
     assert removed
     assert [e["version"] for e in store.history("h")] == [5, 4, 3, 2, 1]
+
+
+def test_diff_unpruned_duplicate_key_and_schema_evolution(spark, tmp_path):
+    """Two diff() contract fixes (r7 review):
+    (1) pruning requires key-unique versions — a raw append that
+    RE-ADDS an existing key puts two rows for one key in v2, only one
+    in an unshared file; the pruned diff misses the shared old row by
+    design (documented precondition), while prune=False reports the
+    full key-level picture exactly;
+    (2) a schema-evolved version pair (column added in v_new) must
+    diff with typed NULLs on the missing side, not crash analysis."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    v1 = store.overwrite(
+        "t", spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    )
+    # duplicate-key append: v2 now holds BOTH (1,10) and (1,99)
+    v2 = store.append("t", spark.createDataFrame([(1, 99)], "k long, v long"))
+    full = sorted(
+        store.diff("t", v1, v2, on=["k"], prune=False).collect(),
+        key=lambda r: (r.k, r.new_v),
+    )
+    # key 1 joins old(10) x new{10, 99}: the (10,10) row cancels, the
+    # (10,99) row reports changed with the true old value preserved
+    assert [(r.k, r.change, r.old_v, r.new_v) for r in full] == [(1, "changed", 10, 99)]
+
+    # schema evolution: v3 adds column w; diff v1 -> v3 pads old side
+    v3 = store.overwrite(
+        "t",
+        spark.createDataFrame([(1, 99, 7), (2, 20, 8), (3, 30, 9)], "k long, v long, w long"),
+    )
+    d = {r.k: r for r in store.diff("t", v1, v3, on=["k"], prune=False).collect()}
+    assert d[1].change == "changed" and d[1].old_v == 10 and d[1].new_w == 7
+    assert d[1].old_w is None
+    # key 2: v unchanged but w appeared (NULL -> 8) — must report changed
+    assert d[2].change == "changed" and d[2].old_w is None and d[2].new_w == 8
+    assert d[3].change == "added" and d[3].old_v is None and d[3].new_v == 30
+
+    # pruned diff on the same evolved pair also works (overwrite shares
+    # no files, so pruning reads everything here)
+    dp = {r.k: r for r in store.diff("t", v1, v3, on=["k"]).collect()}
+    assert set(dp) == {1, 2, 3}
+
+    # missing key column on one side -> clear error, not AnalysisException
+    with pytest.raises(ValueError, match="key columns"):
+        store.diff("t", v1, v3, on=["w"])
