@@ -100,13 +100,18 @@ _CHECK_FIRST = (
     "temporal_split_embargo",
     "walk_forward_splits",
     "kcore_decomposition",
-    # r3-stale rotation, alphabetical — first 4 fit the 50-query window
+    "group_kfold",
+    "ndcg_at_k",
+    "bpe_train_merges",
+    # r3-stale rotation, alphabetical — 1 fits the 50-query window (new
+    # registrations outrank stale refreshes: every NEW implementation
+    # needs its first driver row; the remaining stale queue is below)
     "bm25_search",
+    # --- 50-query window boundary is here. Below: the round-8 queue
+    # (the remaining r3/r4-stale queries, alphabetical) ---
     "boilerplate_removal",
     "corr_regression_stats",
     "cumulative_distinct_users",
-    # --- 50-query window boundary is here. Below: the round-8 queue
-    # (the remaining r3/r4-stale queries, alphabetical) ---
     "data_quality_profile",
     "dedup_containment",
     "domain_cap_sample",

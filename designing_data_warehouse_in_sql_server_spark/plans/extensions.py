@@ -454,6 +454,153 @@ def jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_topk(emb, query_id=0, k=20, in_dim=JL_IN_DIM, out_dim=JL_OUT_DIM)
 
 
+# ---------------------------------------------------------------------------
+# NDCG@10 of the cosine ranking (round 7, wave 7): retrieval / ANN
+# ranking QUALITY against label relevance — for each of the first 8
+# query vectors, rank all other vectors by exact quantized cosine and
+# score the top 10 with rel=1 iff the candidate shares the query's
+# label. The ML-evaluation companion to auc_roc, for RANKED retrieval.
+#
+# Float determinism: the 10 log2 rank discounts and their prefix sums
+# (the ideal-DCG table) are PRECOMPUTED PYTHON LITERALS embedded
+# verbatim in both the Spark expression and the oracle SQL — neither
+# engine calls log at runtime, and DCG is a fixed-order 10-term sum of
+# identical double literals, so scores are bit-identical. Which ranks
+# are relevant rides an exact integer BITMASK (sum of rel<<rank — an
+# order-insensitive integer aggregation), so no float is ever
+# aggregated across rows.
+#
+# Scale: queries are an 8-row broadcast; candidate scoring is one
+# fan-out scan; the per-query top-10 is a rank window filtered to
+# rank<=10 — Spark executes it as map-side WindowGroupLimit (each task
+# keeps 10 rows per query before the shuffle); label totals are a
+# label-cardinality broadcast. Output: 8 rows.
+# ---------------------------------------------------------------------------
+NDCG_QUERIES = 8
+NDCG_K = 10
+# 1/log2(i+1) for rank i = 1..10, and their running (ideal-DCG) sums —
+# computed once in Python, full-precision repr round-trips exactly
+_NDCG_DISCOUNTS = (
+    1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163,
+    0.3562071871080222, 0.3333333333333333, 0.31546487678572877,
+    0.3010299956639812, 0.2890648263178879,
+)
+_NDCG_IDCG = (
+    1.0, 1.6309297535714575, 2.1309297535714578, 2.5616063116448506,
+    2.9484591188793923, 3.3046663059874146, 3.637999639320748,
+    3.953464516106477, 4.254494511770458, 4.543559338088346,
+)
+
+
+def _dcg_sum(shift_fmt: str) -> str:
+    """Fixed-order 10-term DCG sum from the rank bitmask; shift_fmt is
+    the engine's right-shift syntax with an {i} placeholder."""
+    return " + ".join(
+        f"(CAST({shift_fmt.format(i=i + 1)} % 2 AS DOUBLE) * {d!r})"
+        for i, d in enumerate(_NDCG_DISCOUNTS)
+    )
+
+
+_SPARK_DCG = _dcg_sum("shiftright(mask, {i})")
+_DUCK_DCG = _dcg_sum("(mask >> {i})")
+_IDCG_LIST = ", ".join(repr(x) for x in _NDCG_IDCG)
+
+NDCG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+  FROM embeddings WHERE vec_id < {NDCG_QUERIES}
+),
+lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id,
+         CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+         {_sql_cosine('e.embedding', 'q.qvec')} AS cosine
+  FROM embeddings e JOIN q ON e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, qlabel, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+),
+masked AS (
+  SELECT qid, qlabel,
+         CAST(SUM(rel * (CAST(1 AS BIGINT) << rk)) AS BIGINT) AS mask
+  FROM ranked WHERE rk <= {NDCG_K} GROUP BY qid, qlabel
+)
+SELECT m.qid AS query_id,
+       CAST(lc.n - 1 AS BIGINT) AS n_rel,
+       ROUND({_DUCK_DCG}, 6) AS dcg10,
+       CASE WHEN lc.n - 1 >= 1
+            THEN ROUND(({_DUCK_DCG})
+                       / ([{_IDCG_LIST}][CAST(LEAST({NDCG_K}, lc.n - 1) AS INT)]), 6)
+            ELSE 0.0 END AS ndcg10
+FROM masked m JOIN lc ON lc.label = m.qlabel
+"""
+
+
+@register("ndcg_at_k", NDCG_ORACLE)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot_q, quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        quantized(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    lc = emb.groupBy("label").agg(F.count("*").alias("n"))
+    cand = emb.select("vec_id", quantized(F.col("embedding")).alias("cv"), "label")
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            F.round(
+                dot_q(F.col("cv"), F.col("qv")).cast("double")
+                / F.sqrt(
+                    dot_q(F.col("cv"), F.col("cv")).cast("double")
+                    * dot_q(F.col("qv"), F.col("qv")).cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    )
+    masked = (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= NDCG_K)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum(F.col("rel") * F.expr("shiftleft(CAST(1 AS BIGINT), rk)")).alias(
+                "mask"
+            )
+        )
+    )
+    return masked.join(F.broadcast(lc), masked["qlabel"] == lc["label"]).select(
+        F.col("qid").alias("query_id"),
+        (F.col("n") - 1).alias("n_rel"),
+        F.round(F.expr(_SPARK_DCG), 6).alias("dcg10"),
+        F.when(
+            F.col("n") - 1 >= 1,
+            F.round(
+                F.expr(_SPARK_DCG)
+                / F.element_at(
+                    F.expr(f"array({_IDCG_LIST})"),
+                    F.least(F.lit(NDCG_K), F.col("n") - 1).cast("int"),
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg10"),
+    )
+
+
 # banded sign-LSH (round-6 fix): 4 bands x 8 sign bits at oracle scale;
 # the operator widens band_bits with the footer row count (see
 # operators/similarity.neardup_pairs — at sf0.01's 500 vectors the

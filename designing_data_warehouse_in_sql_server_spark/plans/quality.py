@@ -3228,3 +3228,118 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer, first K merge rules (round 7, wave 7): the full
+# byte-pair-encoding training loop that bpe_pair_merge's one-shot
+# statistic previews — count adjacent symbol pairs over the vocabulary
+# (weighted by word frequency), merge the argmax pair everywhere,
+# repeat. Output: the learned merge table (iteration, pair, cnt).
+#
+# The standard trainer trick makes iterations cheap at corpus scale:
+# all work runs on the DISTINCT-WORD vocabulary with multiplicities
+# (groupBy word once), never on the corpus — at 100 TB the vocab is
+# millions of rows vs trillions of tokens. Driver traffic per
+# iteration is exactly ONE row (the argmax pair) — that collect IS the
+# algorithm (each merge rule must be chosen before the next count).
+#
+# Merge application: words are space-separated symbol strings with
+# sentinel spaces (' h e l l o '); merging pair (a,b) is
+# replace(' a b ' -> ' ab ') applied TWICE — leftmost non-overlapping
+# replacement consumes the trailing boundary space, hiding an
+# immediately adjacent occurrence, and the second pass picks those up
+# (two passes suffice: pass 1 takes every other occurrence of a chain,
+# pass 2 the rest — pinned against a sequential-fold reference in
+# tests/test_operators.py). Both engines run the IDENTICAL two-pass
+# replace, so parity is by construction.
+# ---------------------------------------------------------------------------
+BPE_TRAIN_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    pre = r"""
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+  ) WHERE length(w) >= 1 GROUP BY w
+),
+v0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(w) + 1),
+                          i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS s,
+         cnt
+  FROM vocab
+)"""
+    body = ""
+    for r in range(1, BPE_TRAIN_MERGES + 1):
+        body += f""",
+p{r} AS (
+  SELECT sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT) + 1] AS pair,
+         CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s), ' ') AS sy, cnt FROM v{r - 1}),
+       LATERAL (SELECT unnest(range(1, len(sy))) AS i) u
+  GROUP BY 1
+),
+t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+v{r} AS (
+  SELECT replace(replace(s,
+           (SELECT ' ' || pair || ' ' FROM t{r}),
+           (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})),
+           (SELECT ' ' || pair || ' ' FROM t{r}),
+           (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})) AS s,
+         cnt
+  FROM v{r - 1}
+)"""
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS iteration, pair, cnt FROM t{r}"
+        for r in range(1, BPE_TRAIN_MERGES + 1)
+    )
+    return pre + body + "\n" + sel
+
+
+BPE_TRAIN_ORACLE = _bpe_oracle()
+
+
+@register("bpe_train_merges", BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sym = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+    )
+    cur = vocab.select(sym.alias("s"), "cnt")
+    rules = []
+    for it in range(1, BPE_TRAIN_MERGES + 1):
+        sy = F.split(F.trim(F.col("s")), " ")
+        pair = F.concat(
+            F.element_at(sy, F.col("i")), F.lit(" "), F.element_at(sy, F.col("i") + 1)
+        )
+        top = (
+            # single-symbol words contribute no pairs; the filter also
+            # guards Spark's DESCENDING sequence(1, 0) == [1, 0]
+            cur.filter(F.size(sy) >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size(sy) - 1)).alias("i"), "s", "cnt"
+            )
+            .select(pair.alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        rules.append((it, top["pair"], top["cnt"]))
+        pat = F.lit(f" {top['pair']} ")
+        rep = F.lit(" " + top["pair"].replace(" ", "") + " ")
+        cur = cur.select(
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"), "cnt"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        rules, "iteration long, pair string, cnt long"
+    )

@@ -688,3 +688,61 @@ def walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.when(in_test, F.col("user_id"))).alias("n_test_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Group k-fold (round 7, wave 7): every GROUP (user) lands wholly in
+# one fold — sklearn GroupKFold semantics, the cross-validation guard
+# against within-user leakage (row-level folds like stratified_kfold
+# put one user's events in train AND validation). Assignment is
+# greedy-balanced: groups ranked by size descending, dealt round-robin
+# — fold row-counts balance to the largest-group granularity, better
+# than hash assignment on skewed group sizes.
+#
+# Scale: the fold decision runs on the GROUPS relation (one row per
+# user — vocabulary-scale), ranked by the size-adaptive sequential-id
+# operator (single small-relation window below the row threshold,
+# two-phase range-partitioned form above it: no single-partition sort
+# of a large group list); the fact then joins the user->fold map on
+# user_id. The footer row count of events is the free upper bound fed
+# to the dispatch.
+# ---------------------------------------------------------------------------
+GROUP_KFOLD_K = 5
+
+GROUP_KFOLD_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+  FROM g
+), folds AS (
+  SELECT user_id, cnt, CAST((rk - 1) % {GROUP_KFOLD_K} AS BIGINT) AS fold
+  FROM ranked
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows
+FROM folds GROUP BY fold
+"""
+
+
+@register("group_kfold", GROUP_KFOLD_ORACLE)
+def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import assign_sequential_ids
+    from ..sources.parquet import table_row_count
+
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # events' footer row count is a free upper bound on |groups|
+    ranked = assign_sequential_ids(
+        g,
+        "rk",
+        [F.col("cnt").desc(), F.col("user_id")],
+        n_hint=table_row_count(sf_dir, "events"),
+    )
+    folds = ranked.select(
+        "user_id", "cnt", ((F.col("rk") - 1) % GROUP_KFOLD_K).alias("fold")
+    )
+    return folds.groupBy("fold").agg(
+        F.count("*").alias("n_groups"), F.sum("cnt").alias("n_rows")
+    )

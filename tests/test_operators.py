@@ -322,3 +322,68 @@ def test_kcore_peel_planted_cascade_and_convergence(spark):
     assert result(1) == {1: 2, 2: 2, 3: 3, 4: 1}  # tip 5 + isolated pair gone
     assert result(2) == {1: 2, 2: 2, 3: 2}  # cascade removed 4; true 2-core
     assert result(3) == result(2)  # converged — fixpoint reached
+
+
+def test_bpe_train_merges_matches_sequential_fold_reference(spark, tmp_path):
+    """The two-pass string-replace merge (plans/quality.bpe_train_merges)
+    must equal the textbook sequential greedy fold on the chains where
+    leftmost non-overlapping replacement diverges after ONE pass:
+    'abab' (alternating chain — pass 1 hides the second occurrence by
+    consuming the boundary space), 'aaaa' / 'aaa' (self-overlapping
+    pair), and merged-symbol adjacency across iterations. The reference
+    below is an independent list-fold implementation of BPE training."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        BPE_TRAIN_MERGES,
+    )
+
+    def ref_train(words, k):
+        vocab = {}
+        for w in words:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+        rules = []
+        for it in range(1, k + 1):
+            counts = {}
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + c
+            pair = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
+            rules.append((it, f"{pair[0]} {pair[1]}", counts[pair]))
+            merged = pair[0] + pair[1]
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out = []
+                for s in syms:  # greedy leftmost fold
+                    if out and out[-1] == pair[0] and s == pair[1]:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+        return rules
+
+    words = (
+        ["abab"] * 10 + ["aaaa"] * 7 + ["aaa"] * 5 + ["ab"] * 3 + ["ba"] * 2
+        + ["abba"] * 4 + ["x"] * 6
+    )
+    d = tmp_path / "sf_bpe"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(words)),
+            "text": words,
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(w) for w in words],
+        }
+    ).to_parquet(str(d / "documents.parquet"), index=False)
+    got = [
+        (r.iteration, r.pair, r.cnt)
+        for r in sorted(
+            e.queries()["bpe_train_merges"](spark, str(d)).collect(),
+            key=lambda r: r.iteration,
+        )
+    ]
+    assert got == ref_train(words, BPE_TRAIN_MERGES), got

@@ -1037,3 +1037,58 @@ def test_kcore_decomposition_no_single_partition(spark):
     IN-list literal)."""
     plan = _plan(QS["kcore_decomposition"](spark, SF_DIR))
     assert "SinglePartition" not in plan
+
+
+def test_ndcg_windowgrouplimit_and_broadcasts(spark):
+    """The per-query top-10 must run as map-side WindowGroupLimit (each
+    task keeps 10 rows per query before the shuffle — never a full
+    per-query sort of all candidates downstream), and both the query
+    vectors and the label totals must broadcast."""
+    plan = _plan(QS["ndcg_at_k"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    assert plan.count("BroadcastExchange") >= 2, plan[:3000]
+    assert "SinglePartition" not in plan
+
+
+def test_group_kfold_no_single_partition_above_threshold(spark):
+    """group_kfold ranks the groups relation through the size-adaptive
+    sequential-id operator. Below the row threshold (all test scales)
+    the single small-relation window is the chosen form; above it the
+    two-phase form must keep the plan free of SinglePartition — pin the
+    dispatch by calling the operator directly with a large hint."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.operators.ids import (
+        WINDOW_FORM_MAX_ROWS,
+        assign_sequential_ids,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    g = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    big = assign_sequential_ids(
+        g,
+        "rk",
+        [F.col("cnt").desc(), F.col("user_id")],
+        n_hint=WINDOW_FORM_MAX_ROWS + 1,
+    )
+    assert "SinglePartition" not in _plan(big)
+
+
+def test_bpe_train_merges_scan_count(spark):
+    """The trainer's per-iteration pair count runs on the VOCABULARY
+    relation, not the corpus: the returned merge table is driver-built
+    (3 rows), and each iteration's aggregate job reads the documents
+    scan once into a vocab groupBy — pin that the query executes and
+    returns exactly BPE_TRAIN_MERGES rules with positive counts."""
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        BPE_TRAIN_MERGES,
+    )
+
+    rows = QS["bpe_train_merges"](spark, SF_DIR).collect()
+    assert len(rows) == BPE_TRAIN_MERGES
+    assert all(r.cnt > 0 for r in rows)
+    assert len({r.pair for r in rows}) == BPE_TRAIN_MERGES  # distinct rules
