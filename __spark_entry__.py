@@ -44,10 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions clamped_running_sum / bfs_khop / per_group_trend /
 # covariance_matrix / snapshot_diff / welch_ttest /
 # set_similarity_prefix_join / fifo_allocation; zscore_cap joins (b)
-# after its few-group stats-frame dispatch). The remaining 12 slots
-# take the oldest r3-stale queries (VERDICT r6 item 3), alphabetical;
-# the 24 r3-stale queries past the boundary are queued first for
-# round 8.
+# after its few-group stats-frame dispatch; waves 5-7 added
+# bellman_ford_mincost / acf_daily_revenue / rolling_median_7d /
+# bpe_pair_merge / jl_projection_topk / temporal_split_embargo /
+# walk_forward_splits / kcore_decomposition / group_kfold / ndcg_at_k /
+# bpe_train_merges). That leaves ONE slot for the r3-stale rotation
+# (bm25_search — new registrations outrank stale refreshes, since every
+# new implementation needs its first driver row); the ~28 remaining
+# r3/r4-stale queries past the boundary are queued first for round 8.
 # Every query is also oracle-diffed locally in tests/test_oracle_parity.py
 # on every run.
 _CHECK_FIRST = (

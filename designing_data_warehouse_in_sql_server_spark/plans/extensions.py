@@ -540,7 +540,7 @@ FROM masked m JOIN lc ON lc.label = m.qlabel
 
 @register("ndcg_at_k", NDCG_ORACLE)
 def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot_q, quantized
+    from ..operators.similarity import cosine_q, quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
@@ -558,14 +558,7 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "vec_id",
             F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
-            F.round(
-                dot_q(F.col("cv"), F.col("qv")).cast("double")
-                / F.sqrt(
-                    dot_q(F.col("cv"), F.col("cv")).cast("double")
-                    * dot_q(F.col("qv"), F.col("qv")).cast("double")
-                ),
-                6,
-            ).alias("cosine"),
+            F.round(cosine_q(F.col("cv"), F.col("qv")), 6).alias("cosine"),
         )
     )
     rk = F.row_number().over(

@@ -3244,15 +3244,23 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration is exactly ONE row (the argmax pair) — that collect IS the
 # algorithm (each merge rule must be chosen before the next count).
 #
-# Merge application: words are space-separated symbol strings with
-# sentinel spaces (' h e l l o '); merging pair (a,b) is
-# replace(' a b ' -> ' ab ') applied TWICE — leftmost non-overlapping
-# replacement consumes the trailing boundary space, hiding an
-# immediately adjacent occurrence, and the second pass picks those up
-# (two passes suffice: pass 1 takes every other occurrence of a chain,
-# pass 2 the rest — pinned against a sequential-fold reference in
-# tests/test_operators.py). Both engines run the IDENTICAL two-pass
-# replace, so parity is by construction.
+# Merge application (r7 review fix): words are DOUBLE-space-separated
+# symbol strings with single sentinel spaces (' h  e  l  l  o '), and
+# merging pair (a,b) is ONE replace(' a  b ' -> ' ab '). The pattern
+# takes only the INNER space of each doubled boundary, so a match
+# leaves one space on each side for the neighboring match — leftmost
+# non-overlapping replacement then selects EXACTLY the pairs the
+# sequential greedy BPE fold selects, including runs of identical
+# symbols ('aaaaa' -> [aa, aa, a]; the earlier single-space two-pass
+# form skipped the shared boundary and produced [aa, a, aa] — a
+# non-BPE rule table on any word with a 5+ run). The replacement
+# restores doubled boundaries (' ab ' between the surviving outer
+# spaces), and false matches are impossible: a symbol piece bounded by
+# a single space on one side and a double space on the other is
+# necessarily a whole symbol. Pinned against an independent
+# sequential-fold reference incl. 5+ runs in tests/test_operators.py.
+# Both engines run the identical replace, so parity is by
+# construction AND the semantics are real BPE.
 # ---------------------------------------------------------------------------
 BPE_TRAIN_MERGES = 3
 
@@ -3267,7 +3275,7 @@ WITH vocab AS (
 v0 AS (
   SELECT ' ' || array_to_string(
            list_transform(range(1, length(w) + 1),
-                          i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS s,
+                          i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s,
          cnt
   FROM vocab
 )"""
@@ -3277,16 +3285,14 @@ v0 AS (
 p{r} AS (
   SELECT sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT) + 1] AS pair,
          CAST(SUM(cnt) AS BIGINT) AS cnt
-  FROM (SELECT string_split(trim(s), ' ') AS sy, cnt FROM v{r - 1}),
+  FROM (SELECT string_split(trim(s), '  ') AS sy, cnt FROM v{r - 1}),
        LATERAL (SELECT unnest(range(1, len(sy))) AS i) u
   GROUP BY 1
 ),
 t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 v{r} AS (
-  SELECT replace(replace(s,
-           (SELECT ' ' || pair || ' ' FROM t{r}),
-           (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})),
-           (SELECT ' ' || pair || ' ' FROM t{r}),
+  SELECT replace(s,
+           (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM t{r}),
            (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})) AS s,
          cnt
   FROM v{r - 1}
@@ -3311,12 +3317,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     sym = F.concat(
-        F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+        F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit(" ")
     )
     cur = vocab.select(sym.alias("s"), "cnt")
     rules = []
     for it in range(1, BPE_TRAIN_MERGES + 1):
-        sy = F.split(F.trim(F.col("s")), " ")
+        sy = F.split(F.trim(F.col("s")), "  ")
         pair = F.concat(
             F.element_at(sy, F.col("i")), F.lit(" "), F.element_at(sy, F.col("i") + 1)
         )
@@ -3332,13 +3338,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt"))
             .orderBy(F.desc("cnt"), "pair")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # vocabulary has no adjacent pairs left (every word is one
+            # symbol) — stop, mirroring the oracle's empty t{r} rows
+            break
+        top = top[0]
         rules.append((it, top["pair"], top["cnt"]))
-        pat = F.lit(f" {top['pair']} ")
+        # inner space of each doubled boundary on both sides (see the
+        # header: this makes ONE non-overlapping replace = greedy fold)
+        pat = F.lit(" " + top["pair"].replace(" ", "  ") + " ")
         rep = F.lit(" " + top["pair"].replace(" ", "") + " ")
         cur = cur.select(
-            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"), "cnt"
+            F.replace(F.col("s"), pat, rep).alias("s"), "cnt"
         ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         rules, "iteration long, pair string, cnt long"

@@ -701,6 +701,12 @@ class TableStore:
                 stats = self._stats_path(name, v)
                 if os.path.exists(stats):
                     os.remove(stats)
+        if removed:
+            # drop footer-cache entries for inodes vacuum just freed —
+            # keeps the metadata cache O(live files) over long-lived
+            # commit+vacuum loops (entries for surviving hard links are
+            # lazily re-read; correctness never depended on the cache)
+            self._footer_rows.clear()
         return removed
 
     def _stats_path(self, name: str, version: int) -> str:

@@ -325,13 +325,15 @@ def test_kcore_peel_planted_cascade_and_convergence(spark):
 
 
 def test_bpe_train_merges_matches_sequential_fold_reference(spark, tmp_path):
-    """The two-pass string-replace merge (plans/quality.bpe_train_merges)
-    must equal the textbook sequential greedy fold on the chains where
-    leftmost non-overlapping replacement diverges after ONE pass:
-    'abab' (alternating chain — pass 1 hides the second occurrence by
-    consuming the boundary space), 'aaaa' / 'aaa' (self-overlapping
-    pair), and merged-symbol adjacency across iterations. The reference
-    below is an independent list-fold implementation of BPE training."""
+    """The doubled-separator single-replace merge (plans/quality.
+    bpe_train_merges) must equal the textbook sequential greedy fold on
+    every chain shape where naive replace encodings diverge: 'abab'
+    (alternating chain), 'aaaa'/'aaa' (self-overlapping pair), and
+    crucially 'aaaaa'/'looool' (runs of >=5 identical symbols — the r7
+    review found the earlier single-space two-pass form produced
+    [aa, a, aa] instead of greedy [aa, aa, a] here, learning a non-BPE
+    rule table). The reference is an independent list-fold
+    implementation of BPE training."""
     import pandas as pd
 
     import __spark_entry__ as e
@@ -349,6 +351,8 @@ def test_bpe_train_merges_matches_sequential_fold_reference(spark, tmp_path):
             for syms, c in vocab.items():
                 for a, b in zip(syms, syms[1:]):
                     counts[(a, b)] = counts.get((a, b), 0) + c
+            if not counts:
+                break
             pair = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
             rules.append((it, f"{pair[0]} {pair[1]}", counts[pair]))
             merged = pair[0] + pair[1]
@@ -364,26 +368,40 @@ def test_bpe_train_merges_matches_sequential_fold_reference(spark, tmp_path):
             vocab = new_vocab
         return rules
 
+    def run_case(name, words):
+        d = tmp_path / name
+        d.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": range(len(words)),
+                "text": words,
+                "lang": "en",
+                "source": "t",
+                "n_chars": [len(w) for w in words],
+            }
+        ).to_parquet(str(d / "documents.parquet"), index=False)
+        return [
+            (r.iteration, r.pair, r.cnt)
+            for r in sorted(
+                e.queries()["bpe_train_merges"](spark, str(d)).collect(),
+                key=lambda r: r.iteration,
+            )
+        ]
+
     words = (
         ["abab"] * 10 + ["aaaa"] * 7 + ["aaa"] * 5 + ["ab"] * 3 + ["ba"] * 2
         + ["abba"] * 4 + ["x"] * 6
     )
-    d = tmp_path / "sf_bpe"
-    d.mkdir()
-    pd.DataFrame(
-        {
-            "doc_id": range(len(words)),
-            "text": words,
-            "lang": "en",
-            "source": "t",
-            "n_chars": [len(w) for w in words],
-        }
-    ).to_parquet(str(d / "documents.parquet"), index=False)
-    got = [
-        (r.iteration, r.pair, r.cnt)
-        for r in sorted(
-            e.queries()["bpe_train_merges"](spark, str(d)).collect(),
-            key=lambda r: r.iteration,
-        )
-    ]
-    assert got == ref_train(words, BPE_TRAIN_MERGES), got
+    assert run_case("sf_bpe", words) == ref_train(words, BPE_TRAIN_MERGES)
+
+    # the 5+-run divergence case the review found (two-pass replace
+    # learned ('a aa', 10) here; greedy BPE learns ('aa a', 10))
+    runs = ["aaaaa"] * 10 + ["looool"] * 6 + ["ab"] * 3
+    assert run_case("sf_bpe_runs", runs) == ref_train(runs, BPE_TRAIN_MERGES)
+
+    # degenerate corpus: pairs run out after one merge — the trainer
+    # must stop with a partial rule table, not crash (review finding 2)
+    tiny = ["ab"] * 3 + ["x"] * 5
+    got = run_case("sf_bpe_tiny", tiny)
+    assert got == ref_train(tiny, BPE_TRAIN_MERGES)
+    assert len(got) == 1  # only one learnable rule exists
