@@ -53,7 +53,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # construction); embedding_neardup_pairs re-measured after the
 # low-dimension band NULL guard. Their committed rows now describe
 # current code.
-FRESH: set[str] = set()
+#
+# Late-round-7: bpe_train_merges rewritten (doubled-separator single
+# replace after the review found the two-pass form diverged from the
+# greedy fold on 5+ runs); its row was re-measured solo best-of-3
+# (1.87 s) the same session, so the committed row already describes
+# current code — keep it FRESH through the NEXT refresh so a stale
+# 1.33 s minimum from the pre-fix bench pass can't win the merge.
+FRESH: set[str] = {"bpe_train_merges"}
 
 BASELINE = "BASELINE.md"
 
