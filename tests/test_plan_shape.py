@@ -1092,3 +1092,49 @@ def test_bpe_train_merges_scan_count(spark):
     assert len(rows) == BPE_TRAIN_MERGES
     assert all(r.cnt > 0 for r in rows)
     assert len({r.pair for r in rows}) == BPE_TRAIN_MERGES  # distinct rules
+
+
+# Ratchet: the exact set of registered queries whose sf0.001 plan
+# contains an Exchange SinglePartition. Every member is one of three
+# BOUNDED classes — (1) a 1-row global aggregate (welch_ttest,
+# covariance_matrix, chi-square, OLS, ...: the single partition carries
+# one row), (2) a global window over a provably small relation (the
+# calendar-bounded daily grain, the vocabulary/top-k relation, the
+# label list, ...), or (3) a size-adaptive operator's small-relation
+# form, which flips to the two-phase range-partitioned plan above
+# WINDOW_FORM_MAX_ROWS (percent_rank_global, systematic_sample,
+# group_kfold, ...). A NEW query appearing here — or a dispatch change
+# moving one in/out — must be justified against those classes and the
+# set updated explicitly; an unbounded single-partition sort of a fact
+# table must never hide inside a green run.
+SINGLE_PARTITION_BOUNDED = {
+    "ab_test_proportions", "abc_classification", "acf_daily_revenue",
+    "anova_oneway", "approx_distinct_rollup", "association_rules",
+    "auc_roc", "benford_first_digit", "bm25_search", "bollinger_breakout",
+    "categorical_label_encode", "confusion_matrix_metrics",
+    "contingency_chi_square", "covariance_matrix",
+    "cumulative_distinct_users", "customer_rfm_segmentation",
+    "cusum_mean_shift", "data_quality_profile", "equi_depth_histogram",
+    "fk_integrity_audit", "funnel_conversion", "group_kfold",
+    "heavy_hitter_users", "kaplan_meier_churn", "kmv_distinct_intersection",
+    "largest_remainder_allocation", "mutual_information",
+    "ols_multi_regression", "pareto_frontier", "peak_concurrency",
+    "percent_rank_global", "psi_drift_bins", "q11_important_stock",
+    "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
+    "q19_brand_discounts", "q22_dormant_customers", "q6_revenue_forecast",
+    "rolling_correlation", "rolling_median_7d", "rsi_indicator",
+    "seasonal_decompose_cma", "share_of_parent", "sliding_distinct_users",
+    "systematic_sample", "tfidf_top_terms", "triangle_count",
+    "unigram_lm_score", "vocab_coverage", "welch_ttest",
+}
+
+
+def test_single_partition_ratchet(spark):
+    got = set()
+    for name in sorted(QS):
+        if "SinglePartition" in _plan(QS[name](spark, SF_DIR)):
+            got.add(name)
+    new = got - SINGLE_PARTITION_BOUNDED
+    gone = SINGLE_PARTITION_BOUNDED - got
+    assert not new, f"NEW single-partition plans (justify + whitelist): {sorted(new)}"
+    assert not gone, f"stale whitelist entries (remove): {sorted(gone)}"
