@@ -609,3 +609,97 @@ def test_two_phase_forms_invariant_to_partition_count(spark, parts):
         "ntile": sorted(tuple(r) for r in ids.exact_ntile_multi(df, 4, [("x", F.col("v"))], ["rid"], n_hint=300).collect()),
     }
     assert got == want
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=25
+    ),
+    k=st.integers(2, 3),
+    rounds=st.integers(1, 3),
+)
+def test_kcore_peel_matches_python_reference(spark, edges, k, rounds):
+    """Bounded k-core peeling on ANY small graph equals the obvious
+    Python implementation of the same rounds: symmetrize+dedup (self
+    loops included as written — both sides treat them identically),
+    then `rounds` iterations of drop-degree<k + induce."""
+    from designing_data_warehouse_in_sql_server_spark.operators.graph import kcore_peel
+
+    def ref(es, k, rounds):
+        und = {(a, b) for a, b in es} | {(b, a) for a, b in es}
+        for _ in range(rounds):
+            deg = {}
+            for a, _b in und:
+                deg[a] = deg.get(a, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            und = {(a, b) for a, b in und if a in keep and b in keep}
+        out = {}
+        for a, _b in und:
+            out[a] = out.get(a, 0) + 1
+        return out
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node_id: r.degree for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    assert got == ref(edges, k, rounds), (edges, k, rounds)
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),  # (user, minutes)
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_temporal_split_embargo_matches_python_reference(spark, rows):
+    """The embargoed split's per-split (n_events, n_users) on ANY event
+    set equals a direct Python implementation: per-user sort by
+    (ts, event_id), integer boundary rank ceil(0.8n) = (4n+4)//5,
+    embargo = (boundary_ts, boundary_ts + 1h]."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as e
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = [
+        (eid, t0 + dt.timedelta(minutes=m), u, "view", 1.0, "{}")
+        for eid, (u, m) in enumerate(rows)
+    ]
+
+    def ref():
+        byu = {}
+        for eid, ts, u, *_ in events:
+            byu.setdefault(u, []).append((ts, eid))
+        out = {}
+        for u, evs in byu.items():
+            evs.sort()
+            brk = (4 * len(evs) + 4) // 5
+            boundary = evs[brk - 1][0]
+            for rn, (ts, _eid) in enumerate(evs, start=1):
+                if rn <= brk:
+                    s = "train"
+                elif ts <= boundary + dt.timedelta(hours=1):
+                    s = "embargo"
+                else:
+                    s = "test"
+                n_ev, users = out.get(s, (0, set()))
+                users.add(u)
+                out[s] = (n_ev + 1, users)
+        return {s: (n, len(us)) for s, (n, us) in out.items()}
+
+    df = spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf = df.toPandas().astype({"ts": "datetime64[us]"})
+        pdf.to_parquet(f"{d}/events.parquet", index=False)
+        got = {
+            r.split: (r.n_events, r.n_users)
+            for r in e.queries()["temporal_split_embargo"](spark, d).collect()
+        }
+    assert got == ref(), rows
