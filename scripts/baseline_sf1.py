@@ -56,15 +56,17 @@ def main() -> None:
     hosts = [p.get("host", {}) for p in passes]
     total = round(sum(merged.values()), 1)
 
+    base_total = round(sum(v for k, v in base.items() if k in merged))
     lines = [
         "# BASELINE_sf1 — full-registry bench at 10x data (sf1)",
         "",
-        "Round-6 execution of VERDICT r5 item 8: the ENTIRE registry measured",
-        "at sf1 (a persistent 10x-sf0.1 dataset built by",
+        "The ENTIRE registry measured at sf1 (VERDICT r5 item 8, first run",
+        "round 6, refreshed each round from current code): a persistent",
+        "10x-sf0.1 dataset built by",
         "`SPARK_GRAFT_PROBE_MODE=build_sf1 python scripts/scaling_probe.py`;",
         "facts/entities get disjoint key offsets + 10-year time shifts,",
         "documents per-copy word salting, embeddings norm-preserving cyclic",
-        "rotations — near-dup/ANN structure grows linearly by construction).",
+        "rotations — near-dup/ANN structure grows linearly by construction.",
         "Minimum per query across the passes below; ratio compares against",
         "the committed sf0.1 minima in BASELINE.md (themselves best-of-N, so",
         "single-pass sf1 numbers carry one-sided noise of ~+30%).",
@@ -77,7 +79,7 @@ def main() -> None:
         ),
         "",
         f"**Total: {total} s for {len(merged)} queries at 10x data** (committed",
-        "sf0.1 baseline total ~82 s) — aggregate scaling ~5-6x on 10x rows.",
+        f"sf0.1 baseline total ~{base_total} s) — aggregate scaling on 10x rows.",
         "",
         "| query | sf1 s | sf0.1 s | ratio | verdict |",
         "|---|---|---|---|---|",
