@@ -140,62 +140,22 @@ def prefix_sum(
 
     ``n_hint``: optional row-count upper bound; at most
     ``WINDOW_FORM_MAX_ROWS`` selects the bit-identical single-window
-    form (see :func:`assign_sequential_ids`)."""
-    order_cols = list(order_by)
-    if _window_form_ok(n_hint):
-        w = Window.orderBy(*order_cols).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        out = df.withColumn(cum_col, F.sum(value_col).over(w).cast("long"))
-        if total_col is not None:
-            # same ordering as the running-sum window, full frame: both
-            # frames share ONE sort partition (a Window.partitionBy()
-            # total would add a second whole-relation pass — ADVICE r5)
-            out = out.withColumn(
-                total_col,
-                F.sum(value_col)
-                .over(
-                    Window.orderBy(*order_cols).rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                )
-                .cast("long"),
-            )
-        return out
-    ranged = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    form (see :func:`assign_sequential_ids`).
+
+    Implementation: the degenerate ``group_cols=[]`` case of
+    :func:`grouped_prefix_sum` — ONE copy of the subtle range-partition
+    / offset-fold / NULL-frame logic (r7 review dedup; the fold's
+    SQL-NULL semantics apply here too: the running sum stays NULL until
+    the first non-null value, matching the window form exactly)."""
+    return grouped_prefix_sum(
+        df,
+        value_col,
+        [],
+        order_by,
+        cum_col,
+        total_col=total_col,
+        rows_per_group_hint=n_hint,
     )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranged = ranged.withColumn("__local_cum", F.sum(value_col).over(w)).localCheckpoint(
-        eager=False
-    )
-    totals = sorted(
-        ranged.groupBy("__pid").agg(F.sum(value_col).alias("__t")).collect(),
-        key=lambda r: r["__pid"],
-    )
-    offsets, acc = {}, 0
-    for r in totals:
-        offsets[r["__pid"]] = acc
-        acc += r["__t"] or 0
-    offsets_df = ranged.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "__pid int, __offset long",
-    )
-    out = (
-        ranged.join(F.broadcast(offsets_df), "__pid", "left")
-        .withColumn(
-            cum_col,
-            (F.col("__local_cum") + F.coalesce("__offset", F.lit(0))).cast("long"),
-        )
-        .drop("__pid", "__local_cum", "__offset")
-    )
-    if total_col is not None:
-        out = out.withColumn(total_col, F.lit(int(acc)).cast("long"))
-    return out
 
 
 def grouped_prefix_sum(
@@ -286,16 +246,22 @@ def grouped_prefix_sum(
         return tuple((r[c] is not None, r[c]) for c in gcols)
 
     rows.sort(key=lambda r: (gkey(r), r["__pid"]))
-    offsets: list[tuple] = []  # (pid, *gvals, exclusive-prefix offset)
-    gtot: dict[tuple, int] = {}
+    # SQL SUM-over-frame semantics ride the fold: the accumulator stays
+    # None until the group's first NON-NULL partial, so a partition
+    # whose local prefix is all-NULL inherits a NULL offset (and an
+    # all-NULL group a NULL grand total) — bit-identical to the window
+    # form, which returns NULL until a non-null value enters the frame
+    offsets: list[tuple] = []  # (pid, *gvals, exclusive-prefix offset | None)
+    gtot: dict[tuple, int | None] = {}
     cur_key: object = object()
-    acc = 0
+    acc: int | None = None
     for r in rows:
         k = gkey(r)
         if k != cur_key:
-            cur_key, acc = k, 0
+            cur_key, acc = k, None
         offsets.append((r["__pid"], *(r[c] for c in gcols), acc))
-        acc += r["__t"] or 0
+        if r["__t"] is not None:
+            acc = (acc or 0) + r["__t"]
         gtot[k] = acc
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
@@ -309,8 +275,11 @@ def grouped_prefix_sum(
         + gfields
         + [StructField("__offset", LongType(), True), StructField("__gtot", LongType(), True)]
     )
+    def _opt(v):
+        return None if v is None else int(v)
+
     data = [
-        (pid, *gvals, int(off), int(gtot[tuple((v is not None, v) for v in gvals)]))
+        (pid, *gvals, _opt(off), _opt(gtot[tuple((v is not None, v) for v in gvals)]))
         for pid, *gvals, off in offsets
     ]
     off_df = ranged.sparkSession.createDataFrame(data, schema)
@@ -321,7 +290,11 @@ def grouped_prefix_sum(
         ranged.join(F.broadcast(off_df), cond, "left")
         .withColumn(
             cum_col,
-            (F.col("__local_cum") + F.coalesce("__offset", F.lit(0))).cast("long"),
+            # NULL local prefix: the running sum so far IS the offset
+            # (NULL when no prior non-null anywhere in the group)
+            F.when(F.col("__local_cum").isNull(), F.col("__offset"))
+            .otherwise(F.col("__local_cum") + F.coalesce("__offset", F.lit(0)))
+            .cast("long"),
         )
     )
     if total_col is not None:

@@ -52,6 +52,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -98,10 +99,22 @@ def _is_dup_key_error(ex: Exception) -> bool:
     return True
 
 
+# Literal shapes Spark's partition-type inference accepts. Python's
+# int()/float() are LAXER (underscores '1_000', 'nan'/'inf', 'infinity')
+# and typing a value Python-numerically that Spark reads as a string
+# would give the skipping manifest the wrong type — numeric-vs-string
+# comparisons then crash or mis-skip (r7 high review). Anchored regexes
+# mirror Spark: optional sign, plain digits for int; digits with a
+# decimal point and/or exponent for double.
+_HIVE_INT_RE = re.compile(r"^[+-]?\d+$")
+_HIVE_FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+
+
 def _hive_partition_values(rel_path: str) -> dict:
     """Parse ``k=v`` directory segments of a file's version-relative path
     into typed partition values, the way Spark's partition discovery
-    does: URL-unescape, then int -> float -> string; the hive NULL
+    does: URL-unescape, then int -> float -> string with Spark's OWN
+    literal shapes (not Python's laxer parsers); the hive NULL
     sentinel maps to None (callers treat None as "no usable stat")."""
     from urllib.parse import unquote
 
@@ -113,13 +126,10 @@ def _hive_partition_values(rel_path: str) -> dict:
         raw = unquote(raw)
         if raw == "__HIVE_DEFAULT_PARTITION__":
             out[k] = None
-            continue
-        for cast in (int, float):
-            try:
-                out[k] = cast(raw)
-                break
-            except ValueError:
-                continue
+        elif _HIVE_INT_RE.match(raw):
+            out[k] = int(raw)
+        elif _HIVE_FLOAT_RE.match(raw):
+            out[k] = float(raw)
         else:
             out[k] = raw
     return out
@@ -132,9 +142,12 @@ class TableStore:
         # parquet-footer row counts keyed by (inode, size, mtime_ns):
         # hard-link versioning means a shared inode is byte-identical
         # content, so appends / pruned merges re-read footers only for
-        # their NEW files — a commit's metadata cost is O(changed
-        # files), not O(table). size+mtime guard against an inode
-        # recycled by vacuum for a different file.
+        # their NEW files — a commit's FOOTER cost is O(changed files).
+        # (The per-commit glob+stat walk that feeds the cache remains
+        # O(table files), but a stat is ~1 us vs ~1 ms per footer open;
+        # at the file counts where even stats matter, history logging
+        # would move to incremental bookkeeping.) size+mtime guard
+        # against an inode recycled by vacuum for a different file.
         self._footer_rows: dict[tuple[int, int, int], int] = {}
         os.makedirs(root, exist_ok=True)
 
@@ -435,16 +448,25 @@ class TableStore:
             )
         cons = self.check_constraints(name)
         cons[cname] = expr_sql
-        with open(self._constraints_path(name), "w") as fh:
-            _json.dump(cons, fh)
+        self._write_constraints(name, cons)
 
     def drop_check_constraint(self, name: str, cname: str) -> None:
-        import json as _json
-
         cons = self.check_constraints(name)
         cons.pop(cname, None)
-        with open(self._constraints_path(name), "w") as fh:
+        self._write_constraints(name, cons)
+
+    def _write_constraints(self, name: str, cons: dict[str, str]) -> None:
+        """tmp + atomic rename, same discipline as the version pointer:
+        a crash mid-write must never leave a truncated CONSTRAINTS file
+        (check_constraints would raise on every subsequent write,
+        bricking the table until manual repair)."""
+        import json as _json
+
+        path = self._constraints_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
             _json.dump(cons, fh)
+        os.replace(tmp, path)
 
     def _guarded(self, name: str, df: DataFrame) -> DataFrame:
         """Fold the table's CHECK constraints into the first output

@@ -406,14 +406,23 @@ def test_prefix_sum_matches_window_cumsum(spark, vals):
 @PROP
 @given(
     rows=st.lists(
-        st.tuples(st.integers(0, 2), st.integers(-100, 100)), min_size=1, max_size=40
+        st.tuples(
+            st.integers(0, 2),
+            st.one_of(st.none(), st.integers(-100, 100)),  # NULLs included
+        ),
+        min_size=1,
+        max_size=40,
     )
 )
 def test_grouped_prefix_sum_two_phase_matches_window_form(spark, rows):
     """The two-phase grouped prefix-sum (no hint) must be bit-identical
     to the single-sort-per-group window form (hinted small), per-group
     running sums AND per-group grand totals both — the dispatch the
-    weighted-median family rides (VERDICT r6 item 2)."""
+    weighted-median family rides (VERDICT r6 item 2). Values include
+    NULLs (r7 high review): SQL SUM-over-frame stays NULL until the
+    first non-null enters the frame, and an all-NULL group has NULL
+    total — the two-phase driver fold must reproduce exactly that,
+    including a NULL prefix crossing a range-partition boundary."""
     from designing_data_warehouse_in_sql_server_spark.operators.ids import (
         grouped_prefix_sum,
     )
@@ -429,10 +438,11 @@ def test_grouped_prefix_sum_two_phase_matches_window_form(spark, rows):
     got = [
         {r.rid: (r.g, r.cum, r.tot) for r in f.collect()} for f in forms
     ]
-    acc: dict[int, int] = {}
+    acc: dict[int, int | None] = {}
     want = {}
     for i, (g, v) in enumerate(rows):
-        acc[g] = acc.get(g, 0) + v
+        prev = acc.get(g)
+        acc[g] = prev if v is None else (prev or 0) + v
         want[i] = (g, acc[g])
     tot = dict(acc)
     want = {i: (g, c, tot[g]) for i, (g, c) in want.items()}

@@ -696,3 +696,27 @@ def test_diff_unpruned_duplicate_key_and_schema_evolution(spark, tmp_path):
     # missing key column on one side -> clear error, not AnalysisException
     with pytest.raises(ValueError, match="key columns"):
         store.diff("t", v1, v3, on=["w"])
+
+
+def test_hive_partition_value_typing_matches_spark_literals():
+    """Partition-value typing must follow Spark's literal shapes, not
+    Python's laxer parsers (r7 high review): '1_000', 'nan', 'inf',
+    'Infinity' are STRINGS to Spark's partition discovery — typing them
+    numerically would give the skipping manifest the wrong type and
+    numeric-vs-string probes would crash or mis-skip."""
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        _hive_partition_values,
+    )
+
+    vals = _hive_partition_values("code=1_000/x.parquet")
+    assert vals == {"code": "1_000"}
+    for raw in ("nan", "inf", "Infinity", "-inf", "1_0.5"):
+        assert _hive_partition_values(f"k={raw}/f.parquet") == {"k": raw}, raw
+    assert _hive_partition_values("k=-42/f.parquet") == {"k": -42}
+    assert _hive_partition_values("k=+7/f.parquet") == {"k": 7}
+    assert _hive_partition_values("k=3.5/f.parquet") == {"k": 3.5}
+    assert _hive_partition_values("k=.5/f.parquet") == {"k": 0.5}
+    assert _hive_partition_values("k=1e3/f.parquet") == {"k": 1000.0}
+    assert _hive_partition_values("k=__HIVE_DEFAULT_PARTITION__/f.parquet") == {
+        "k": None
+    }
