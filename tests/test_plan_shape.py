@@ -1129,12 +1129,37 @@ SINGLE_PARTITION_BOUNDED = {
 }
 
 
-def test_single_partition_ratchet(spark):
-    got = set()
+# Companion ratchet, same plan pass: BroadcastNestedLoopJoin is the
+# non-equi-join fallback — fine ONLY when one side is a broadcast
+# CONSTANT-SIZED relation (a 1-row global aggregate, the query-vector
+# side of a top-k, a fold/percentile spec). Every member below is that
+# shape; a new entry means a non-equi join crept in whose broadcast
+# side must be proven constant-size (or the join re-keyed) before
+# whitelisting.
+BNLJ_CONSTANT_SIDE = {
+    "approx_distinct_rollup", "association_rules", "bm25_search",
+    "heavy_hitter_users", "jl_projection_topk", "kaplan_meier_churn",
+    "kmeans_embeddings", "kmv_distinct_intersection", "ndcg_at_k",
+    "q11_important_stock", "q22_dormant_customers", "quantile_disc",
+    "similarity_ivf_topk", "similarity_topk_cosine", "tfidf_top_terms",
+    "triangle_count", "unigram_lm_score", "vocab_coverage",
+    "walk_forward_splits",
+}
+
+
+def test_single_partition_and_bnlj_ratchets(spark):
+    got_sp, got_bnlj = set(), set()
     for name in sorted(QS):
-        if "SinglePartition" in _plan(QS[name](spark, SF_DIR)):
-            got.add(name)
-    new = got - SINGLE_PARTITION_BOUNDED
-    gone = SINGLE_PARTITION_BOUNDED - got
-    assert not new, f"NEW single-partition plans (justify + whitelist): {sorted(new)}"
-    assert not gone, f"stale whitelist entries (remove): {sorted(gone)}"
+        plan = _plan(QS[name](spark, SF_DIR))
+        if "SinglePartition" in plan:
+            got_sp.add(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            got_bnlj.add(name)
+    for got, allowed, label in (
+        (got_sp, SINGLE_PARTITION_BOUNDED, "single-partition"),
+        (got_bnlj, BNLJ_CONSTANT_SIDE, "broadcast-nested-loop"),
+    ):
+        new = got - allowed
+        gone = allowed - got
+        assert not new, f"NEW {label} plans (justify + whitelist): {sorted(new)}"
+        assert not gone, f"stale {label} whitelist entries (remove): {sorted(gone)}"
