@@ -601,12 +601,23 @@ def test_two_phase_forms_invariant_to_partition_count(spark, parts):
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     ids.WINDOW_FORM_MAX_ROWS = -1
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    # grouped form exercises the NULL-frame fold across partition
+    # boundaries (r7 fix): every 7th value NULL, 3 groups
+    gdf = spark.createDataFrame(
+        [
+            (i, i % 3, None if i % 7 == 0 else (i * 37) % 101)
+            for i in range(300)
+        ],
+        "rid int, g int, v long",
+    )
+    gorder = [F.col("rid")]
     try:
         got = {
             "seq": sorted(tuple(r) for r in ids.assign_sequential_ids(df, "x", order).collect()),
             "psum": sorted(tuple(r) for r in ids.prefix_sum(df, "v", order, "x", total_col="t").collect()),
             "pmax": sorted(tuple(r) for r in ids.prefix_max_exclusive(df, "v", order, "x").collect()),
             "ntile": sorted(tuple(r) for r in ids.exact_ntile_multi(df, 4, [("x", F.col("v"))], ["rid"]).collect()),
+            "gpsum": sorted(tuple(r) for r in ids.grouped_prefix_sum(gdf, "v", ["g"], gorder, "x", total_col="t").collect()),
         }
     finally:
         ids.WINDOW_FORM_MAX_ROWS = saved_thresh
@@ -617,6 +628,7 @@ def test_two_phase_forms_invariant_to_partition_count(spark, parts):
         "psum": sorted(tuple(r) for r in ids.prefix_sum(df, "v", order, "x", total_col="t", n_hint=300).collect()),
         "pmax": sorted(tuple(r) for r in ids.prefix_max_exclusive(df, "v", order, "x", n_hint=300).collect()),
         "ntile": sorted(tuple(r) for r in ids.exact_ntile_multi(df, 4, [("x", F.col("v"))], ["rid"], n_hint=300).collect()),
+        "gpsum": sorted(tuple(r) for r in ids.grouped_prefix_sum(gdf, "v", ["g"], gorder, "x", total_col="t", rows_per_group_hint=300).collect()),
     }
     assert got == want
 
