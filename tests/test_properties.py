@@ -725,3 +725,123 @@ def test_temporal_split_embargo_matches_python_reference(spark, rows):
             for r in e.queries()["temporal_split_embargo"](spark, d).collect()
         }
     assert got == ref(), rows
+
+
+@PROP
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(st.integers(-3, 3), min_size=4, max_size=4),  # 4-dim vec
+            st.integers(0, 2),  # label
+        ),
+        min_size=9,
+        max_size=20,
+    )
+)
+def test_ndcg_matches_python_reference(spark, data):
+    """NDCG@10 must equal an independent plain-Python implementation on
+    ANY small embedding set — oracle parity alone cannot catch a
+    formula error shared by both engines (the lesson of the r7 BPE
+    bug). Reference: quantize, exact cosine, sort by (round(cos,6)
+    desc, vec_id), textbook DCG/IDCG with min(10, n_rel) ideal."""
+    import math
+    import tempfile
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        NDCG_K,
+        NDCG_QUERIES,
+    )
+
+    # skip degenerate zero vectors (cosine undefined — the testdata
+    # contract guarantees non-zero embeddings)
+    vecs = [([float(x) + 0.5 for x in v], lab) for v, lab in data]
+
+    def ref():
+        q = [(i, v, l) for i, (v, l) in enumerate(vecs) if i < NDCG_QUERIES]
+        disc = [1 / math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+        out = {}
+        for qid, qv, ql in q:
+            qq = [round(x * 10000) for x in qv]
+            scored = []
+            for cid, (cv, cl) in enumerate(vecs):
+                if cid == qid:
+                    continue
+                cq = [round(x * 10000) for x in cv]
+                dot = sum(a * b for a, b in zip(cq, qq))
+                cos = round(
+                    dot
+                    / math.sqrt(
+                        sum(a * a for a in cq) * sum(b * b for b in qq)
+                    ),
+                    6,
+                )
+                scored.append((-cos, cid, 1 if cl == ql else 0))
+            scored.sort()
+            rels = [r for _, _, r in scored[:NDCG_K]]
+            dcg = sum(r * d for r, d in zip(rels, disc))
+            n_rel = sum(1 for cid, (cv, cl) in enumerate(vecs)
+                        if cid != qid and cl == ql)
+            if n_rel >= 1:
+                idcg = sum(disc[: min(NDCG_K, n_rel)])
+                ndcg = round(dcg / idcg, 6)
+            else:
+                ndcg = 0.0
+            out[qid] = (n_rel, round(dcg, 6), ndcg)
+        return out
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v for v, _ in vecs],
+            "label": [l for _, l in vecs],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(f"{d}/embeddings.parquet", index=False)
+        got = {
+            r.query_id: (r.n_rel, r.dcg10, r.ndcg10)
+            for r in e.queries()["ndcg_at_k"](spark, d).collect()
+        }
+    assert got == ref(), (got, ref())
+
+
+@PROP
+@given(
+    rows=st.lists(st.integers(0, 9), min_size=1, max_size=60)  # user per event
+)
+def test_group_kfold_balance_and_integrity(spark, rows):
+    """GroupKFold invariants on ANY event set: every group in exactly
+    one fold, fold GROUP-counts differ by at most 1 (round-robin by
+    size rank), and total rows are preserved."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        GROUP_KFOLD_K,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = [
+        (i, t0 + dt.timedelta(minutes=i), u, "view", 1.0, "{}")
+        for i, u in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf = df.toPandas().astype({"ts": "datetime64[us]"})
+        pdf.to_parquet(f"{d}/events.parquet", index=False)
+        got = e.queries()["group_kfold"](spark, d).collect()
+    n_groups = len(set(rows))
+    assert sum(r.n_groups for r in got) == n_groups
+    assert sum(r.n_rows for r in got) == len(rows)
+    counts = [r.n_groups for r in got]
+    assert max(counts) - min(counts) <= 1
+    # folds present = min(K, n_groups)
+    assert len(got) == min(GROUP_KFOLD_K, n_groups)
