@@ -845,3 +845,91 @@ def test_group_kfold_balance_and_integrity(spark, rows):
     assert max(counts) - min(counts) <= 1
     # folds present = min(K, n_groups)
     assert len(got) == min(GROUP_KFOLD_K, n_groups)
+
+
+# ---------------------------------------------------------------------------
+# Independent-reference checks for shared-formula queries (r7): the
+# oracle diff proves Spark == DuckDB, but both run the SAME algebra —
+# these pin three closed-form derivations against genuinely DIFFERENT
+# formulations (brute-force pair counting, numpy least squares,
+# pairwise-difference Gini) at sf0.001.
+# ---------------------------------------------------------------------------
+
+
+def test_auc_roc_matches_brute_force_pairs(spark):
+    """The rank-statistic AUC (cum-negative prefix form) must equal the
+    probabilistic definition computed by brute force: over all
+    (positive, negative) pairs, P(score_pos > score_neg) + 0.5
+    P(tie)."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["auc_roc"](spark, SF_DIR).collect()[0]
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    scores = emb["embedding"].map(lambda v: float(v[0]))
+    pos = (emb["label"] == 0).to_numpy()
+    ps, ns = scores[pos].to_numpy(), scores[~pos].to_numpy()
+    num = 0.0
+    for p in ps:
+        num += (p > ns).sum() + 0.5 * (p == ns).sum()
+    want = round(num / (len(ps) * len(ns)), 6)
+    assert row.n_pos == len(ps) and row.n_neg == len(ns)
+    assert row.auc == want, (row.auc, want)
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """The exact-Cramer two-predictor OLS must match numpy's QR-based
+    least squares on the identical design matrix (different algorithm,
+    different arithmetic path)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["ols_multi_regression"](spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    per = li.groupby("l_orderkey").agg(
+        x1=("l_linenumber", "size"), x2=("l_quantity", lambda s: int(s.astype(int).sum()))
+    )
+    feat = orders.set_index("o_orderkey").join(per, how="inner")
+    y = (feat["o_totalprice"] * 100).round().astype("int64").to_numpy(dtype=float)
+    X = np.column_stack(
+        [np.ones(len(feat)), feat["x1"].to_numpy(float), feat["x2"].to_numpy(float)]
+    )
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n_orders == len(feat)
+    for got, want in zip(
+        (row.beta0_cents, row.beta_items_cents, row.beta_qty_cents), beta
+    ):
+        assert abs(got - want) < 1e-3, (got, want)
+
+
+def test_revenue_gini_matches_pairwise_definition(spark):
+    """The sorted-rank Gini numerator/denominator must equal the
+    pairwise-difference definition G = sum_ij |xi-xj| / (2 n sum_x)
+    per nation — a different identity computed by brute force."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    rows = e.queries()["revenue_gini"](spark, SF_DIR).collect()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"] * 100).round().astype("int64")
+    by_cust = j.groupby(["c_nationkey", "o_custkey"])["cents"].sum().reset_index()
+    for r in rows:
+        xs = by_cust[by_cust["c_nationkey"] == r.c_nationkey]["cents"].tolist()
+        n, tot = len(xs), sum(xs)
+        pairwise = sum(abs(a - b) for a in xs for b in xs)  # includes both orders
+        want = Fraction(pairwise, 2 * n * tot)
+        got = Fraction(int(r.gini_num), int(r.gini_den))
+        assert got == want, (r.c_nationkey, got, want)
+        assert r.n_customers == n
