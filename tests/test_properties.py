@@ -933,3 +933,86 @@ def test_revenue_gini_matches_pairwise_definition(spark):
         got = Fraction(int(r.gini_num), int(r.gini_den))
         assert got == want, (r.c_nationkey, got, want)
         assert r.n_customers == n
+
+
+def test_corr_regression_matches_numpy(spark):
+    """Spark's built-in corr/covar_samp/regr_slope (Welford-style
+    streaming co-moments) must match numpy's mean-centered two-pass
+    computation per group — a different arithmetic path entirely."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    rows = {r.l_returnflag: r for r in e.queries()["corr_regression_stats"](spark, SF_DIR).collect()}
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, grp in li.groupby("l_returnflag"):
+        q = grp["l_quantity"].to_numpy(float)
+        p = grp["l_extendedprice"].to_numpy(float)
+        r = rows[flag]
+        assert r.n_rows == len(grp)
+        assert abs(r.corr_qty_price - np.corrcoef(q, p)[0, 1]) < 1e-5
+        assert abs(r.covar_qty_price - np.cov(q, p, ddof=1)[0, 1]) < 0.05
+        slope = np.polyfit(q, p, 1)[0]
+        assert abs(r.slope_price_per_qty - slope) < 1e-3
+
+
+def test_welch_ttest_matches_statistics_module(spark):
+    """Welch's t from exact integer sums must match Python's
+    statistics module (exact-Fraction variance internally) — an
+    independent arithmetic path for mean/variance."""
+    import math
+    import statistics
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        ab_variant_col,
+    )
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["welch_ttest"](spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    # reproduce the variant assignment via the shared Spark expression
+    df = spark.createDataFrame(ev[["user_id", "value"]])
+    pdf = df.select(
+        ab_variant_col().alias("v"), F.round(F.col("value") * 100).cast("long").alias("c")
+    ).toPandas()
+    a = pdf[pdf["v"] == "A"]["c"].tolist()
+    b = pdf[pdf["v"] != "A"]["c"].tolist()
+    ma, mb = statistics.fmean(a), statistics.fmean(b)
+    va_n = statistics.variance(a) / len(a)
+    vb_n = statistics.variance(b) / len(b)
+    t = (ma - mb) / math.sqrt(va_n + vb_n)
+    dfw = (va_n + vb_n) ** 2 / (
+        va_n**2 / (len(a) - 1) + vb_n**2 / (len(b) - 1)
+    )
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert abs(row.mean_diff_cents - (ma - mb)) < 1e-2
+    assert abs(row.t_stat - t) < 1e-4
+    assert abs(row.df_welch - dfw) < 0.05
+
+
+def test_acf_matches_numpy_corrcoef(spark):
+    """Per-lag ACF from exact integer co-moments must match numpy's
+    corrcoef of the aligned (y_t, y_{t-k}) series."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    rows = {r.lag: r for r in e.queries()["acf_daily_revenue"](spark, SF_DIR).collect()}
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    daily = (
+        orders.groupby(orders["o_orderdate"].dt.floor("D"))["cents"].sum().sort_index()
+    )
+    y = daily.to_numpy(float)
+    for k, r in rows.items():
+        a, b = y[k:], y[:-k]
+        assert r.n_pairs == len(a)
+        assert abs(r.acf - np.corrcoef(a, b)[0, 1]) < 1e-5, k
