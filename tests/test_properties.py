@@ -1016,3 +1016,50 @@ def test_acf_matches_numpy_corrcoef(spark):
         a, b = y[k:], y[:-k]
         assert r.n_pairs == len(a)
         assert abs(r.acf - np.corrcoef(a, b)[0, 1]) < 1e-5, k
+
+
+def test_anova_matches_scipy_free_reference(spark):
+    """One-way ANOVA F from exact integer sums must match the direct
+    mean-centered computation (numpy, per-group means then SSB/SSW) —
+    a different arithmetic path."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["anova_oneway"](spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    groups = [g["cents"].to_numpy(float) for _, g in orders.groupby("o_orderpriority")]
+    grand = orders["cents"].mean()
+    n_total = len(orders)
+    k = len(groups)
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n_total - k))
+    assert (row.k, row.n_total) == (k, n_total)
+    assert abs(row.f_stat - f) < 1e-4, (row.f_stat, f)
+
+
+def test_skew_kurtosis_matches_numpy_moments(spark):
+    """Skewness / excess kurtosis from exact shifted integer power sums
+    must match numpy's mean-centered moment computation per group."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    rows = {r.l_returnflag: r for r in e.queries()["skew_kurtosis_moments"](spark, SF_DIR).collect()}
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        x = grp["cents"].to_numpy(float)
+        d = x - x.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0
+        r = rows[flag]
+        assert r.n == len(x)
+        assert abs(r.skewness - skew) < 1e-4, (flag, r.skewness, skew)
+        assert abs(r.kurtosis_excess - kurt) < 1e-4, (flag, r.kurtosis_excess, kurt)
