@@ -1063,3 +1063,72 @@ def test_skew_kurtosis_matches_numpy_moments(spark):
         assert r.n == len(x)
         assert abs(r.skewness - skew) < 1e-4, (flag, r.skewness, skew)
         assert abs(r.kurtosis_excess - kurt) < 1e-4, (flag, r.kurtosis_excess, kurt)
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """The skew-adaptive triangle count must equal brute-force triangle
+    enumeration over the identical co-occurrence edge derivation
+    (pandas groupby + set intersection — no orientation, no join
+    strategy), at sf0.01 where triangles exist."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    SF = "/root/testdata/sf0.01"
+    row = e.queries()["triangle_count"](spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["h"] = ev["ts"].dt.floor("min")
+    edges = set()
+    for _, grp in ev.drop_duplicates(["event_type", "h", "user_id"]).groupby(
+        ["event_type", "h"]
+    ):
+        for u, v in combinations(sorted(grp["user_id"].unique()), 2):
+            edges.add((u, v))
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in edges:
+        tri += len(adj[u] & adj[v])
+    tri //= 3  # each triangle counted once per edge
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == tri, (row.n_triangles, tri)
+
+
+@PROP
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    )
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    """Min-label propagation on ANY pair set must equal classic
+    union-find with min-id canonical labels — a completely different
+    algorithm for the same fixpoint."""
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        connected_components,
+    )
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == want, pairs
