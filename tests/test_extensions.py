@@ -452,14 +452,20 @@ def test_sliding_distinct_gap_boundary_on_planted_data(spark, tmp_path):
 
 
 def test_kaplan_meier_censoring_on_planted_data(spark, tmp_path):
-    """Pins KM right-censoring semantics on planted lifetimes: a
-    censored user whose lifetime TIES a churn time stays in that time's
-    at-risk denominator but never counts as a death, and the churn
-    cutoff is >= 14 days exactly (user 2 churns at precisely 14 days of
-    silence). Survival steps must be 0.75 then 0.5."""
+    """Pins KM right-censoring semantics on planted lifetimes at the
+    PRODUCTION 14-day churn horizon (the registered query runs the same
+    kernel at CHURN_GAP_DAYS=1 because the synthetic corpus's largest
+    inactivity gap is 2 days — this test is where the 14-day form
+    lives): a censored user whose lifetime TIES a churn time stays in
+    that time's at-risk denominator but never counts as a death, and
+    the churn cutoff is >= 14 days exactly (user 2 churns at precisely
+    14 days of silence). Survival steps must be 0.75 then 0.5."""
     import datetime as dt
 
-    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.analytics import (
+        _kaplan_meier,
+        _km_oracle,
+    )
     from oracle_diff import compare
 
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
@@ -485,11 +491,9 @@ def test_kaplan_meier_censoring_on_planted_data(spark, tmp_path):
     d.mkdir()
     pdf = events.toPandas().astype({"ts": "datetime64[us]"})
     pdf.to_parquet(str(d / "events.parquet"), index=False)
-    qs, oracles = e.queries(), e.oracle_sql()
-    name = "kaplan_meier_churn"
-    out_df = qs[name](spark, str(d))
-    problems = compare(out_df, oracles[name], str(d))
-    assert not problems, f"{name}: {problems}"
+    out_df = _kaplan_meier(spark.read.parquet(str(d / "events.parquet")), 14)
+    problems = compare(out_df, _km_oracle(14), str(d))
+    assert not problems, f"kaplan_meier gap=14: {problems}"
     got = {r.lifetime_days: r for r in out_df.collect()}
     assert set(got) == {0, 6}  # censored lifetimes emit no KM step
     assert got[0].n_at_risk == 4 and got[0].n_churned == 1
@@ -497,6 +501,23 @@ def test_kaplan_meier_censoring_on_planted_data(spark, tmp_path):
     # the tied censored user (4) is IN the denominator at t=6
     assert got[6].n_at_risk == 3 and got[6].n_churned == 1
     assert got[6].survival == 0.5
+
+
+def test_devacuated_queries_emit_rows(spark):
+    """Regression guard for VERDICT r7 #2: the registered
+    embedding_neardup_pairs and kaplan_meier_churn parameterizations
+    must produce NON-EMPTY results on the test corpus — a 0-row result
+    matches a 0-row oracle trivially, so the driver's green row would
+    certify nothing about the kernels' arithmetic (the r2/r5/r7
+    vacuous-green failure mode). Thresholds live in module constants
+    shared with the oracle SQL; if the testdata generator changes and
+    these go empty again, re-parameterize there."""
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    qs = e.queries()
+    for name in ("embedding_neardup_pairs", "kaplan_meier_churn"):
+        assert qs[name](spark, SF_DIR).count() > 0, f"{name} is vacuous at {SF_DIR}"
 
 
 def test_neardup_adaptive_band_bits_flip_points():
