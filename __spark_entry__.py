@@ -30,89 +30,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 7 front-loads (a) the 26
-# queries whose implementation has never had a driver row (VERDICT r6 item
-# 1: the rewritten embedding_neardup_pairs — re-touched this round with the
-# low-dimension band guard — plus the 25 wave-2/3 queries registered after
-# the r6 window filled); (b) the 2 checked queries whose implementation
-# changed this round (weighted_median / conversion_lag_median now dispatch
-# to the grouped two-phase prefix-sum above WINDOW_FORM_MAX_ROWS —
-# conversion_lag_median is already in (a)); (c) the 2 queries registered
-# this round (pipeline_end_to_end: transform_load.sql:9-73 statement-by-
-# statement through the real TableStore pipeline; read_skipping: manifest
-# file pruning with an in-query kept<total assertion; and the wave-4
-# additions clamped_running_sum / bfs_khop / per_group_trend /
-# covariance_matrix / snapshot_diff / welch_ttest /
-# set_similarity_prefix_join / fifo_allocation; zscore_cap joins (b)
-# after its few-group stats-frame dispatch; waves 5-7 added
-# bellman_ford_mincost / acf_daily_revenue / rolling_median_7d /
-# bpe_pair_merge / jl_projection_topk / temporal_split_embargo /
-# walk_forward_splits / kcore_decomposition / group_kfold / ndcg_at_k /
-# bpe_train_merges). That leaves ONE slot for the r3-stale rotation
-# (bm25_search — new registrations outrank stale refreshes, since every
-# new implementation needs its first driver row); the ~28 remaining
-# r3/r4-stale queries past the boundary are queued first for round 8.
-# Every query is also oracle-diffed locally in tests/test_oracle_parity.py
-# on every run.
+# the official oracle check each round. Round 8 priorities (VERDICT r7
+# items 1-2): (a) the 4 queries whose implementation changed or was
+# registered this round — the de-vacuated embedding_neardup_pairs
+# (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
+# (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
+# filter added at candidate generation), and the new bpe_encode_corpus
+# (apply the trained merges, per-document sequence lengths); then (b) 46
+# slots of STALE ROTATION — all 35 queries whose latest green driver row is
+# r3, then the r4-stale set, core-parity flagship_revenue /
+# json_extract_events and the heavily-reused dedup pair first, the rest
+# alphabetical. The 33 remaining r4-stale queries past the boundary are
+# queued first for round 9. Every query is also oracle-diffed locally in
+# tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
-    # (a) never driver-checked with the current implementation
+    # (a) implementation changed / registered this round
     "embedding_neardup_pairs",
     "kaplan_meier_churn",
-    "bollinger_breakout",
-    "rolling_correlation",
-    "seasonal_decompose_cma",
-    "rsi_indicator",
-    "mutual_information",
-    "format_mask_profile",
-    "hypothetical_rank",
-    "ab_test_proportions",
-    "skew_kurtosis_moments",
-    "kmv_distinct_intersection",
-    "countmin_frequency",
-    "feature_hashing",
-    "sliding_distinct_users",
-    "auc_roc",
-    "calibration_bins",
-    "confusion_matrix_metrics",
-    "psi_drift_bins",
-    "ols_multi_regression",
-    "anova_oneway",
-    "association_rules",
-    "zipf_law_fit",
-    "readability_scores",
-    "largest_remainder_allocation",
-    "conversion_lag_median",
-    # (b) implementation changed this round
-    "weighted_median",
-    "zscore_cap",
-    # (c) registered this round
-    "pipeline_end_to_end",
-    "read_skipping",
-    "clamped_running_sum",
-    "bfs_khop",
-    "per_group_trend",
-    "covariance_matrix",
-    "snapshot_diff",
-    "welch_ttest",
     "set_similarity_prefix_join",
-    "fifo_allocation",
-    "bellman_ford_mincost",
-    "acf_daily_revenue",
-    "rolling_median_7d",
-    "bpe_pair_merge",
-    "jl_projection_topk",
-    "temporal_split_embargo",
-    "walk_forward_splits",
-    "kcore_decomposition",
-    "group_kfold",
-    "ndcg_at_k",
-    "bpe_train_merges",
-    # r3-stale rotation, alphabetical — 1 fits the 50-query window (new
-    # registrations outrank stale refreshes: every NEW implementation
-    # needs its first driver row; the remaining stale queue is below)
-    "bm25_search",
-    # --- 50-query window boundary is here. Below: the round-8 queue
-    # (the remaining r3/r4-stale queries, alphabetical) ---
+    "bpe_encode_corpus",
+    # (b) stale rotation: the 35 r3-latest queries, alphabetical
     "boilerplate_removal",
     "corr_regression_stats",
     "cumulative_distinct_users",
@@ -148,6 +85,54 @@ _CHECK_FIRST = (
     "weighted_sample",
     "winsorize_percentile",
     "zorder_layout_key",
+    # (b) stale rotation: r4-latest — named-first, then alphabetical up
+    # to the window boundary
+    "flagship_revenue",
+    "json_extract_events",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "approx_distinct",
+    "approx_percentiles",
+    "basket_brand_pairs",
+    "corpus_bigram_topk",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dyadic_ewma",
+    # --- 50-query window boundary is here. Below: the round-9 queue
+    # (the remaining r4-stale queries, alphabetical) ---
+    "events_sliding_window",
+    "events_tumbling_window",
+    "fuzzy_name_pairs",
+    "grouping_sets_aggregate",
+    "last_touch_attribution",
+    "late_event_ratio",
+    "mad_outliers",
+    "ntile_quartiles",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_relationship",
+    "q18_large_orders",
+    "q19_brand_discounts",
+    "q1_pricing_summary",
+    "q20_promotion_candidates",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "repeat_purchase_interval",
+    "rollup_aggregate",
+    "sessionize_events",
+    "set_operations",
+    "topk_orders",
+    "topk_per_group",
+    "window_first_last",
+    "window_lag_lead_delta",
+    "window_running_sum",
 )
 
 

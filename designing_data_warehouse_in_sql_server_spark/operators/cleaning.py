@@ -61,12 +61,17 @@ def _join_form_stats(
     weighted-median family, here for the unordered stats frame). The
     aggregate is map-side combinable and the stats relation is
     group-cardinality-sized, so the join never shuffles the fact."""
+    # collision-checked temp prefix (ADVICE r7): a caller df legitimately
+    # containing a '__gk0' column must not have it clobbered or dropped
+    prefix = "__gk"
+    while any(c.startswith(prefix) for c in df.columns):
+        prefix += "_"
     keyed, names = df, []
     for i, k in enumerate(group_keys):
         if isinstance(k, str):
             names.append(k)
         else:
-            nm = f"__gk{i}"
+            nm = f"{prefix}{i}"
             keyed = keyed.withColumn(nm, k)
             names.append(nm)
     stats = keyed.groupBy(*names).agg(
@@ -78,7 +83,7 @@ def _join_form_stats(
     out = keyed.join(F.broadcast(stats), cond, "left")
     for n in names:
         out = out.drop(stats[n])
-    return out.drop(*[n for n in names if n.startswith("__gk")])
+    return out.drop(*[n for n in names if n.startswith(prefix)])
 
 
 def impute_group_mean(

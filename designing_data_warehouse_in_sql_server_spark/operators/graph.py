@@ -93,10 +93,15 @@ def bfs_min_dist(
     is 100 TB but the k-hop neighborhood is not. ``max_hops`` is a small
     fixed constant (a bounded recursion, not a fixpoint loop)."""
     sym = symmetrize(edges).localCheckpoint(eager=True)
-    visited = seeds.select(
-        F.col(seeds.columns[0]).cast("long").alias("node"),
-        F.lit(0).cast("int").alias("dist"),
-    ).localCheckpoint(eager=True)
+    # the operator owns the distinct-seed invariant (ADVICE r7): a
+    # duplicated seed id would ride into visited verbatim and emit
+    # duplicate (node, dist) rows; the dedup runs once, pre-checkpoint
+    visited = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -146,10 +151,15 @@ def bellman_ford_min_cost(
     sym = (
         fwd.union(rev).groupBy("src", "dst").agg(F.min("w").alias("w"))
     ).localCheckpoint(eager=True)
-    best = seeds.select(
-        F.col(seeds.columns[0]).cast("long").alias("node"),
-        F.lit(0).cast("long").alias("cost"),
-    ).localCheckpoint(eager=True)
+    # distinct-seed invariant owned here (ADVICE r7): a duplicated seed
+    # would carry both copies through every anti-join merge (a seed's
+    # cost-0 row never improves, so it is never deduped later)
+    best = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
     frontier = best
     for _ in range(max_hops):
         cand = (

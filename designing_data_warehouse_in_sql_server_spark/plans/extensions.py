@@ -3098,8 +3098,8 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") <= BFS_SEED_MAX)
+        # distinct-seed invariant now lives inside the operator
         .select((F.col("s_suppkey") * 2).alias("node"))
-        .distinct()
     )
     out = bfs_min_dist(edges, seeds, max_hops=BFS_HOPS)
     return out.select(F.col("node").alias("node_id"), "dist")
@@ -3174,8 +3174,8 @@ def bellman_ford_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") <= BF_SEED_MAX)
+        # distinct-seed invariant now lives inside the operator
         .select((F.col("s_suppkey") * 2).alias("node"))
-        .distinct()
     )
     out = bellman_ford_min_cost(edges, seeds, max_hops=BF_HOPS)
     return out.select(F.col("node").alias("node_id"), F.col("cost").alias("min_cost"))
@@ -3278,6 +3278,17 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps surviving join keys low-frequency by construction (hot parts
 # are exactly what the prefix drops). Candidate dedup happens BEFORE
 # the verify joins; every stage is an equi-join or hash aggregate.
+#
+# Round-8 addition (VERDICT r7 #3): the PPJoin LENGTH FILTER from the
+# same public literature (Xiao et al. 2008) — J(a,b) >= tau forces
+# tau * max(|a|,|b|) <= min(|a|,|b|) (the intersection is at most the
+# smaller set), so at tau = 1/2 any candidate with n_b > 2*n_a or
+# n_a > 2*n_b is provably below threshold. Basket sizes ride the
+# prefix relation (one extra int column on the prefix shuffle) and the
+# predicate prunes candidates BEFORE the dedup-distinct and the two
+# verify joins — exactly the stages that dominate this query's cost.
+# No semantics change: every dropped pair already failed the final
+# J >= tau verify; the oracle carries the same predicate.
 # ---------------------------------------------------------------------------
 SSJ_ORACLE = """
 WITH tok AS (
@@ -3292,11 +3303,12 @@ ranked AS (
   FROM tok t JOIN df d USING (tok) JOIN len l USING (oid)
 ),
 prefix AS (
-  SELECT oid, tok FROM ranked WHERE rn <= n - ((5 * n + 9) // 10) + 1
+  SELECT oid, tok, n FROM ranked WHERE rn <= n - ((5 * n + 9) // 10) + 1
 ),
 cand AS (
   SELECT DISTINCT a.oid AS order_a, b.oid AS order_b
   FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.oid < b.oid
+   AND b.n <= 2 * a.n AND a.n <= 2 * b.n
 ),
 inter AS (
   SELECT c.order_a, c.order_b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -3339,12 +3351,19 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(5 * n + 9) div 10") + 1
-    ).select("oid", "tok")
-    a = prefix.select(F.col("oid").alias("order_a"), "tok")
-    b = prefix.select(F.col("oid").alias("order_b"), "tok")
+    ).select("oid", "tok", "n")
+    a = prefix.select(F.col("oid").alias("order_a"), "tok", F.col("n").alias("na"))
+    b = prefix.select(F.col("oid").alias("order_b"), "tok", F.col("n").alias("nb"))
+    # PPJoin length filter: tau=1/2 in exact integers — a candidate can
+    # only reach J >= 1/2 if neither basket is more than twice the
+    # other; pruned BEFORE the distinct and the verify joins
     cand = (
         a.join(b, "tok")
-        .filter(F.col("order_a") < F.col("order_b"))
+        .filter(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.col("nb") <= 2 * F.col("na"))
+            & (F.col("na") <= 2 * F.col("nb"))
+        )
         .select("order_a", "order_b")
         .distinct()
     )

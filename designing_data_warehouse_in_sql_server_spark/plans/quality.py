@@ -3265,22 +3265,28 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 3
 
 
-def _bpe_oracle() -> str:
-    pre = r"""
+def _bpe_chain(n_merges: int, carry_word: bool) -> str:
+    """The shared WITH-chain of the BPE oracles: symbolized vocabulary
+    v0, then per merge round r the pair counts p{r}, the argmax t{r},
+    and the merged vocabulary v{r}. `carry_word` threads the original
+    word through every v{r} (the encoder needs the word -> token-count
+    map; the trainer only needs the rules)."""
+    w_sel = "w, " if carry_word else ""
+    pre = rf"""
 WITH vocab AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
   ) WHERE length(w) >= 1 GROUP BY w
 ),
 v0 AS (
-  SELECT ' ' || array_to_string(
+  SELECT {w_sel}' ' || array_to_string(
            list_transform(range(1, length(w) + 1),
                           i -> substr(w, CAST(i AS INT), 1)), '  ') || ' ' AS s,
          cnt
   FROM vocab
 )"""
     body = ""
-    for r in range(1, BPE_TRAIN_MERGES + 1):
+    for r in range(1, n_merges + 1):
         body += f""",
 p{r} AS (
   SELECT sy[CAST(i AS INT)] || ' ' || sy[CAST(i AS INT) + 1] AS pair,
@@ -3291,25 +3297,30 @@ p{r} AS (
 ),
 t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 v{r} AS (
-  SELECT replace(s,
+  SELECT {w_sel}replace(s,
            (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM t{r}),
            (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})) AS s,
          cnt
   FROM v{r - 1}
 )"""
+    return pre + body
+
+
+def _bpe_oracle() -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS iteration, pair, cnt FROM t{r}"
         for r in range(1, BPE_TRAIN_MERGES + 1)
     )
-    return pre + body + "\n" + sel
+    return _bpe_chain(BPE_TRAIN_MERGES, carry_word=False) + "\n" + sel
 
 
 BPE_TRAIN_ORACLE = _bpe_oracle()
 
 
-@register("bpe_train_merges", BPE_TRAIN_ORACLE)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _bpe_symbolized_vocab(docs: DataFrame, *, carry_word: bool = False) -> DataFrame:
+    """Distinct-word vocabulary with multiplicities, each word rendered
+    as a doubled-separator symbol string (' h  e  l  l  o ') — the
+    representation the merge loop's single-replace operates on."""
     vocab = (
         docs.select(F.explode(words_col(F.col("text"))).alias("w"))
         .filter(F.length("w") >= 1)
@@ -3319,9 +3330,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = F.concat(
         F.lit(" "), F.array_join(F.split(F.col("w"), ""), "  "), F.lit(" ")
     )
-    cur = vocab.select(sym.alias("s"), "cnt")
-    rules = []
-    for it in range(1, BPE_TRAIN_MERGES + 1):
+    cols = (["w"] if carry_word else []) + [sym.alias("s"), F.col("cnt")]
+    return vocab.select(*cols)
+
+
+def _bpe_merge_loop(
+    cur: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Run the BPE training loop over a symbolized vocabulary: per
+    iteration, count adjacent symbol pairs weighted by word frequency,
+    pick the argmax (ONE collected row — the algorithm's inherent
+    driver round-trip), and apply the merge with the doubled-separator
+    single replace (see the trainer header). `cur` needs columns `s`
+    and `cnt`; any extra columns (e.g. the original word, for the
+    encoder) ride through untouched. Returns (merge rules, the
+    vocabulary after all merges)."""
+    rules: list[tuple[int, str, int]] = []
+    for it in range(1, n_merges + 1):
         sy = F.split(F.trim(F.col("s")), "  ")
         pair = F.concat(
             F.element_at(sy, F.col("i")), F.lit(" "), F.element_at(sy, F.col("i") + 1)
@@ -3344,15 +3369,76 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # vocabulary has no adjacent pairs left (every word is one
             # symbol) — stop, mirroring the oracle's empty t{r} rows
             break
-        top = top[0]
-        rules.append((it, top["pair"], top["cnt"]))
+        rules.append((it, top[0]["pair"], top[0]["cnt"]))
         # inner space of each doubled boundary on both sides (see the
         # header: this makes ONE non-overlapping replace = greedy fold)
-        pat = F.lit(" " + top["pair"].replace(" ", "  ") + " ")
-        rep = F.lit(" " + top["pair"].replace(" ", "") + " ")
-        cur = cur.select(
-            F.replace(F.col("s"), pat, rep).alias("s"), "cnt"
-        ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        rules, "iteration long, pair string, cnt long"
+        pat = F.lit(" " + top[0]["pair"].replace(" ", "  ") + " ")
+        rep = F.lit(" " + top[0]["pair"].replace(" ", "") + " ")
+        cur = cur.withColumn("s", F.replace(F.col("s"), pat, rep)).localCheckpoint(
+            eager=False
+        )
+    return rules, cur
+
+
+@register("bpe_train_merges", BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rules, _ = _bpe_merge_loop(_bpe_symbolized_vocab(docs), BPE_TRAIN_MERGES)
+    return spark.createDataFrame(rules, "iteration long, pair string, cnt long")
+
+
+# ---------------------------------------------------------------------------
+# BPE encoder (round 8, VERDICT r7 #6): APPLY the first-K trained merge
+# rules to the corpus and emit per-document sequence lengths — the
+# quantity a training-data pipeline actually consumes (token budgets,
+# sequence packing, length filtering). Training without application
+# left the tokenizer surface half-built.
+#
+# Scale: encoding runs on the DISTINCT-WORD vocabulary exactly like
+# training (the same doubled-separator single replace per rule — the
+# greedy-fold equivalence proven for the trainer carries over verbatim,
+# since encoding IS the trainer's merge application), producing a
+# word -> token-count map of vocabulary size, never corpus size. The
+# corpus pass is then ONE (doc_id, word) explode, a hash equi-join
+# against that map, and a per-document hash aggregate — O(total words)
+# with no windows and no per-row Python. Driver traffic stays the
+# trainer's K argmax rows.
+# ---------------------------------------------------------------------------
+def _bpe_encode_oracle() -> str:
+    return _bpe_chain(BPE_TRAIN_MERGES, carry_word=True) + rf""",
+enc AS (
+  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tok
+  FROM v{BPE_TRAIN_MERGES}
+),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens
+FROM docw d JOIN enc e USING (w)
+GROUP BY d.doc_id"""
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle()
+
+
+@register("bpe_encode_corpus", BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, merged = _bpe_merge_loop(
+        _bpe_symbolized_vocab(docs, carry_word=True), BPE_TRAIN_MERGES
+    )
+    enc = merged.select(
+        "w", F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_tok")
+    )
+    docw = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 1)
+    return (
+        docw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("n_tok").alias("n_tokens"))
     )

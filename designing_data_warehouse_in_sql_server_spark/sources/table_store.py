@@ -110,12 +110,11 @@ _HIVE_INT_RE = re.compile(r"^[+-]?\d+$")
 _HIVE_FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
 
 
-def _hive_partition_values(rel_path: str) -> dict:
+def _hive_partition_raw(rel_path: str) -> dict:
     """Parse ``k=v`` directory segments of a file's version-relative path
-    into typed partition values, the way Spark's partition discovery
-    does: URL-unescape, then int -> float -> string with Spark's OWN
-    literal shapes (not Python's laxer parsers); the hive NULL
-    sentinel maps to None (callers treat None as "no usable stat")."""
+    into RAW string partition values (URL-unescaped); the hive NULL
+    sentinel maps to None. Typing happens per VERSION, not per file —
+    see _resolve_partition_types."""
     from urllib.parse import unquote
 
     out: dict = {}
@@ -124,15 +123,51 @@ def _hive_partition_values(rel_path: str) -> dict:
             continue
         k, _, raw = seg.partition("=")
         raw = unquote(raw)
-        if raw == "__HIVE_DEFAULT_PARTITION__":
-            out[k] = None
-        elif _HIVE_INT_RE.match(raw):
-            out[k] = int(raw)
-        elif _HIVE_FLOAT_RE.match(raw):
-            out[k] = float(raw)
-        else:
-            out[k] = raw
+        out[k] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
     return out
+
+
+def _stats_prune(entry_stats: dict, col: str, lo, hi) -> bool:
+    """True only when the manifest PROVES the file lies outside
+    [lo, hi]. Conservative on every doubt: missing stats keep the file,
+    and a cross-type comparison (a string stat against a numeric probe
+    — possible against a manifest written before per-version type
+    resolution, or a probe typed differently than the partition values)
+    keeps the file instead of raising (ADVICE r7)."""
+    if col not in entry_stats:
+        return False
+    smin, smax = entry_stats[col]
+    try:
+        return smax < lo or smin > hi
+    except TypeError:
+        return False
+
+
+def _resolve_partition_types(raw_maps: list[dict]) -> dict:
+    """ONE inferred type per partition column across ALL files of a
+    version, the way Spark's partition discovery resolves a common type
+    per column (ADVICE r7: per-file typing let p=42 land as int stats
+    beside p=a42 as string stats in the same manifest; a range probe
+    then compared int against str in Python and raised TypeError).
+    Lattice: int if every non-null value matches Spark's int literal
+    shape, else float if every value parses numerically, else string
+    for the whole column."""
+    rank = {int: 0, float: 1, str: 2}
+    types: dict = {}
+    for raw in raw_maps:
+        for k, v in raw.items():
+            if v is None:
+                continue
+            if _HIVE_INT_RE.match(v):
+                t = int
+            elif _HIVE_FLOAT_RE.match(v):
+                t = float
+            else:
+                t = str
+            cur = types.get(k)
+            if cur is None or rank[t] > rank[cur]:
+                types[k] = t
+    return types
 
 
 class TableStore:
@@ -149,27 +184,64 @@ class TableStore:
         # would move to incremental bookkeeping.) size+mtime guard
         # against an inode recycled by vacuum for a different file.
         self._footer_rows: dict[tuple[int, int, int], int] = {}
+        # memoized (num_files, num_rows) per committed version — versions
+        # are immutable once the pointer moves, so the memo never goes
+        # stale until vacuum deletes the version (which evicts it). The
+        # append paths SEED the next version's entry from the previous
+        # entry plus the just-staged increment (ADVICE r7: _log_history
+        # used to re-walk the whole version per commit; with the delta
+        # carried from the write path an append's history row costs
+        # O(increment) metadata, and a CDC-enabled append stops paying
+        # two O(table-files) walks per logical commit).
+        self._vstats: dict[tuple[str, int], tuple[int, int]] = {}
         os.makedirs(root, exist_ok=True)
 
-    def _version_stats(self, name: str, version: int) -> tuple[int, int]:
-        """(num_files, num_rows) of a version from parquet footers —
-        driver-side metadata only, inode-cached (see __init__)."""
-        import glob as _glob
-
+    def _file_rows(self, path: str) -> int:
+        """Row count of one parquet file from its footer, inode-cached
+        (see __init__: hard-link versioning makes a shared inode
+        byte-identical content)."""
         import pyarrow.parquet as _pq
 
+        st = os.stat(path)
+        key = (st.st_ino, st.st_size, st.st_mtime_ns)
+        rows = self._footer_rows.get(key)
+        if rows is None:
+            rows = _pq.ParquetFile(path).metadata.num_rows
+            self._footer_rows[key] = rows
+        return rows
+
+    def _version_stats(self, name: str, version: int) -> tuple[int, int]:
+        """(num_files, num_rows) of a committed version from parquet
+        footers — driver-side metadata only, memoized per version and
+        inode-cached per file (see __init__)."""
+        import glob as _glob
+
+        memo = self._vstats.get((name, version))
+        if memo is not None:
+            return memo
         vdir = os.path.join(self._dir(name), f"v{version}")
         files = _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
-        total = 0
-        for p in files:
-            st = os.stat(p)
-            key = (st.st_ino, st.st_size, st.st_mtime_ns)
-            rows = self._footer_rows.get(key)
-            if rows is None:
-                rows = _pq.ParquetFile(p).metadata.num_rows
-                self._footer_rows[key] = rows
-            total += rows
+        total = sum(self._file_rows(p) for p in files)
+        self._vstats[(name, version)] = (len(files), total)
         return len(files), total
+
+    def _staged_append_stats(self, name: str, vdir: str) -> tuple[int, int] | None:
+        """Commit stats for a stage+link append, carried from the write
+        path: walk the JUST-STAGED files (called BEFORE _link_prev_files,
+        so the walk is O(increment)) and add the previous version's
+        memoized stats. Returns None when the previous version was never
+        walked in this process — the commit's history row then walks
+        once via _version_stats and primes the memo, making every
+        subsequent append O(increment)."""
+        import glob as _glob
+
+        prev = self.current_version(name)
+        prev_stats = (0, 0) if prev is None else self._vstats.get((name, prev))
+        if prev_stats is None:
+            return None
+        files = _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+        rows = sum(self._file_rows(p) for p in files)
+        return (prev_stats[0] + len(files), prev_stats[1] + rows)
 
     # -- paths / versions ---------------------------------------------------
     def _dir(self, name: str) -> str:
@@ -188,30 +260,46 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
-    def _commit(self, name: str, version: int, op: str = "write") -> None:
+    def _commit(
+        self,
+        name: str,
+        version: int,
+        op: str = "write",
+        stats: tuple[int, int] | None = None,
+    ) -> None:
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(version))
         os.replace(tmp, self._pointer(name))  # atomic pointer swap
-        self._log_history(name, version, op)
+        self._log_history(name, version, op, stats)
 
     # -- history (DESCRIBE HISTORY analog) -------------------------------------
     def _history_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "_history.jsonl")
 
-    def _log_history(self, name: str, version: int, op: str) -> None:
+    def _log_history(
+        self,
+        name: str,
+        version: int,
+        op: str,
+        stats: tuple[int, int] | None = None,
+    ) -> None:
         """One JSONL event per committed version: operation, wall time,
-        file count and row count of the committed version (both from a
-        driver-side directory walk / inode-cached parquet-footer read —
-        no job, and O(changed files) per commit since hard-link-shared
-        files hit the cache). Written AFTER the pointer swap: a crash
-        can lose a history row for a committed version, never record
-        one for a phantom version (same ordering contract as the CDC
-        feed)."""
+        file count and row count of the committed version. The append
+        paths pass ``stats`` carried from the write side (previous
+        version's memo + the staged increment — O(increment)); other ops
+        fall back to the memoized/footer-cached directory walk. Written
+        AFTER the pointer swap: a crash can lose a history row for a
+        committed version, never record one for a phantom version (same
+        ordering contract as the CDC feed)."""
         import json as _json
         import time as _time
 
-        num_files, num_rows = self._version_stats(name, version)
+        if stats is not None:
+            self._vstats[(name, version)] = stats
+            num_files, num_rows = stats
+        else:
+            num_files, num_rows = self._version_stats(name, version)
         event = {
             "version": version,
             "op": op,
@@ -605,8 +693,9 @@ class TableStore:
             )
         df = df.select(*stored)
         v, vdir = self._stage_version(name, df)
+        stats = self._staged_append_stats(name, vdir)  # before linking
         self._link_prev_files(name, vdir)
-        self._commit(name, v, "append")
+        self._commit(name, v, "append", stats=stats)
         if capture_cdc and self._feed_exists(name):
             self._append_changes(name, df.withColumn("_change_type", F.lit(CDC_INSERT)), v)
         return v
@@ -694,6 +783,9 @@ class TableStore:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
+        # a re-created table restarts at v1 — stale memo entries would
+        # otherwise describe the dropped incarnation's versions
+        self._vstats = {k: s for k, s in self._vstats.items() if k[0] != name}
 
     # -- maintenance: retention / layout / data skipping -----------------------
     def vacuum(self, name: str, keep_last: int = 2) -> list[int]:
@@ -710,25 +802,47 @@ class TableStore:
         stop being time-travelable, which is the documented trade. The
         CDC feed is NOT vacuumed — change history is an independent
         retention decision (Delta separates these too)."""
+        import glob as _glob
+
         cur = self.current_version(name)
         if cur is None:
             raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
         cutoff = cur - max(keep_last, 1)
         removed = []
+        freed_inos: set[int] = set()
         for v in range(1, cutoff + 1):
             vdir = os.path.join(self._dir(name), f"v{v}")
             if os.path.isdir(vdir):
+                # an inode is truly reclaimed only when this version held
+                # its LAST link (st_nlink == 1 at removal time); files a
+                # retained version still hard-links keep their cache
+                # entries — their content is byte-identical by
+                # construction. Two condemned versions sharing an inode
+                # resolve across iterations: the later rmtree sees
+                # nlink == 1. (ADVICE r7: the old blanket clear() forced
+                # a full footer re-read after every vacuum.)
+                for p in _glob.glob(
+                    os.path.join(vdir, "**", "*.parquet"), recursive=True
+                ):
+                    try:
+                        st = os.stat(p)
+                    except OSError:
+                        continue
+                    if st.st_nlink <= 1:
+                        freed_inos.add(st.st_ino)
                 shutil.rmtree(vdir)
                 removed.append(v)
                 stats = self._stats_path(name, v)
                 if os.path.exists(stats):
                     os.remove(stats)
-        if removed:
-            # drop footer-cache entries for inodes vacuum just freed —
-            # keeps the metadata cache O(live files) over long-lived
-            # commit+vacuum loops (entries for surviving hard links are
-            # lazily re-read; correctness never depended on the cache)
-            self._footer_rows.clear()
+        if freed_inos:
+            # evict only reclaimed inodes — the cache stays O(live files)
+            # without paying a full re-read on the next commit's stats
+            self._footer_rows = {
+                k: r for k, r in self._footer_rows.items() if k[0] not in freed_inos
+            }
+        for v in removed:
+            self._vstats.pop((name, v), None)
         return removed
 
     def _stats_path(self, name: str, version: int) -> str:
@@ -753,14 +867,24 @@ class TableStore:
             _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
         )
         manifest: dict = {"version": v, "columns": columns, "files": []}
+        # hive partition columns live in directory names, not footers —
+        # and they are the most natural skipping target on a partitioned
+        # table: each k=v segment is an exact [v, v] stat. Typing is
+        # resolved ONCE per version across all files (Spark-discovery
+        # semantics), so a column mixing numeric-looking and non-numeric
+        # directory values gets uniform string stats, never int-beside-str
+        raw_parts = {
+            path: _hive_partition_raw(os.path.relpath(path, vdir)) for path in files
+        }
+        ptypes = _resolve_partition_types(list(raw_parts.values()))
         for path in files:
             md = _pq.ParquetFile(path).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             rel = os.path.relpath(path, vdir)
-            # hive partition columns live in directory names, not footers
-            # — and they are the most natural skipping target on a
-            # partitioned table: each k=v segment is an exact [v, v] stat
-            part_vals = _hive_partition_values(rel)
+            part_vals = {
+                k: (None if raw is None else ptypes[k](raw))
+                for k, raw in raw_parts[path].items()
+            }
             entry: dict = {
                 "path": rel,
                 "rows": md.num_rows,
@@ -826,8 +950,7 @@ class TableStore:
         keep = [
             os.path.join(vdir, e["path"])
             for e in manifest["files"]
-            if col not in e["stats"]
-            or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+            if not _stats_prune(e["stats"], col, lo, hi)
         ]
         if not keep:
             return self.read(name).filter(between).limit(0)
@@ -848,10 +971,7 @@ class TableStore:
             manifest = _json.load(fh)
         total = len(manifest["files"])
         kept = sum(
-            1
-            for e in manifest["files"]
-            if col not in e["stats"]
-            or not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+            1 for e in manifest["files"] if not _stats_prune(e["stats"], col, lo, hi)
         )
         return kept, total
 
@@ -1046,8 +1166,9 @@ class TableStore:
         if self.exists(cdc):
             changes = changes.select(*self.read(cdc).columns)
             v, vdir = self._stage_version(cdc, changes)
+            stats = self._staged_append_stats(cdc, vdir)  # before linking
             self._link_prev_files(cdc, vdir)
-            self._commit(cdc, v, "cdc-append")
+            self._commit(cdc, v, "cdc-append", stats=stats)
         else:
             self._write_version(cdc, changes, op="cdc-append")
         # append-only copy for streaming consumers (file source sees only

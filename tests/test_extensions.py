@@ -702,3 +702,33 @@ def test_temporal_split_embargo_boundaries_on_planted_data(spark, tmp_path):
     # user 1: 4 train + 1 embargo (exactly at horizon); user 2: 4 train
     # (dup-ts rank 4 is boundary) + 1 test (1 us past horizon)
     assert got == {"train": (8, 2), "embargo": (1, 1), "test": (1, 1)}
+
+
+def test_set_similarity_length_filter_boundary(spark, tmp_path):
+    """PPJoin length-filter boundary (round 8): at tau = 1/2 a pair with
+    size ratio EXACTLY 2 can still reach J = 1/2 (the smaller basket
+    fully contained in the larger: J = n / 2n), so the filter must be
+    inclusive — n_b <= 2*n_a, not <. Planted: orders (1:{1,2}, 2:{1,2,
+    3,4}, 4:{3,4}) give the two boundary pairs (1,2) and (2,4) at J=0.5
+    exactly; order 3 ({1,2,5,6,7}) is ratio > 2 vs order 1 and below
+    threshold vs everything. Cross-engine parity on the same shape."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    baskets = {1: [1, 2], 2: [1, 2, 3, 4], 3: [1, 2, 5, 6, 7], 4: [3, 4]}
+    pdf = pd.DataFrame(
+        [(o, p) for o, ps in baskets.items() for p in ps],
+        columns=["l_orderkey", "l_partkey"],
+    ).astype("int64")
+    d = tmp_path / "sf_ssj"
+    d.mkdir()
+    pdf.to_parquet(str(d / "lineitem.parquet"), index=False)
+    qs, oracles = e.queries(), e.oracle_sql()
+    name = "set_similarity_prefix_join"
+    out = qs[name](spark, str(d))
+    problems = compare(out, oracles[name], str(d))
+    assert not problems, f"{name}: {problems}"
+    got = {(r.order_a, r.order_b): r.jaccard for r in out.collect()}
+    assert got == {(1, 2): 0.5, (2, 4): 0.5}, got

@@ -253,6 +253,33 @@ def test_cleaning_stats_join_form_matches_window_form(spark):
         ), fn.__name__
 
 
+def test_join_form_stats_survives_gk_named_column(spark):
+    """ADVICE r7: the join-form stats helper generates __gk temp key
+    columns — a caller df that LEGITIMATELY contains a '__gk0' column
+    must keep it (the collision-checked prefix), not have it silently
+    clobbered by the materialized expression key or dropped on exit."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.operators.cleaning import (
+        impute_group_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 11), (0, 4.0, 22), (1, 2.0, 33), (1, None, 44)],
+        "g int, v double, __gk0 int",
+    )
+    out = impute_group_mean(
+        df, [F.col("g") % 2], ["v"], rows_per_group_hint=10**9
+    ).collect()
+    assert out[0].__fields__ == ["g", "v", "__gk0"]
+    assert sorted((r["g"], r["v"], r["__gk0"]) for r in out) == [
+        (0, 4.0, 11),
+        (0, 4.0, 22),
+        (1, 2.0, 33),
+        (1, 2.0, 44),
+    ]
+
+
 def test_bellman_ford_delta_relaxation_planted(spark):
     """Planted graph pinning the delta-relaxation edge cases: (1) a node
     first reached expensively in round 1 must be RE-improved when a
@@ -288,6 +315,26 @@ def test_bellman_ford_delta_relaxation_planted(spark):
     assert got == {1: 0, 3: 1, 2: 2, 5: 3, 7: 92}
     got4 = {r.node: r.cost for r in bellman_ford_min_cost(edges, seeds, max_hops=4).collect()}
     assert got4 == {1: 0, 3: 1, 2: 2, 5: 3, 7: 4}
+
+
+def test_bfs_bellman_duplicate_seeds_deduped(spark):
+    """ADVICE r7: the distinct-seed invariant belongs to the operators,
+    not their callers — a duplicated seed id must yield ONE (node, dist)
+    / (node, cost) row (BFS used to union seeds into visited verbatim;
+    Bellman-Ford's anti-join merge carried both copies of a
+    never-improved seed forever)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.graph import (
+        bellman_ford_min_cost,
+        bfs_min_dist,
+    )
+
+    seeds = spark.createDataFrame([(1,), (1,), (1,)], "node long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    bfs = bfs_min_dist(edges, seeds, max_hops=1).collect()
+    assert sorted((r.node, r.dist) for r in bfs) == [(1, 0), (2, 1)]
+    wedges = spark.createDataFrame([(1, 2, 5)], "src long, dst long, w long")
+    bf = bellman_ford_min_cost(wedges, seeds, max_hops=1).collect()
+    assert sorted((r.node, r.cost) for r in bf) == [(1, 0), (2, 5)]
 
 
 def test_kcore_peel_planted_cascade_and_convergence(spark):
@@ -405,3 +452,87 @@ def test_bpe_train_merges_matches_sequential_fold_reference(spark, tmp_path):
     got = run_case("sf_bpe_tiny", tiny)
     assert got == ref_train(tiny, BPE_TRAIN_MERGES)
     assert len(got) == 1  # only one learnable rule exists
+
+
+def test_bpe_encode_corpus_matches_sequential_fold_reference(spark, tmp_path):
+    """bpe_encode_corpus (round 8) must tokenize every document exactly
+    as the independent greedy fold does: train K rules with the list
+    reference above, apply them rule-by-rule (leftmost greedy within
+    each word), and compare per-document token counts — including
+    multi-word documents, rule-chaining words ('abab' after merges
+    (a,b) then (ab,ab) folds to ONE token), 5+ identical-symbol runs,
+    and single-symbol words the merges never touch."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        BPE_TRAIN_MERGES,
+    )
+
+    def ref_rules_and_encode(docs_words, k):
+        words = [w for ws in docs_words for w in ws]
+        vocab = {}
+        for w in words:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + 1
+        rules = []
+        for _ in range(k):
+            counts = {}
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + c
+            if not counts:
+                break
+            pair = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
+            rules.append(pair)
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out = []
+                for s in syms:  # greedy leftmost fold
+                    if out and out[-1] == pair[0] and s == pair[1]:
+                        out[-1] = pair[0] + pair[1]
+                    else:
+                        out.append(s)
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+
+        def encode(w):
+            syms = list(w)
+            for a, b in rules:
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            return syms
+
+        return {
+            i: (len(ws), sum(len(encode(w)) for w in ws))
+            for i, ws in enumerate(docs_words)
+            if ws
+        }
+
+    docs_words = [
+        ["abab", "ab", "aaaaa"],
+        ["abab", "abab", "ba"],
+        ["looool", "x", "aaa", "aaaa"],
+        ["x"],
+        ["abba", "ab", "ab"],
+    ]
+    d = tmp_path / "sf_bpe_enc"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs_words)),
+            "text": [" ".join(ws) for ws in docs_words],
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(" ".join(ws)) for ws in docs_words],
+        }
+    ).to_parquet(str(d / "documents.parquet"), index=False)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in e.queries()["bpe_encode_corpus"](spark, str(d)).collect()
+    }
+    assert got == ref_rules_and_encode(docs_words, BPE_TRAIN_MERGES)

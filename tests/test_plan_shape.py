@@ -1094,6 +1094,19 @@ def test_bpe_train_merges_scan_count(spark):
     assert len({r.pair for r in rows}) == BPE_TRAIN_MERGES  # distinct rules
 
 
+def test_bpe_encode_corpus_vocab_join_shape(spark):
+    """The encoder (round 8) must tokenize at VOCABULARY granularity and
+    reach documents through one equi-join + per-doc hash aggregate: the
+    corpus-side plan is scan -> explode -> hash join on the word -> two-
+    phase aggregate. No per-row Python, no windows, no single-partition
+    exchange (the trainer's K argmax collects happen during plan
+    construction, not in this plan)."""
+    plan = _plan(QS["bpe_encode_corpus"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "Window" not in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "HashJoin" in plan and "HashAggregate" in plan, plan[:2000]
+
+
 # Ratchet: the exact set of registered queries whose sf0.001 plan
 # contains an Exchange SinglePartition. Every member is one of three
 # BOUNDED classes — (1) a 1-row global aggregate (welch_ttest,
@@ -1145,6 +1158,55 @@ BNLJ_CONSTANT_SIDE = {
     "triangle_count", "unigram_lm_score", "vocab_coverage",
     "walk_forward_splits",
 }
+
+
+# Shuffle-count ratchet (round 8, VERDICT r7 #5): the EXACT number of
+# shuffle Exchange nodes in the sf0.001 initial plan of the 20 most
+# expensive registry queries (by the committed bench). The shape
+# ratchets above catch scale-killer plan CLASSES; this catches a
+# regression that silently adds one avoidable extra shuffle to a heavy
+# query (e.g. a lost size-hint re-introducing a join where a window
+# sufficed, or a dropped reuse re-shuffling the same relation twice).
+# A count change — either direction — must be justified in the diff
+# that makes it and the number updated explicitly. Iterative kernels
+# (BFS / Bellman-Ford / connected components / incremental stores) and
+# the TableStore pipeline run their loop shuffles EAGERLY behind
+# localCheckpoint / committed writes, so their RETURNED plan tails pin
+# at 0-1 — the ratchet then guards against tail regressions (the loop
+# bodies are pinned by their own operator tests).
+SHUFFLE_COUNT_TOP20 = {
+    "pipeline_end_to_end": 0,
+    "prepare_corpus": 5,
+    "set_similarity_prefix_join": 14,
+    "bellman_ford_mincost": 0,
+    "dedup_keep_best": 1,
+    "dedup_connected_components": 0,
+    "pagerank_fixed": 7,
+    "bfs_khop": 0,
+    "incremental_agg_refresh": 0,
+    "kcore_decomposition": 1,
+    "simhash_near_pairs": 1,
+    "data_quality_profile": 2,
+    "dedup_ngram_jaccard": 1,
+    "dedup_incremental_lsh_store": 0,
+    "decontaminate_bloom": 1,
+    "approx_distinct": 3,
+    "dedup_containment": 1,
+    "association_rules": 11,
+    "dedup_minhash_lsh": 1,
+    "dedup_incremental_lsh": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_COUNT_TOP20))
+def test_shuffle_count_ratchet_top20(spark, name):
+    plan = _plan(QS[name](spark, SF_DIR))
+    got = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    want = SHUFFLE_COUNT_TOP20[name]
+    assert got == want, (
+        f"{name}: {got} shuffle Exchanges (ratchet pinned {want}) — "
+        "justify the plan change and update SHUFFLE_COUNT_TOP20"
+    )
 
 
 def test_single_partition_and_bnlj_ratchets(spark):

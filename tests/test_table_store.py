@@ -703,20 +703,89 @@ def test_hive_partition_value_typing_matches_spark_literals():
     Python's laxer parsers (r7 high review): '1_000', 'nan', 'inf',
     'Infinity' are STRINGS to Spark's partition discovery — typing them
     numerically would give the skipping manifest the wrong type and
-    numeric-vs-string probes would crash or mis-skip."""
+    numeric-vs-string probes would crash or mis-skip. Since r8 typing
+    resolves per VERSION (ADVICE r7): one column type across all files,
+    the way Spark's partition discovery resolves a common type."""
     from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
-        _hive_partition_values,
+        _hive_partition_raw,
+        _resolve_partition_types,
     )
 
-    vals = _hive_partition_values("code=1_000/x.parquet")
-    assert vals == {"code": "1_000"}
+    def typed(rel):
+        raw = _hive_partition_raw(rel)
+        types = _resolve_partition_types([raw])
+        return {
+            k: (None if v is None else types[k](v)) for k, v in raw.items()
+        }
+
+    assert typed("code=1_000/x.parquet") == {"code": "1_000"}
     for raw in ("nan", "inf", "Infinity", "-inf", "1_0.5"):
-        assert _hive_partition_values(f"k={raw}/f.parquet") == {"k": raw}, raw
-    assert _hive_partition_values("k=-42/f.parquet") == {"k": -42}
-    assert _hive_partition_values("k=+7/f.parquet") == {"k": 7}
-    assert _hive_partition_values("k=3.5/f.parquet") == {"k": 3.5}
-    assert _hive_partition_values("k=.5/f.parquet") == {"k": 0.5}
-    assert _hive_partition_values("k=1e3/f.parquet") == {"k": 1000.0}
-    assert _hive_partition_values("k=__HIVE_DEFAULT_PARTITION__/f.parquet") == {
-        "k": None
-    }
+        assert typed(f"k={raw}/f.parquet") == {"k": raw}, raw
+    assert typed("k=-42/f.parquet") == {"k": -42}
+    assert typed("k=+7/f.parquet") == {"k": 7}
+    assert typed("k=3.5/f.parquet") == {"k": 3.5}
+    assert typed("k=.5/f.parquet") == {"k": 0.5}
+    assert typed("k=1e3/f.parquet") == {"k": 1000.0}
+    assert typed("k=__HIVE_DEFAULT_PARTITION__/f.parquet") == {"k": None}
+
+    # per-VERSION resolution: one file's non-numeric value makes the
+    # whole column string; int beside float widens to float; the hive
+    # NULL sentinel doesn't influence the type
+    raws = [_hive_partition_raw(p) for p in (
+        "p=42/a.parquet", "p=a42/b.parquet", "q=1/a.parquet",
+        "q=2.5/b.parquet", "r=__HIVE_DEFAULT_PARTITION__/a.parquet",
+        "r=7/b.parquet",
+    )]
+    types = _resolve_partition_types(raws)
+    assert types == {"p": str, "q": float, "r": int}
+
+
+def test_append_history_stats_match_cold_walk(spark, tmp_path):
+    """ADVICE r7: append commits carry (num_files, num_rows) from the
+    write path (previous memo + staged increment) instead of re-walking
+    the whole version. The carried numbers must equal what a COLD store
+    (empty memo, full walk) computes for every version — and survive a
+    vacuum in between."""
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        TableStore,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    store.overwrite("t", spark.range(3).selectExpr("id", "id * 2 AS v"))
+    store.append("t", spark.range(2).selectExpr("id + 10 AS id", "id AS v"))
+    store.append("t", spark.range(1).selectExpr("id + 20 AS id", "id AS v"))
+    store.vacuum("t", keep_last=2)
+    store.append("t", spark.range(4).selectExpr("id + 30 AS id", "id AS v"))
+    hist = {e["version"]: (e["num_files"], e["num_rows"]) for e in store.history("t")}
+    cold = TableStore(spark, root)
+    for v in (2, 3, 4):  # v1 vacuumed; its logged history row is retained
+        assert hist[v] == cold._version_stats("t", v), v
+    assert [hist[v][1] for v in (2, 3, 4)] == [5, 6, 10]
+
+
+def test_read_skipping_mixed_type_partition_values(spark, tmp_path):
+    """ADVICE r7 end-to-end: a string partition column whose values are
+    a MIX of numeric-looking and non-numeric ('42' beside 'a42') must
+    produce a uniformly-typed manifest, and a string range probe must
+    skip/keep files without raising (the per-file typing used to store
+    int stats for p=42 and str stats for p=a42, then die comparing int
+    to the string probe)."""
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(1, "42"), (2, "a42"), (3, "z9")], "id long, p string"
+    )
+    store.overwrite("t", df, partition_by=["p"])
+    store.collect_file_stats("t", ["p"])
+    kept, total = store.skipping_file_counts("t", "p", "a", "b")
+    assert total == 3 and kept == 1  # only 'a42' in ['a','b')..['a','b']
+    got = {r.id for r in store.read_skipping("t", "p", "a", "b").collect()}
+    assert got == {2}
+    # numeric probe against the (now uniformly string) stats must stay
+    # conservative — keep files, never raise
+    kept_num, _ = store.skipping_file_counts("t", "p", 0, 100)
+    assert kept_num == 3
