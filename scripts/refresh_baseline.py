@@ -58,9 +58,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # replace after the review found the two-pass form diverged from the
 # greedy fold on 5+ runs); its row was re-measured solo best-of-3
 # (1.87 s) the same session, so the committed row already describes
-# current code — keep it FRESH through the NEXT refresh so a stale
-# 1.33 s minimum from the pre-fix bench pass can't win the merge.
-FRESH: set[str] = {"bpe_train_merges"}
+# current code — keep it FRESH through the round-8 refresh so a stale
+# 1.33 s minimum from the pre-fix bench pass can't win the merge
+# (VERDICT r7 #8: clear after that refresh).
+#
+# Round-8 FRESH set: embedding_neardup_pairs and kaplan_meier_churn
+# were de-vacuated (registered thresholds now emit real rows, strictly
+# MORE work than the 0-row forms their committed minima describe);
+# set_similarity_prefix_join gained the PPJoin length filter (plan
+# changed — re-measure from post-change passes even though the filter
+# should only make it faster).
+FRESH: set[str] = {
+    "bpe_train_merges",
+    "embedding_neardup_pairs",
+    "kaplan_meier_churn",
+    "set_similarity_prefix_join",
+}
 
 BASELINE = "BASELINE.md"
 

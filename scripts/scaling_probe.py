@@ -323,12 +323,14 @@ def run_heavies_named(spark, sf_dir: str, scale: int, names) -> dict[str, float]
 # through (bounded dims). An sf0.001 symlink is laid beside it so
 # bench.py's warm-up pass resolves.
 # ---------------------------------------------------------------------------
-def build_sf1(out_root: str) -> None:
-    spark = get_spark("ddw-build-sf1")
-    sf1 = os.path.join(out_root, "sf1")
-    os.makedirs(sf1, exist_ok=True)
-    build_scaled_dir(spark, sf1, SCALE)
-    salted_docs(spark, SCALE).join(
+def write_scaled_text_tables(spark, out_dir: str, n_copies: int) -> None:
+    """Scaled documents + embeddings: per-copy word salting gives
+    disjoint vocabularies / similarity neighborhoods (near-dup and
+    vocab structure grow linearly, never pairwise across copies);
+    embeddings get a norm-preserving cyclic rotation by (copy mod dim)
+    — past dim copies the direction repeats, which only adds exact
+    ties to bounded top-k outputs, never candidate blowup."""
+    salted_docs(spark, n_copies).join(
         F.broadcast(
             load_table(spark, SF_DIR, "documents").select(
                 F.col("doc_id").alias("__orig"), "lang", "source"
@@ -338,20 +340,29 @@ def build_sf1(out_root: str) -> None:
     ).drop("__orig").withColumn(
         "n_chars", F.length("text").cast("long")  # true length of the salted text
     ).write.mode("overwrite").parquet(
-        os.path.join(sf1, "documents.parquet")
+        os.path.join(out_dir, "documents.parquet")
     )
     emb = load_table(spark, SF_DIR, "embeddings")
-    copies = spark.range(SCALE).select(F.col("id").alias("__copy"))
+    copies = spark.range(n_copies).select(F.col("id").alias("__copy"))
     dim = len(emb.select("embedding").first()[0])
+    rot = F.col("__copy") % dim
     rotated = F.concat(
-        F.slice(F.col("embedding"), F.col("__copy") + 1, F.lit(dim) - F.col("__copy")),
-        F.slice(F.col("embedding"), 1, F.col("__copy")),
+        F.slice(F.col("embedding"), rot + 1, F.lit(dim) - rot),
+        F.slice(F.col("embedding"), 1, rot),
     )
     emb.crossJoin(F.broadcast(copies)).select(
         (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
         rotated.alias("embedding"),
         "label",
-    ).write.mode("overwrite").parquet(os.path.join(sf1, "embeddings.parquet"))
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def build_sf1(out_root: str) -> None:
+    spark = get_spark("ddw-build-sf1")
+    sf1 = os.path.join(out_root, "sf1")
+    os.makedirs(sf1, exist_ok=True)
+    build_scaled_dir(spark, sf1, SCALE)
+    write_scaled_text_tables(spark, sf1, SCALE)
     warm = os.path.join(out_root, "sf0.001")
     if not os.path.exists(warm):
         os.symlink("/root/testdata/sf0.001", warm)
@@ -423,6 +434,46 @@ FRONTIER_W5 = ("fifo_allocation", "bellman_ford_mincost")
 # ---------------------------------------------------------------------------
 FRONTIER_W6 = ("kcore_decomposition", "temporal_split_embargo")
 
+# ---------------------------------------------------------------------------
+# Round-8 frontier (VERDICT r7 #4): the round-7 kernels never pushed to
+# the 100x frontier — the BPE trainer's K driver-argmax loop and the
+# e2e pipeline's TableStore round-trips are the two most likely to hide
+# a super-linear surprise — plus the new bpe_encode_corpus and a RE-RUN
+# of set_similarity_prefix_join after the round-8 PPJoin length filter.
+# Unlike the other frontier modes this one scales documents/embeddings
+# too (salted vocabularies, rotated vectors — the BPE and JL kernels
+# read them); pipeline_end_to_end and snapshot_diff derive their inputs
+# from orders, so the key-offset fact scaling carries them.
+# ---------------------------------------------------------------------------
+FRONTIER_R8 = (
+    "snapshot_diff",
+    "jl_projection_topk",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "set_similarity_prefix_join",
+    "pipeline_end_to_end",
+)
+
+
+def main_frontier_r8() -> None:
+    import tempfile
+
+    spark = get_spark("ddw-scaling-probe-frontier-r8")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_R8)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_r8_") as tmp:
+        build_scaled_dir(spark, tmp, SCALE)
+        write_scaled_text_tables(spark, tmp, SCALE)
+        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_R8)
+    summary = {
+        "mode": "frontier_r8",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
 _FRONTIER_MODES = {
     "frontier_r7": FRONTIER_R7,
     "frontier_w5": FRONTIER_W5,
@@ -437,6 +488,9 @@ def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_PROBE_MODE", "")
     if mode in _FRONTIER_MODES:
         run_frontier(mode, _FRONTIER_MODES[mode])
+        return
+    if mode == "frontier_r8":
+        main_frontier_r8()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
         main_frontier()
