@@ -3297,12 +3297,18 @@ p{r} AS (
 ),
 t{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 v{r} AS (
-  SELECT {w_sel}replace(s,
+  SELECT {w_sel}CASE WHEN (SELECT COUNT(*) FROM t{r}) = 0 THEN s
+         ELSE replace(s,
            (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM t{r}),
-           (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})) AS s,
+           (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})) END AS s,
          cnt
   FROM v{r - 1}
 )"""
+    # the CASE guards pair-exhausted rounds (a corpus with fewer than
+    # n_merges learnable merges): an empty t{r} makes the scalar
+    # subqueries NULL and replace(s, NULL, NULL) would NULL-poison every
+    # word — harmless for the trainer (it selects only FROM t{r}) but
+    # load-bearing for the encoder, which reads v{n}.s (r8 review)
     return pre + body
 
 

@@ -956,9 +956,18 @@ class TableStore:
             return self.read(name).filter(between).limit(0)
         # basePath keeps hive partition-directory columns in the schema
         # when only a subset of leaf files is read — without it a
-        # partitioned table's partition columns would silently vanish
+        # partitioned table's partition columns would silently vanish.
+        # The FULL table's schema is pinned explicitly (r8 review): a
+        # string partition column whose kept subset happens to be all
+        # numeric-looking ('42' kept, 'a42' pruned) would otherwise be
+        # re-inferred as int over the subset, flipping the residual
+        # filter from string to numeric comparison semantics — a
+        # silently different answer than read().filter().
         return (
-            self.spark.read.option("basePath", vdir).parquet(*keep).filter(between)
+            self.spark.read.schema(self.read(name).schema)
+            .option("basePath", vdir)
+            .parquet(*keep)
+            .filter(between)
         )
 
     def skipping_file_counts(self, name: str, col: str, lo, hi) -> tuple[int, int]:

@@ -384,11 +384,15 @@ def build_sf1(out_root: str) -> None:
 FRONTIER_R7 = ("bfs_khop", "set_similarity_prefix_join", "covariance_matrix")
 
 
-def run_frontier(mode: str, names: tuple[str, ...]) -> None:
+def run_frontier(
+    mode: str, names: tuple[str, ...], scale_text_tables: bool = False
+) -> None:
     """Shared frontier runner: 1x vs SCALE-x on the lineitem/orders/
     events key-offset tables; dimensions (incl. supplier — seed sets
     like bfs/bellman's s_suppkey <= K live in the first key-offset copy
-    by design) pass through unscaled."""
+    by design) pass through unscaled. ``scale_text_tables`` additionally
+    replaces the documents/embeddings passthrough with the salted-vocab
+    / rotated-vector scaling (modes whose kernels read them)."""
     import tempfile
 
     global _SCALED_TABLES, _PASSTHROUGH
@@ -401,6 +405,8 @@ def run_frontier(mode: str, names: tuple[str, ...]) -> None:
     base = run_heavies_named(spark, SF_DIR, 1, names)
     with tempfile.TemporaryDirectory(prefix=f"ddw_probe_{mode}_") as tmp:
         build_scaled_dir(spark, tmp, SCALE)
+        if scale_text_tables:
+            write_scaled_text_tables(spark, tmp, SCALE)
         scaled = run_heavies_named(spark, tmp, SCALE, names)
     summary = {
         "mode": mode,
@@ -455,29 +461,12 @@ FRONTIER_R8 = (
 )
 
 
-def main_frontier_r8() -> None:
-    import tempfile
-
-    spark = get_spark("ddw-scaling-probe-frontier-r8")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    base = run_heavies_named(spark, SF_DIR, 1, FRONTIER_R8)
-    with tempfile.TemporaryDirectory(prefix="ddw_probe_r8_") as tmp:
-        build_scaled_dir(spark, tmp, SCALE)
-        write_scaled_text_tables(spark, tmp, SCALE)
-        scaled = run_heavies_named(spark, tmp, SCALE, FRONTIER_R8)
-    summary = {
-        "mode": "frontier_r8",
-        "scale": SCALE,
-        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None for k in scaled},
-    }
-    print(json.dumps(summary), flush=True)
-    spark.stop()
-
-
+# mode -> (query names, scale documents/embeddings too)
 _FRONTIER_MODES = {
-    "frontier_r7": FRONTIER_R7,
-    "frontier_w5": FRONTIER_W5,
-    "frontier_w6": FRONTIER_W6,
+    "frontier_r7": (FRONTIER_R7, False),
+    "frontier_w5": (FRONTIER_W5, False),
+    "frontier_w6": (FRONTIER_W6, False),
+    "frontier_r8": (FRONTIER_R8, True),
 }
 
 
@@ -487,10 +476,8 @@ def main() -> None:
         return
     mode = os.environ.get("SPARK_GRAFT_PROBE_MODE", "")
     if mode in _FRONTIER_MODES:
-        run_frontier(mode, _FRONTIER_MODES[mode])
-        return
-    if mode == "frontier_r8":
-        main_frontier_r8()
+        names, scale_text = _FRONTIER_MODES[mode]
+        run_frontier(mode, names, scale_text_tables=scale_text)
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
         main_frontier()

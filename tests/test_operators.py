@@ -536,3 +536,28 @@ def test_bpe_encode_corpus_matches_sequential_fold_reference(spark, tmp_path):
         for r in e.queries()["bpe_encode_corpus"](spark, str(d)).collect()
     }
     assert got == ref_rules_and_encode(docs_words, BPE_TRAIN_MERGES)
+
+    # pair-exhausted corpus (fewer learnable merges than
+    # BPE_TRAIN_MERGES): the Spark loop breaks early; the oracle's
+    # CASE-guarded chain must pass its exhausted rounds through instead
+    # of NULL-poisoning every word via replace(s, NULL, NULL) — checked
+    # with the full cross-engine compare (r8 review finding)
+    from oracle_diff import compare
+
+    tiny_words = [["ab", "ab", "a", "b"], ["x"]]
+    d2 = tmp_path / "sf_bpe_enc_tiny"
+    d2.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": range(len(tiny_words)),
+            "text": [" ".join(ws) for ws in tiny_words],
+            "lang": "en",
+            "source": "t",
+            "n_chars": [len(" ".join(ws)) for ws in tiny_words],
+        }
+    ).to_parquet(str(d2 / "documents.parquet"), index=False)
+    out = e.queries()["bpe_encode_corpus"](spark, str(d2))
+    problems = compare(out, e.oracle_sql()["bpe_encode_corpus"], str(d2))
+    assert not problems, f"bpe_encode_corpus exhausted-corpus: {problems}"
+    got2 = {r.doc_id: (r.n_words, r.n_tokens) for r in out.collect()}
+    assert got2 == ref_rules_and_encode(tiny_words, BPE_TRAIN_MERGES)

@@ -24,6 +24,19 @@ def test_registry_nonempty():
     assert set(oracles) <= set(qs)
 
 
+def test_check_first_names_resolve():
+    """_prioritized silently drops unknown names, so a typo in the
+    hand-maintained _CHECK_FIRST rotation would silently demote a query
+    out of the driver's 50-slot check window (r8 review). Every entry
+    must resolve to a registered query, exactly once."""
+    import __spark_entry__ as e
+
+    qs, _ = _registry()
+    unknown = [n for n in e._CHECK_FIRST if n not in qs]
+    assert not unknown, f"_CHECK_FIRST names not in registry: {unknown}"
+    assert len(set(e._CHECK_FIRST)) == len(e._CHECK_FIRST), "duplicate names"
+
+
 QS, ORACLES = _registry()
 
 

@@ -789,3 +789,19 @@ def test_read_skipping_mixed_type_partition_values(spark, tmp_path):
     # conservative — keep files, never raise
     kept_num, _ = store.skipping_file_counts("t", "p", 0, 100)
     assert kept_num == 3
+    # r8 review: a probe whose KEPT subset is all numeric-looking
+    # ('42' kept; 'a42', 'z9' pruned) must not let Spark re-infer the
+    # partition column as int over the subset — the residual filter
+    # would flip to numeric semantics (42 <= '5' fails) and silently
+    # return 0 rows where read().filter() returns 1. The pinned full
+    # schema keeps string semantics.
+    kept_sub, _ = store.skipping_file_counts("t", "p", "1", "5")
+    assert kept_sub == 1
+    got_sub = {r.id for r in store.read_skipping("t", "p", "1", "5").collect()}
+    want_sub = {
+        r.id
+        for r in store.read("t")
+        .filter((F.col("p") >= "1") & (F.col("p") <= "5"))
+        .collect()
+    }
+    assert got_sub == want_sub == {1}
