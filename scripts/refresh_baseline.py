@@ -68,11 +68,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # set_similarity_prefix_join gained the PPJoin length filter (plan
 # changed — re-measure from post-change passes even though the filter
 # should only make it faster).
+# unpivot_event_counts: VERDICT r7 #7 flagged its 2.05× single-pass
+# ratio for re-measure; the committed 0.11 s minimum proved
+# unreproducible on a quiet host (solo best-of-3 2026-08-15: 0.415 s,
+# code unchanged) — retire it and re-measure from current passes.
 FRESH: set[str] = {
     "bpe_train_merges",
     "embedding_neardup_pairs",
     "kaplan_meier_churn",
     "set_similarity_prefix_join",
+    "unpivot_event_counts",
 }
 
 BASELINE = "BASELINE.md"
