@@ -461,12 +461,29 @@ FRONTIER_R8 = (
 )
 
 
+# Round-8 second wave: the core text-dedup family at the 100x frontier
+# (previously probed at 10x only, via the round-2 replicated-corpus
+# suite). The salted corpus gives every copy a disjoint vocabulary, so
+# the _with_near_copies planted near-dups pair only within their copy:
+# true-pair count, LSH candidate volume, and component count all grow
+# linearly by construction; component diameter stays constant, so
+# pointer-jumping round counts must hold.
+FRONTIER_DEDUP = (
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_keep_best",
+    "dedup_incremental_lsh_store",
+    "prepare_corpus",
+)
+
+
 # mode -> (query names, scale documents/embeddings too)
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
     "frontier_w6": (FRONTIER_W6, False),
     "frontier_r8": (FRONTIER_R8, True),
+    "frontier_dedup": (FRONTIER_DEDUP, True),
 }
 
 
