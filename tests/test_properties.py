@@ -1132,3 +1132,88 @@ def test_connected_components_matches_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want, pairs
+
+
+def test_set_similarity_prefix_join_matches_brute_force(spark):
+    """The prefix-filtered exact set-similarity join must equal the
+    BRUTE-FORCE all-pairs Jaccard over the same baskets (pandas sets,
+    no prefixes, no pigeonhole, no length filter) — a genuinely
+    different derivation that would catch a recall bug in the prefix
+    pigeonhole or an over-eager length filter, which the DuckDB oracle
+    cannot (both engines share the prefix algebra). sf0.001 keeps the
+    quadratic reference tractable."""
+    from itertools import combinations
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).toPandas()
+    baskets = {
+        oid: set(g["l_partkey"]) for oid, g in li.groupby("l_orderkey")
+    }
+    want = {}
+    for a, b in combinations(sorted(baskets), 2):
+        inter = len(baskets[a] & baskets[b])
+        union = len(baskets[a]) + len(baskets[b]) - inter
+        if inter and 2 * inter >= union:
+            want[(a, b)] = (inter, len(baskets[a]), len(baskets[b]),
+                            round(inter / union, 6))
+    out = e.queries()["set_similarity_prefix_join"](spark, SF_DIR).collect()
+    got = {(r.order_a, r.order_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+           for r in out}
+    assert got == want, (len(got), len(want))
+    assert want, "vacuous reference: no J>=0.5 pairs at sf0.001"
+
+
+def test_embedding_neardup_matches_numpy_band_reference(spark):
+    """The banded sign-LSH near-dup pairs must equal a numpy re-
+    derivation of the SAME contract (sign buckets per 8-dim band ->
+    candidate pairs colliding in any band -> quantized cosine >
+    threshold) computed with numpy integer arithmetic — independent of
+    Spark expressions AND of the DuckDB SQL, catching a shared
+    banding/quantization formula error."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        NEARDUP_THRESHOLD,
+        _ND_BANDS,
+        _ND_BITS,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy())
+    q = np.rint(V * 10000).astype(np.int64)  # the engines' quantization
+    buckets: dict = {}
+    for band in range(_ND_BANDS):
+        seg = V[:, band * _ND_BITS:(band + 1) * _ND_BITS]
+        if seg.shape[1] < _ND_BITS:
+            continue  # full-band-or-nothing guard
+        for i, row in enumerate(seg):
+            key = (band, tuple(row > 0))
+            buckets.setdefault(key, []).append(i)
+    cand = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                cand.add((min(i, j), max(i, j)))
+    want = {}
+    for i, j in cand:
+        cos = q[i] @ q[j] / np.sqrt(float(q[i] @ q[i]) * float(q[j] @ q[j]))
+        cos = round(cos, 6)
+        if cos > NEARDUP_THRESHOLD:
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            want[(a, b)] = cos
+    out = e.queries()["embedding_neardup_pairs"](spark, SF_DIR).collect()
+    got = {(r.id_a, r.id_b): r.cosine for r in out}
+    assert set(got) == set(want), (len(got), len(want))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+    assert want, "vacuous reference: no pairs above threshold at sf0.001"
