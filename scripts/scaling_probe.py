@@ -477,6 +477,22 @@ FRONTIER_DEDUP = (
 )
 
 
+# Round-8 third wave: the remaining heavy pair-generator / sketch
+# queries never pushed past 10x. association_rules is a basket
+# self-join (the classic quadratic risk — bounded here by per-order
+# basket size); ngram_jaccard/containment are banded text joins over
+# the salted corpus; approx_distinct and data_quality_profile are the
+# sketch/profile controls (scan-shaped, mergeable aggregates).
+FRONTIER_MISC = (
+    "association_rules",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "decontaminate_bloom",
+    "approx_distinct",
+    "data_quality_profile",
+)
+
+
 # mode -> (query names, scale documents/embeddings too)
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
@@ -484,6 +500,7 @@ _FRONTIER_MODES = {
     "frontier_w6": (FRONTIER_W6, False),
     "frontier_r8": (FRONTIER_R8, True),
     "frontier_dedup": (FRONTIER_DEDUP, True),
+    "frontier_misc": (FRONTIER_MISC, True),
 }
 
 
