@@ -68,17 +68,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # set_similarity_prefix_join gained the PPJoin length filter (plan
 # changed — re-measure from post-change passes even though the filter
 # should only make it faster).
-# unpivot_event_counts: VERDICT r7 #7 flagged its 2.05× single-pass
-# ratio for re-measure; the committed 0.11 s minimum proved
-# unreproducible on a quiet host (solo best-of-3 2026-08-15: 0.415 s,
-# code unchanged) — retire it and re-measure from current passes.
-FRESH: set[str] = {
-    "bpe_train_merges",
-    "embedding_neardup_pairs",
-    "kaplan_meier_churn",
-    "set_similarity_prefix_join",
-    "unpivot_event_counts",
-}
+# Round-8 FRESH set (cleared 2026-08-15 after the round-8 refresh from
+# three post-change passes — two full sf0.1 benches plus a solo
+# best-of-3): bpe_train_merges (VERDICT r7 #8 — the pre-merge-fix
+# 1.33 s minimum is gone; re-measured 1.27 s); embedding_neardup_pairs
+# / kaplan_meier_churn (de-vacuated parameterizations do strictly more
+# work than the 0-row forms their old minima described);
+# set_similarity_prefix_join (PPJoin length filter — re-measured
+# 3.47 s, faster than the pre-filter 4.32 s row);
+# unpivot_event_counts (VERDICT r7 #7 — the 0.11 s minimum proved
+# unreproducible solo on a quiet host, 0.415 s best-of-3 on unchanged
+# code; re-measured 0.18 s). All five committed rows now describe
+# current code, so the entries are removed per the lifecycle above.
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 
