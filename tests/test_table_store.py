@@ -764,6 +764,43 @@ def test_append_history_stats_match_cold_walk(spark, tmp_path):
     assert [hist[v][1] for v in (2, 3, 4)] == [5, 6, 10]
 
 
+def test_append_history_stats_partitioned_with_cdc(spark, tmp_path):
+    """The delta-carried commit stats must stay correct on the two
+    harder append shapes: a hive-PARTITIONED table (staged files live in
+    partition subdirs; _link_prev_files merges per-file into dirs the
+    new write also touched) and a CDC-enabled table (each logical append
+    also stage+links the shadow table — the exact path ADVICE r7 flagged
+    as paying two O(table) walks). Every history row must equal a cold
+    store's full walk, on the table AND its change feed."""
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        TableStore,
+    )
+
+    root = str(tmp_path / "store")
+    store = TableStore(spark, root)
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id long, p string, v double"
+    )
+    store.overwrite("t", df, partition_by=["p"])
+    store.enable_cdc("t")
+    store.append(
+        "t",
+        spark.createDataFrame([(4, "a", 4.0), (5, "c", 5.0)], "id long, p string, v double"),
+    )
+    store.append(
+        "t", spark.createDataFrame([(6, "b", 6.0)], "id long, p string, v double")
+    )
+    cold = TableStore(spark, root)
+    for name in ("t", store._cdc_table("t")):
+        hist = {
+            e["version"]: (e["num_files"], e["num_rows"]) for e in store.history(name)
+        }
+        for v, got in hist.items():
+            assert got == cold._version_stats(name, v), (name, v)
+    # row counts accumulated through the partitioned links
+    assert store.row_count("t") == 6
+
+
 def test_read_skipping_mixed_type_partition_values(spark, tmp_path):
     """ADVICE r7 end-to-end: a string partition column whose values are
     a MIX of numeric-looking and non-numeric ('42' beside 'a42') must
