@@ -35,12 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered this round — the de-vacuated embedding_neardup_pairs
 # (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
 # (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
-# filter added at candidate generation), and the new bpe_encode_corpus
-# (apply the trained merges, per-document sequence lengths); then (b) 46
+# filter added at candidate generation), the new bpe_encode_corpus
+# (apply the trained merges, per-document sequence lengths), and the new
+# semantic_dedup (SemDeDup cluster-then-prune); then (b) 45
 # slots of STALE ROTATION — all 35 queries whose latest green driver row is
 # r3, then the r4-stale set, core-parity flagship_revenue /
 # json_extract_events and the heavily-reused dedup pair first, the rest
-# alphabetical. The 33 remaining r4-stale queries past the boundary are
+# alphabetical. The 34 remaining r4-stale queries past the boundary are
 # queued first for round 9. Every query is also oracle-diffed locally in
 # tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
@@ -49,6 +50,7 @@ _CHECK_FIRST = (
     "kaplan_meier_churn",
     "set_similarity_prefix_join",
     "bpe_encode_corpus",
+    "semantic_dedup",
     # (b) stale rotation: the 35 r3-latest queries, alphabetical
     "boilerplate_removal",
     "corr_regression_stats",
@@ -97,9 +99,9 @@ _CHECK_FIRST = (
     "corpus_bigram_topk",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dyadic_ewma",
     # --- 50-query window boundary is here. Below: the round-9 queue
     # (the remaining r4-stale queries, alphabetical) ---
+    "dyadic_ewma",
     "events_sliding_window",
     "events_tumbling_window",
     "fuzzy_name_pairs",

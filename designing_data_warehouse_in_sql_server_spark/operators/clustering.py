@@ -27,20 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import dot_q, quantized
+from .similarity import cosine_q, dot_q, quantized
 
 
-def kmeans_fixed(
-    embeddings: DataFrame,
-    k: int = 8,
-    iterations: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _assign_rounds(
+    q: DataFrame, id_col: str, k: int, iterations: int
 ) -> DataFrame:
-    """Run ``iterations`` Lloyd rounds from deterministic seeds (the
-    first ``k`` vectors by id) and return per-cluster stats:
-    (cluster, n_members, sum_distsq)."""
-    q = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    """Shared Lloyd loop over a quantized relation ``q`` =
+    (id_col, __qv): ``iterations`` rounds from deterministic seeds (the
+    first ``k`` vectors by id), returning the final per-vector
+    assignment (id_col, cid, __dist)."""
     cents = q.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
     )
@@ -81,7 +77,78 @@ def kmeans_fixed(
                     lambda s: s["cq"],
                 ).alias("__cv")
             )
+    return assigned
+
+
+def kmeans_fixed(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iterations`` Lloyd rounds from deterministic seeds (the
+    first ``k`` vectors by id) and return per-cluster stats:
+    (cluster, n_members, sum_distsq)."""
+    q = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    assigned = _assign_rounds(q, id_col, k, iterations)
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("__dist").alias("sum_distsq"),
     ).select(F.col("cid").alias("cluster"), "n_members", "sum_distsq")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then prune near-duplicates
+    WITHIN each cluster only — the cluster is the blocking key that
+    keeps pairwise cosine work off the full corpus.
+
+    Deterministic keep rule (documented divergence from the paper's
+    centroid-distance tie-break, which depends on float ordering): a
+    vector is dropped iff some LOWER-id member of its own cluster has
+    rounded cosine >= ``threshold`` with it; the lowest id of every
+    epsilon-neighborhood always survives. Returns one row per vector:
+    (id_col, cluster, kept 1/0).
+
+    Scale: the cluster-blocked self-join costs sum_c |c|^2 pairs, so
+    ``k`` must grow with the corpus to bound cluster size (the paper
+    uses ~100k clusters at web scale; the registered query derives
+    k = max(8, n // 256) from footer metadata). The Lloyd rounds are
+    broadcast-join + hash-aggregate shaped (see kmeans_fixed); the
+    prune is ONE equi-join on cid — never an all-pairs product.
+    """
+    q = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    member = (
+        _assign_rounds(q, id_col, k, iterations)
+        .select(id_col, "cid")
+        .join(q, id_col)
+    )
+    a = member.select(
+        F.col(id_col).alias("__ida"), "cid", F.col("__qv").alias("__qa")
+    )
+    b = member.select(
+        F.col(id_col).alias("__idb"), "cid", F.col("__qv").alias("__qb")
+    )
+    # rounded cosine (6dp, matching the oracle) over exact integer dots
+    cos = F.round(cosine_q(F.col("__qa"), F.col("__qb")), 6)
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cos >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return member.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("cid").alias("cluster"),
+        F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
+    )

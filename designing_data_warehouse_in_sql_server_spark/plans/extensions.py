@@ -1638,6 +1638,93 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540): k-means clusters as the blocking key, pairwise
+# cosine pruning WITHIN clusters only. Keep rule is the deterministic
+# lowest-id variant (see operators/clustering.py semantic_dedup).
+#
+# Scale: k is derived from the footer row count (n // 256, min 8) so
+# average cluster size — and with it the sum_c |c|^2 pair volume — stays
+# bounded as the corpus grows; the paper's web-scale runs use ~100k
+# clusters for exactly this reason. The oracle computes the same k from
+# COUNT(*). Threshold chosen non-vacuous: kept AND dropped rows exist at
+# every test SF (sf0.01: 21 of 500 dropped).
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.4
+SEMDEDUP_CLUSTER_TARGET = 256
+
+
+def _sql_cosine_preq(qa: str, qb: str) -> str:
+    """_sql_cosine over ALREADY-quantized integer lists."""
+    dot_ab = SQL_DOT.format(a=qa, b=qb)
+    dot_aa = SQL_DOT.format(a=qa, b=qa)
+    dot_bb = SQL_DOT.format(a=qb, b=qb)
+    return (
+        f"ROUND(CAST({dot_ab} AS DOUBLE) / "
+        f"SQRT(CAST({dot_aa} AS DOUBLE) * CAST({dot_bb} AS DOUBLE)), 6)"
+    )
+
+
+SEMDEDUP_ORACLE = f"""
+WITH q AS (SELECT vec_id, {SQL_QUANT.format(v='embedding')} AS qv FROM embeddings),
+kp AS (SELECT GREATEST(8, COUNT(*) // {SEMDEDUP_CLUSTER_TARGET}) AS k FROM q),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < (SELECT k FROM kp)),
+d1 AS (
+  SELECT q.vec_id, c.cid, {_sql_dist('q.qv', 'c.cv')} AS dist
+  FROM q CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+e AS (
+  SELECT vec_id, CAST(i AS INT) AS dim, qv[CAST(i + 1 AS BIGINT)] AS val
+  FROM q, UNNEST(range(len(qv))) AS t(i)
+),
+cd AS (
+  SELECT a.cid, e.dim,
+         CAST(ROUND(CAST(SUM(e.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM a1 a JOIN e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(cq ORDER BY dim) AS cv FROM cd GROUP BY cid),
+d2 AS (
+  SELECT q.vec_id, c.cid, {_sql_dist('q.qv', 'c.cv')} AS dist
+  FROM q CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+member AS (SELECT a2.vec_id, a2.cid, q.qv FROM a2 JOIN q ON a2.vec_id = q.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM member a JOIN member b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine_preq('a.qv', 'b.qv')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT m.vec_id, m.cid AS cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM member m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+
+@register("semantic_dedup", SEMDEDUP_ORACLE)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semantic_dedup
+    from ..sources.parquet import table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, table_row_count(sf_dir, "embeddings") // SEMDEDUP_CLUSTER_TARGET)
+    return semantic_dedup(
+        emb, k=k, threshold=SEMDEDUP_THRESHOLD, iterations=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage at top-N checkpoints — tokenizer-design statistic
 # (what share of token occurrences the top-N terms cover). Whitespace
 # tokenization shared with token_count/tfidf; coverage as exact integer

@@ -732,3 +732,35 @@ def test_set_similarity_length_filter_boundary(spark, tmp_path):
     assert not problems, f"{name}: {problems}"
     got = {(r.order_a, r.order_b): r.jaccard for r in out.collect()}
     assert got == {(1, 2): 0.5, (2, 4): 0.5}, got
+
+
+def test_semantic_dedup_planted_within_cluster_only(spark):
+    """Planted SemDeDup semantics (operator direct, k=2, tau=0.95):
+    seeds are ids 0/1; ids 2 and 4 land in cluster 0 with cosine 0.9992
+    -> the HIGHER id (4) is dropped, lowest-id survivor kept. The
+    deliberate blocking tradeoff is pinned too: ids 2 and 3 have cosine
+    0.95218 >= tau but sit in DIFFERENT clusters, so 3 is NOT dropped —
+    recall is bounded by the clustering, exactly as in the SemDeDup
+    paper. Assignments verified stable across both Lloyd rounds by
+    hand (quantized integer distances)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [10.0, 0.0]),
+        (1, [0.0, 10.0]),
+        (2, [9.0, 5.0]),
+        (3, [7.5, 8.0]),
+        (4, [9.5, 4.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, k=2, threshold=0.95, iterations=2)
+    got = {r.vec_id: (r.cluster, r.kept) for r in out.collect()}
+    assert got == {
+        0: (0, 1),
+        1: (1, 1),
+        2: (0, 1),
+        3: (1, 1),  # cos(2,3)=0.952 >= tau, but cross-cluster: kept
+        4: (0, 0),  # cos(2,4)=0.999, same cluster, higher id: dropped
+    }, got

@@ -1107,6 +1107,19 @@ def test_bpe_encode_corpus_vocab_join_shape(spark):
     assert "HashJoin" in plan and "HashAggregate" in plan, plan[:2000]
 
 
+def test_semantic_dedup_plan(spark):
+    """SemDeDup prune: Lloyd assignment over broadcast constant-size
+    centroids feeds ONE cid-keyed equi self-join (the cluster is the
+    blocking key) and a left join on the dropped-id set. Never an
+    all-pairs product, no windows, no single-partition exchange — the
+    pair volume is bounded by cluster size, which the registered query
+    bounds by deriving k from the row count."""
+    plan = _plan(QS["semantic_dedup"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "HashAggregate" in plan, plan[:2000]
+
+
 # Ratchet: the exact set of registered queries whose sf0.001 plan
 # contains an Exchange SinglePartition. Every member is one of three
 # BOUNDED classes — (1) a 1-row global aggregate (welch_ttest,
@@ -1154,6 +1167,7 @@ BNLJ_CONSTANT_SIDE = {
     "heavy_hitter_users", "jl_projection_topk", "kaplan_meier_churn",
     "kmeans_embeddings", "kmv_distinct_intersection", "ndcg_at_k",
     "q11_important_stock", "q22_dormant_customers", "quantile_disc",
+    "semantic_dedup",
     "similarity_ivf_topk", "similarity_topk_cosine", "tfidf_top_terms",
     "triangle_count", "unigram_lm_score", "vocab_coverage",
     "walk_forward_splits",

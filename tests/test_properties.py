@@ -1217,3 +1217,75 @@ def test_embedding_neardup_matches_numpy_band_reference(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
     assert want, "vacuous reference: no pairs above threshold at sf0.001"
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """semantic_dedup must equal a numpy re-derivation of the SAME
+    contract — quantize, 2 Lloyd rounds (integer squared distances,
+    argmin tie on lowest cid, HALF_UP-rounded integer centroids), then
+    the within-cluster earlier-neighbor prune at rounded cosine >=
+    threshold — computed independently of Spark expressions AND the
+    DuckDB SQL. Catches a shared assignment/rounding formula error the
+    oracle diff cannot (both engines share the WITH-chain algebra)."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        SEMDEDUP_CLUSTER_TARGET,
+        SEMDEDUP_THRESHOLD,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, V = ids[order], np.stack(emb["embedding"].to_numpy())[order]
+    q = np.rint(V.astype(np.float64) * 10000).astype(np.int64)
+    k = max(8, len(ids) // SEMDEDUP_CLUSTER_TARGET)
+    cents = q[ids < k].copy()  # seeds: first k ids
+    assign = None
+    for it in range(2):
+        # integer squared distances, argmin with lowest-cid tiebreak
+        d = (
+            (q * q).sum(1)[:, None]
+            - 2 * (q @ cents.T)
+            + (cents * cents).sum(1)[None, :]
+        )
+        assign = d.argmin(1)  # numpy argmin takes the FIRST (lowest cid) min
+        if it == 0:
+            new = np.zeros_like(cents, dtype=np.float64)
+            for c in range(k):
+                m = q[assign == c]
+                mean = m.sum(0) / len(m)
+                # HALF_UP like Spark/DuckDB ROUND (not banker's rint):
+                # away from zero on either sign
+                new[c] = np.where(
+                    mean >= 0, np.floor(mean + 0.5), np.ceil(mean - 0.5)
+                )
+            cents = new.astype(np.int64)
+    dropped = set()
+    for c in range(k):
+        members = np.where(assign == c)[0]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                cos = q[i] @ q[j] / np.sqrt(
+                    float(q[i] @ q[i]) * float(q[j] @ q[j])
+                )
+                if round(cos, 6) >= SEMDEDUP_THRESHOLD:
+                    dropped.add(int(ids[j]))
+    want = {
+        int(ids[i]): (int(assign[i]), 0 if int(ids[i]) in dropped else 1)
+        for i in range(len(ids))
+    }
+    out = e.queries()["semantic_dedup"](spark, SF_DIR).collect()
+    got = {r.vec_id: (r.cluster, r.kept) for r in out}
+    assert got == want, (
+        len(got),
+        len(want),
+        dict(list({k2: (got[k2], want[k2]) for k2 in got
+                   if got[k2] != want[k2]}.items())[:5]),
+    )
+    assert dropped, "vacuous reference: nothing dropped at sf0.001"
