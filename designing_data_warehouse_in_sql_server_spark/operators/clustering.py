@@ -119,11 +119,15 @@ def semantic_dedup(
     (id_col, cluster, kept 1/0).
 
     Scale: the cluster-blocked self-join costs sum_c |c|^2 pairs, so
-    ``k`` must grow with the corpus to bound cluster size (the paper
-    uses ~100k clusters at web scale; the registered query derives
-    k = max(8, n // 256) from footer metadata). The Lloyd rounds are
-    broadcast-join + hash-aggregate shaped (see kmeans_fixed); the
-    prune is ONE equi-join on cid — never an all-pairs product.
+    ``k`` must grow with the corpus to bound cluster size; but Lloyd
+    assignment costs O(n*k), so the exact algorithm's total is
+    minimized at k = sqrt(n) — O(n^1.5), which the registered query
+    derives from footer metadata. (The paper's web-scale regime fixes
+    cluster SIZE and pays assignment approximately on GPUs/faiss; the
+    in-engine analog is IVF-pruned assignment, approximate and hence
+    not the oracle-checked form.) The Lloyd rounds are broadcast-join +
+    hash-aggregate shaped (see kmeans_fixed); the prune is ONE
+    equi-join on cid — never an all-pairs product.
     """
     q = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
     member = (

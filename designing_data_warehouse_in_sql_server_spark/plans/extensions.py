@@ -1643,15 +1643,20 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine pruning WITHIN clusters only. Keep rule is the deterministic
 # lowest-id variant (see operators/clustering.py semantic_dedup).
 #
-# Scale: k is derived from the footer row count (n // 256, min 8) so
-# average cluster size — and with it the sum_c |c|^2 pair volume — stays
-# bounded as the corpus grows; the paper's web-scale runs use ~100k
-# clusters for exactly this reason. The oracle computes the same k from
-# COUNT(*). Threshold chosen non-vacuous: kept AND dropped rows exist at
-# every test SF (sf0.01: 21 of 500 dropped).
+# Scale: k is derived from the footer row count as max(8, floor(sqrt(n)))
+# — the BALANCED choice for the exact algorithm: Lloyd assignment costs
+# O(n*k) and the within-cluster prune O(n * n/k), which equalize at
+# k = sqrt(n) for O(n^1.5) total, the minimum any exact
+# cluster-then-prune can pay. (The paper's web-scale runs instead fix
+# cluster SIZE and pay the n*k assignment approximately on GPUs/faiss;
+# the in-engine analog of that regime is IVF-pruned assignment —
+# similarity_ivf_topk's machinery — which is approximate and therefore
+# not the oracle-checked form.) The oracle computes the same k from
+# COUNT(*); FLOOR(SQRT(n)) in double equals isqrt at any realistic
+# corpus size (first divergence needs n ~ 2^52). Threshold chosen
+# non-vacuous: kept AND dropped rows exist at every test SF.
 # ---------------------------------------------------------------------------
 SEMDEDUP_THRESHOLD = 0.4
-SEMDEDUP_CLUSTER_TARGET = 256
 
 
 def _sql_cosine_preq(qa: str, qb: str) -> str:
@@ -1667,7 +1672,7 @@ def _sql_cosine_preq(qa: str, qb: str) -> str:
 
 SEMDEDUP_ORACLE = f"""
 WITH q AS (SELECT vec_id, {SQL_QUANT.format(v='embedding')} AS qv FROM embeddings),
-kp AS (SELECT GREATEST(8, COUNT(*) // {SEMDEDUP_CLUSTER_TARGET}) AS k FROM q),
+kp AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k FROM q),
 c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < (SELECT k FROM kp)),
 d1 AS (
   SELECT q.vec_id, c.cid, {_sql_dist('q.qv', 'c.cv')} AS dist
@@ -1714,11 +1719,13 @@ FROM member m LEFT JOIN dropped d ON m.vec_id = d.vec_id
 
 @register("semantic_dedup", SEMDEDUP_ORACLE)
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators.clustering import semantic_dedup
     from ..sources.parquet import table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(8, table_row_count(sf_dir, "embeddings") // SEMDEDUP_CLUSTER_TARGET)
+    k = max(8, math.isqrt(table_row_count(sf_dir, "embeddings")))
     return semantic_dedup(
         emb, k=k, threshold=SEMDEDUP_THRESHOLD, iterations=2
     )

@@ -493,6 +493,31 @@ FRONTIER_MISC = (
 )
 
 
+# Round-8 fourth wave: the grouped two-phase prefix-sum family in its
+# FORCED two-phase form (WINDOW_FORM_MAX_ROWS=-1, like the heavies
+# mode) at 100x — certifies the round-7 weighted-median fix (the r6
+# per-group single-task sort ceiling) at frontier scale: per-task work
+# must stay partition-bounded, driver barriers #partitions-bounded.
+# percent_rank_global is deliberately NOT here: it reads `part`, which
+# the frontier recipe passes through unscaled, so its ratio would
+# certify nothing (auc_roc's embeddings DO scale via scale_text).
+FRONTIER_TWOPHASE = (
+    "weighted_median",
+    "conversion_lag_median",
+    "auc_roc",
+)
+
+
+# Round-8 fifth wave: semantic_dedup (SemDeDup cluster-then-prune) —
+# the exact algorithm is O(n^1.5) by construction (k = sqrt(n) balances
+# O(n*k) Lloyd assignment against the O(n * n/k) within-cluster prune),
+# so the honest expectation at 100x data is a ratio well ABOVE 100x on
+# the compute term, damped by fixed overhead at 1x; the probe records
+# where the crossover sits and the adjudication explains the n^1.5
+# contract (with IVF-pruned assignment as the approximate path past it).
+FRONTIER_SEMDEDUP = ("semantic_dedup",)
+
+
 # mode -> (query names, scale documents/embeddings too)
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
@@ -501,6 +526,8 @@ _FRONTIER_MODES = {
     "frontier_r8": (FRONTIER_R8, True),
     "frontier_dedup": (FRONTIER_DEDUP, True),
     "frontier_misc": (FRONTIER_MISC, True),
+    "frontier_twophase": (FRONTIER_TWOPHASE, True),
+    "frontier_semdedup": (FRONTIER_SEMDEDUP, True),
 }
 
 
@@ -510,6 +537,11 @@ def main() -> None:
         return
     mode = os.environ.get("SPARK_GRAFT_PROBE_MODE", "")
     if mode in _FRONTIER_MODES:
+        if mode == "frontier_twophase":
+            # the claim under test is the forced two-phase dispatch
+            from designing_data_warehouse_in_sql_server_spark.operators import ids
+
+            ids.WINDOW_FORM_MAX_ROWS = -1
         names, scale_text = _FRONTIER_MODES[mode]
         run_frontier(mode, names, scale_text_tables=scale_text)
         return

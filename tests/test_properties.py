@@ -1227,11 +1227,12 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     threshold — computed independently of Spark expressions AND the
     DuckDB SQL. Catches a shared assignment/rounding formula error the
     oracle diff cannot (both engines share the WITH-chain algebra)."""
+    import math
+
     import numpy as np
 
     import __spark_entry__ as e
     from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
-        SEMDEDUP_CLUSTER_TARGET,
         SEMDEDUP_THRESHOLD,
     )
     from tests.conftest import SF_DIR
@@ -1243,7 +1244,7 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     order = np.argsort(ids)
     ids, V = ids[order], np.stack(emb["embedding"].to_numpy())[order]
     q = np.rint(V.astype(np.float64) * 10000).astype(np.int64)
-    k = max(8, len(ids) // SEMDEDUP_CLUSTER_TARGET)
+    k = max(8, math.isqrt(len(ids)))
     cents = q[ids < k].copy()  # seeds: first k ids
     assign = None
     for it in range(2):
