@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine_q, dot_q, quantized
+from .similarity import dot_q, quantized
 
 
 def _assign_rounds(
@@ -135,14 +135,32 @@ def semantic_dedup(
         .select(id_col, "cid")
         .join(q, id_col)
     )
+    # member is referenced THREE times below (both self-join sides and
+    # the keep-flag join): materialize the Lloyd result ONCE — without
+    # this, Spark re-executes the whole iterative assignment DAG per
+    # reference (measured 14.3 s -> 5.4 s at sf0.1). Same eager-
+    # checkpoint discipline as the other iterative kernels (pagerank /
+    # connected components); the relation is O(n) rows of
+    # (id, cid, quantized vector). The squared norm is computed here,
+    # ONCE per member, not per candidate pair — the prune join then
+    # evaluates one dot product per pair instead of three.
+    member = member.withColumn(
+        "__n2", dot_q(F.col("__qv"), F.col("__qv"))
+    ).localCheckpoint(eager=True)
     a = member.select(
-        F.col(id_col).alias("__ida"), "cid", F.col("__qv").alias("__qa")
+        F.col(id_col).alias("__ida"), "cid",
+        F.col("__qv").alias("__qa"), F.col("__n2").alias("__n2a"),
     )
     b = member.select(
-        F.col(id_col).alias("__idb"), "cid", F.col("__qv").alias("__qb")
+        F.col(id_col).alias("__idb"), "cid",
+        F.col("__qv").alias("__qb"), F.col("__n2").alias("__n2b"),
     )
     # rounded cosine (6dp, matching the oracle) over exact integer dots
-    cos = F.round(cosine_q(F.col("__qa"), F.col("__qb")), 6)
+    cos = F.round(
+        dot_q(F.col("__qa"), F.col("__qb")).cast("double")
+        / F.sqrt(F.col("__n2a").cast("double") * F.col("__n2b").cast("double")),
+        6,
+    )
     dropped = (
         a.join(b, "cid")
         .filter(F.col("__ida") < F.col("__idb"))

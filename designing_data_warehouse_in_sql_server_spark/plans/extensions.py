@@ -309,8 +309,8 @@ SQL_DOT = (
 )
 
 
-def _sql_cosine(a: str, b: str) -> str:
-    qa, qb = SQL_QUANT.format(v=a), SQL_QUANT.format(v=b)
+def _sql_cosine_preq(qa: str, qb: str) -> str:
+    """Rounded cosine over ALREADY-quantized integer lists."""
     dot_ab = SQL_DOT.format(a=qa, b=qb)
     dot_aa = SQL_DOT.format(a=qa, b=qa)
     dot_bb = SQL_DOT.format(a=qb, b=qb)
@@ -318,6 +318,10 @@ def _sql_cosine(a: str, b: str) -> str:
         f"ROUND(CAST({dot_ab} AS DOUBLE) / "
         f"SQRT(CAST({dot_aa} AS DOUBLE) * CAST({dot_bb} AS DOUBLE)), 6)"
     )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return _sql_cosine_preq(SQL_QUANT.format(v=a), SQL_QUANT.format(v=b))
 
 
 TOPK_COSINE_ORACLE = f"""
@@ -1657,17 +1661,6 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-vacuous: kept AND dropped rows exist at every test SF.
 # ---------------------------------------------------------------------------
 SEMDEDUP_THRESHOLD = 0.4
-
-
-def _sql_cosine_preq(qa: str, qb: str) -> str:
-    """_sql_cosine over ALREADY-quantized integer lists."""
-    dot_ab = SQL_DOT.format(a=qa, b=qb)
-    dot_aa = SQL_DOT.format(a=qa, b=qa)
-    dot_bb = SQL_DOT.format(a=qb, b=qb)
-    return (
-        f"ROUND(CAST({dot_ab} AS DOUBLE) / "
-        f"SQRT(CAST({dot_aa} AS DOUBLE) * CAST({dot_bb} AS DOUBLE)), 6)"
-    )
 
 
 SEMDEDUP_ORACLE = f"""

@@ -385,20 +385,27 @@ FRONTIER_R7 = ("bfs_khop", "set_similarity_prefix_join", "covariance_matrix")
 
 
 def run_frontier(
-    mode: str, names: tuple[str, ...], scale_text_tables: bool = False
+    mode: str, names: tuple[str, ...], scale_text_tables: bool = False,
+    scale_fact_tables: bool = True,
 ) -> None:
     """Shared frontier runner: 1x vs SCALE-x on the lineitem/orders/
     events key-offset tables; dimensions (incl. supplier — seed sets
     like bfs/bellman's s_suppkey <= K live in the first key-offset copy
     by design) pass through unscaled. ``scale_text_tables`` additionally
     replaces the documents/embeddings passthrough with the salted-vocab
-    / rotated-vector scaling (modes whose kernels read them)."""
+    / rotated-vector scaling (modes whose kernels read them).
+    ``scale_fact_tables=False`` skips the lineitem/orders/events build
+    entirely for modes whose queries read only the text tables — at
+    SCALE=100 that build is minutes of wall clock and GBs of disk spent
+    on passthrough scaffolding nobody scans."""
     import tempfile
 
     global _SCALED_TABLES, _PASSTHROUGH
-    _SCALED_TABLES = _FRONTIER_TABLES
+    _SCALED_TABLES = _FRONTIER_TABLES if scale_fact_tables else {}
     _PASSTHROUGH = ("region", "nation", "documents", "embeddings", "supplier",
                     "customer", "part")
+    if not scale_fact_tables:
+        _PASSTHROUGH = ()
 
     spark = get_spark(f"ddw-scaling-probe-{mode}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -527,7 +534,8 @@ _FRONTIER_MODES = {
     "frontier_dedup": (FRONTIER_DEDUP, True),
     "frontier_misc": (FRONTIER_MISC, True),
     "frontier_twophase": (FRONTIER_TWOPHASE, True),
-    "frontier_semdedup": (FRONTIER_SEMDEDUP, True),
+    # semantic_dedup reads embeddings only: skip the 100x fact build
+    "frontier_semdedup": (FRONTIER_SEMDEDUP, True, False),
 }
 
 
@@ -542,8 +550,11 @@ def main() -> None:
             from designing_data_warehouse_in_sql_server_spark.operators import ids
 
             ids.WINDOW_FORM_MAX_ROWS = -1
-        names, scale_text = _FRONTIER_MODES[mode]
-        run_frontier(mode, names, scale_text_tables=scale_text)
+        spec = _FRONTIER_MODES[mode]
+        names, scale_text = spec[0], spec[1]
+        scale_facts = spec[2] if len(spec) > 2 else True
+        run_frontier(mode, names, scale_text_tables=scale_text,
+                     scale_fact_tables=scale_facts)
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier":
         main_frontier()

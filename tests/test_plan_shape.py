@@ -1108,12 +1108,14 @@ def test_bpe_encode_corpus_vocab_join_shape(spark):
 
 
 def test_semantic_dedup_plan(spark):
-    """SemDeDup prune: Lloyd assignment over broadcast constant-size
-    centroids feeds ONE cid-keyed equi self-join (the cluster is the
-    blocking key) and a left join on the dropped-id set. Never an
-    all-pairs product, no windows, no single-partition exchange — the
-    pair volume is bounded by cluster size, which the registered query
-    bounds by deriving k from the row count."""
+    """SemDeDup prune: the Lloyd assignment runs eagerly behind the
+    operator's localCheckpoint (the iterative-kernel pattern), so the
+    RETURNED plan is the prune itself — ONE cid-keyed equi self-join
+    (the cluster is the blocking key) and a left join on the dropped-id
+    set. Never an all-pairs product, no windows, no single-partition
+    exchange — the pair volume is bounded by cluster size, which the
+    registered query bounds by deriving k = isqrt(n) from the footer
+    row count."""
     plan = _plan(QS["semantic_dedup"](spark, SF_DIR))
     assert "SinglePartition" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
@@ -1161,13 +1163,16 @@ SINGLE_PARTITION_BOUNDED = {
 # side of a top-k, a fold/percentile spec). Every member below is that
 # shape; a new entry means a non-equi join crept in whose broadcast
 # side must be proven constant-size (or the join re-keyed) before
-# whitelisting.
+# whitelisting. (semantic_dedup's centroid broadcast is k = isqrt(n)
+# rows — sqrt-bounded rather than constant, justified in
+# operators/clustering.py — but it executes EAGERLY behind the
+# operator's localCheckpoint, so the returned plan carries no BNLJ and
+# the query is deliberately NOT in this set.)
 BNLJ_CONSTANT_SIDE = {
     "approx_distinct_rollup", "association_rules", "bm25_search",
     "heavy_hitter_users", "jl_projection_topk", "kaplan_meier_churn",
     "kmeans_embeddings", "kmv_distinct_intersection", "ndcg_at_k",
     "q11_important_stock", "q22_dormant_customers", "quantile_disc",
-    "semantic_dedup",
     "similarity_ivf_topk", "similarity_topk_cosine", "tfidf_top_terms",
     "triangle_count", "unigram_lm_score", "vocab_coverage",
     "walk_forward_splits",

@@ -1237,37 +1237,61 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     )
     from tests.conftest import SF_DIR
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up(x: float, places: int) -> float:
+        # Spark ROUND semantics exactly: the double's SHORTEST decimal
+        # repr, then HALF_UP at `places` (NOT np.rint/round(), which are
+        # half-to-even on the binary value — they diverge on exact
+        # dyadic values like 0.03125*10000 = 312.5)
+        quantum = Decimal(1).scaleb(-places)
+        return float(
+            Decimal(repr(float(x))).quantize(quantum, rounding=ROUND_HALF_UP)
+        )
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id", "embedding"
     ).toPandas()
     ids = emb["vec_id"].to_numpy()
     order = np.argsort(ids)
     ids, V = ids[order], np.stack(emb["embedding"].to_numpy())[order]
-    q = np.rint(V.astype(np.float64) * 10000).astype(np.int64)
+    q = np.array(
+        [
+            [int(half_up(v * 10000.0, 0)) for v in row]
+            for row in V.astype(np.float64)
+        ],
+        dtype=np.int64,
+    )
     k = max(8, math.isqrt(len(ids)))
-    cents = q[ids < k].copy()  # seeds: first k ids
+    # centroids keyed by the SEED'S ACTUAL vec_id (the engines' cid) —
+    # robust to non-dense id spaces; empty clusters vanish from the
+    # round-2 set exactly like the engines' groupBy
+    cents = {int(ids[i]): q[i].copy() for i in range(len(ids)) if ids[i] < k}
     assign = None
     for it in range(2):
-        # integer squared distances, argmin with lowest-cid tiebreak
+        cids = sorted(cents)
+        cmat = np.stack([cents[c] for c in cids])
+        # integer squared distances; argmin takes the FIRST min, and
+        # cids are sorted, so ties break on the lowest cid
         d = (
             (q * q).sum(1)[:, None]
-            - 2 * (q @ cents.T)
-            + (cents * cents).sum(1)[None, :]
+            - 2 * (q @ cmat.T)
+            + (cmat * cmat).sum(1)[None, :]
         )
-        assign = d.argmin(1)  # numpy argmin takes the FIRST (lowest cid) min
+        assign = np.array([cids[p] for p in d.argmin(1)])
         if it == 0:
-            new = np.zeros_like(cents, dtype=np.float64)
-            for c in range(k):
+            new = {}
+            for c in cids:
                 m = q[assign == c]
+                if len(m) == 0:
+                    continue  # empty cluster: no centroid next round
                 mean = m.sum(0) / len(m)
-                # HALF_UP like Spark/DuckDB ROUND (not banker's rint):
-                # away from zero on either sign
-                new[c] = np.where(
-                    mean >= 0, np.floor(mean + 0.5), np.ceil(mean - 0.5)
+                new[c] = np.array(
+                    [int(half_up(x, 0)) for x in mean], dtype=np.int64
                 )
-            cents = new.astype(np.int64)
+            cents = new
     dropped = set()
-    for c in range(k):
+    for c in sorted(set(assign)):
         members = np.where(assign == c)[0]
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
@@ -1275,7 +1299,7 @@ def test_semantic_dedup_matches_numpy_reference(spark):
                 cos = q[i] @ q[j] / np.sqrt(
                     float(q[i] @ q[i]) * float(q[j] @ q[j])
                 )
-                if round(cos, 6) >= SEMDEDUP_THRESHOLD:
+                if half_up(cos, 6) >= SEMDEDUP_THRESHOLD:
                     dropped.add(int(ids[j]))
     want = {
         int(ids[i]): (int(assign[i]), 0 if int(ids[i]) in dropped else 1)
