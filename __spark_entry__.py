@@ -31,17 +31,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
 # the official oracle check each round. Round 8 priorities (VERDICT r7
-# items 1-2): (a) the 4 queries whose implementation changed or was
+# items 1-2): (a) the 10 queries whose implementation changed or was
 # registered this round — the de-vacuated embedding_neardup_pairs
 # (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
 # (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
 # filter added at candidate generation), the new bpe_encode_corpus
-# (apply the trained merges, per-document sequence lengths), and the new
-# semantic_dedup (SemDeDup cluster-then-prune); then (b) 45
+# (apply the trained merges, per-document sequence lengths),
+# semantic_dedup (SemDeDup cluster-then-prune), hilbert_layout_key
+# (space-filling-curve layout twin of zorder), spearman_rank_corr
+# (mid-rank correlation via prefix-summed counts),
+# ks_test_two_sample (exact-integer ECDF gap), js_divergence_sources
+# (vocabulary drift, closed-form absent-mass), and
+# temperature_mix_weights (n^alpha corpus re-balancing); then (b) 40
 # slots of STALE ROTATION — all 35 queries whose latest green driver row is
 # r3, then the r4-stale set, core-parity flagship_revenue /
 # json_extract_events and the heavily-reused dedup pair first, the rest
-# alphabetical. The 34 remaining r4-stale queries past the boundary are
+# alphabetical. The remaining r4-stale queries past the boundary are
 # queued first for round 9. Every query is also oracle-diffed locally in
 # tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
@@ -51,6 +56,11 @@ _CHECK_FIRST = (
     "set_similarity_prefix_join",
     "bpe_encode_corpus",
     "semantic_dedup",
+    "hilbert_layout_key",
+    "spearman_rank_corr",
+    "ks_test_two_sample",
+    "js_divergence_sources",
+    "temperature_mix_weights",
     # (b) stale rotation: the 35 r3-latest queries, alphabetical
     "boilerplate_removal",
     "corr_regression_stats",
@@ -94,13 +104,13 @@ _CHECK_FIRST = (
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "approx_distinct",
+    # --- 50-query window boundary is here. Below: the round-9 queue
+    # (the remaining r4-stale queries, alphabetical) ---
     "approx_percentiles",
     "basket_brand_pairs",
     "corpus_bigram_topk",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    # --- 50-query window boundary is here. Below: the round-9 queue
-    # (the remaining r4-stale queries, alphabetical) ---
     "dyadic_ewma",
     "events_sliding_window",
     "events_tumbling_window",

@@ -583,6 +583,72 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout key (round 8): the space-filling-curve alternative
+# to zorder_layout_key with strictly better locality — every unit step
+# along the Hilbert curve moves exactly one grid cell (Morton jumps
+# across the plane at power-of-two boundaries), so files sorted by hkey
+# cover more compact 2-D regions and min/max pruning keeps more files
+# out per predicate. Delta's liquid clustering uses this curve for
+# exactly that reason. Same clustering dimensions as the z-order twin
+# (o_custkey x order epoch-day), so the two layouts are comparable.
+#
+# Scale: a pure per-row BIGINT projection (16 chained rotate/reflect
+# levels, only div/%/CASE/+/* — sources/layout.py hilbert_key), no UDF,
+# no shuffle; the layout step itself (repartitionByRange on the key) is
+# exercised in tests like the z-order write path.
+# ---------------------------------------------------------------------------
+def _hilbert_sql(bits: int = 16) -> str:
+    """DuckDB mirror of sources/layout.py hilbert_key: one chained CTE
+    per bit level (linear SQL size; a textual substitution of the
+    recurrence would blow up exponentially). ``//`` is DuckDB's integer
+    floor division; values are nonnegative so it matches Spark's
+    truncating cast."""
+    n = 1 << bits
+    ctes = [
+        f"h{bits} AS (SELECT o_orderkey, "
+        f"CAST(o_custkey AS BIGINT) % {n} AS hx, "
+        f"CAST(DATE_DIFF('day', DATE '1992-01-01', o_orderdate) AS BIGINT) % {n} AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM orders)"
+    ]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"(hx // {s}) % 2"
+        ry = f"(hy // {s}) % 2"
+        ctes.append(
+            f"h{level} AS (SELECT o_orderkey, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END "
+            f"ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END "
+            f"ELSE hy END AS hy, "
+            f"hd + {s * s} * (CASE WHEN {rx} = 1 AND {ry} = 0 THEN 3 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"WHEN {ry} = 1 THEN 1 ELSE 0 END) AS hd "
+            f"FROM h{level + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT o_orderkey, hd AS hkey FROM h0"
+    )
+
+
+HILBERT_ORACLE = _hilbert_sql()
+
+
+@register("hilbert_layout_key", HILBERT_ORACLE)
+def hilbert_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.layout import with_hilbert_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1992-01-01')").alias("epoch_days"),
+    )
+    return with_hilbert_key(
+        base, F.col("o_custkey"), F.col("epoch_days"), "hkey"
+    ).select("o_orderkey", "hkey")
+
+
 # ===========================================================================
 # Event-behavior analytics + statistical aggregates (batch 2)
 # ===========================================================================
@@ -3447,4 +3513,202 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docw.join(enc, "w")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_words"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation of quantity vs price per return flag
+# (round 8): the robust, monotonic-association companion to
+# corr_regression_stats' Pearson (outlier-insensitive; detects any
+# monotone relation, not just linear). Definition: Pearson correlation
+# of the mid-rank (average-rank) transforms, the standard tie
+# convention. Ranks are carried as DOUBLED mid-ranks r2 = 2·(#rows
+# below) + (#ties) + 1 — exact BIGINTs (a mid-rank can be x.5), and
+# correlation is scale/shift-invariant, so corr(r2q, r2p) IS the
+# Spearman coefficient with zero float drift in the rank inputs.
+#
+# Scale: never a window over the fact. Each variable's rank map is
+# built on its per-(group, DISTINCT value) counts relation via the
+# size-adaptive grouped prefix-sum (two-phase range-partitioned above
+# WINDOW_FORM_MAX_ROWS — no per-group single-task sort), then joined
+# back: the quantity map is tiny (3 groups x 50 values, broadcast);
+# the price map is a hash equi-join on (group, value) — parallel,
+# never a sort of the fact through one task. Final Spearman is one
+# 3-group hash aggregate of streaming moments.
+# ---------------------------------------------------------------------------
+SPEARMAN_ORACLE = """
+WITH cq AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), rq AS (
+  SELECT g, v,
+         2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY v) - cnt) + cnt + 1 AS r2
+  FROM cq
+), cp AS (
+  SELECT l_returnflag AS g, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), rp AS (
+  SELECT g, v,
+         2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY v) - cnt) + cnt + 1 AS r2
+  FROM cp
+)
+SELECT li.l_returnflag,
+       ROUND(CORR(rq.r2, rp.r2), 6) AS spearman_qty_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem li
+JOIN rq ON rq.g = li.l_returnflag AND rq.v = CAST(li.l_quantity AS BIGINT)
+JOIN rp ON rp.g = li.l_returnflag
+       AND rp.v = CAST(ROUND(li.l_extendedprice * 100) AS BIGINT)
+GROUP BY li.l_returnflag
+"""
+
+
+@register("spearman_rank_corr", SPEARMAN_ORACLE)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import grouped_prefix_sum
+    from ..sources.parquet import table_row_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # footer row count: free upper bound on the largest group's distinct
+    # values for the size-adaptive prefix-sum dispatch (same pattern as
+    # weighted_median)
+    hint = table_row_count(sf_dir, "lineitem")
+    fact = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("qv"),
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("pv"),
+    )
+
+    def rank_map(vcol: str) -> DataFrame:
+        counts = fact.groupBy("g", F.col(vcol).alias("v")).agg(
+            F.count("*").alias("cnt")
+        )
+        cum = grouped_prefix_sum(
+            counts, "cnt", ["g"], ["v"], "cum", rows_per_group_hint=hint
+        )
+        # doubled mid-rank: 2*(rows strictly below) + ties + 1, exact BIGINT
+        return cum.select(
+            "g",
+            F.col("v").alias(vcol),
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1).alias(
+                "r2" + vcol
+            ),
+        )
+
+    joined = fact.join(rank_map("qv"), ["g", "qv"]).join(
+        rank_map("pv"), ["g", "pv"]
+    )
+    return (
+        joined.groupBy("g")
+        .agg(
+            F.round(F.corr("r2qv", "r2pv"), 6).alias("spearman_qty_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"), "spearman_qty_price", "n_rows"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of each source's token distribution vs the
+# REST of the corpus (round 8): the bounded, symmetric drift measure
+# ([0, 1] in bits) used to flag domains whose language diverges from
+# the corpus — the corpus-curation companion to psi_drift_bins (PSI
+# needs bins and diverges on disjoint support; JSD is binning-free over
+# the vocabulary and always finite). Same whitespace tokenizer as the
+# tf-idf / unigram-LM family.
+#
+# No vocabulary grid: a token ABSENT from source s (p = 0, rest mass
+# q > 0) contributes exactly 0.5·q·log2(2q/q) = 0.5·q bits, so the sum
+# over all absent tokens collapses to the closed form
+# 0.5·(1 - Σ_present q) — the computation touches only the PRESENT
+# (source, token) pairs, linear in the distinct-pair count, never
+# |vocab| x |sources|.
+#
+# Scale: one explode + hash aggregate to (source, token) counts; token
+# totals hash-join back on the token (parallel equi-join); source
+# totals (|sources| rows) and the grand total (1 row) broadcast. The
+# per-source reduction is a ~|sources|-row hash aggregate. Per-pair
+# terms are deterministic doubles on exact integer counts; only the
+# per-source sum's accumulation order is engine-internal (same class
+# as CORR's moments), ROUND 6.
+# ---------------------------------------------------------------------------
+JSD_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), pair AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM toks GROUP BY 1, 2
+), tok_tot AS (
+  SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM pair GROUP BY tok
+), src_tot AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM pair GROUP BY source
+), grand AS (
+  SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM pair
+), terms AS (
+  SELECT p.source,
+         CAST(p.c_st AS DOUBLE) / s.n_s AS prob_p,
+         CAST(t.c_t - p.c_st AS DOUBLE) / (g.n - s.n_s) AS prob_q
+  FROM pair p
+  JOIN tok_tot t USING (tok)
+  JOIN src_tot s USING (source)
+  CROSS JOIN grand g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_present,
+       ROUND(SUM(0.5 * prob_p * LN(2.0 * prob_p / (prob_p + prob_q)) / LN(2.0)
+                 + CASE WHEN prob_q > 0
+                        THEN 0.5 * prob_q * LN(2.0 * prob_q / (prob_p + prob_q)) / LN(2.0)
+                        ELSE 0.0 END)
+             + 0.5 * (1.0 - SUM(prob_q)), 6) AS jsd_bits_vs_rest
+FROM terms
+GROUP BY source
+"""
+
+
+@register("js_divergence_sources", JSD_ORACLE)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pair = (
+        docs.select("source", F.explode(words_col(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c_st"))
+    )
+    tok_tot = pair.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    src_tot = pair.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    grand = pair.agg(F.sum("c_st").alias("n"))
+    terms = (
+        pair.join(tok_tot, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            (F.col("c_st").cast("double") / F.col("n_s")).alias("prob_p"),
+            (
+                (F.col("c_t") - F.col("c_st")).cast("double")
+                / (F.col("n") - F.col("n_s"))
+            ).alias("prob_q"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    present = 0.5 * F.col("prob_p") * F.log(
+        2.0 * F.col("prob_p") / (F.col("prob_p") + F.col("prob_q"))
+    ) / ln2 + F.when(
+        F.col("prob_q") > 0,
+        0.5
+        * F.col("prob_q")
+        * F.log(2.0 * F.col("prob_q") / (F.col("prob_p") + F.col("prob_q")))
+        / ln2,
+    ).otherwise(0.0)
+    return terms.groupBy("source").agg(
+        F.count("*").alias("vocab_present"),
+        F.round(
+            F.sum(present) + 0.5 * (1.0 - F.sum("prob_q")), 6
+        ).alias("jsd_bits_vs_rest"),
     )

@@ -746,3 +746,151 @@ def group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folds.groupBy("fold").agg(
         F.count("*").alias("n_groups"), F.sum("cnt").alias("n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled dataset mixing weights (round 8): per-source
+# sampling weights proportional to n_docs^ALPHA — the standard
+# temperature/UniMax-style corpus re-balancing used in multilingual and
+# multi-domain LLM training (alpha < 1 up-weights small sources
+# relative to proportional sampling; alpha = 1 recovers it, alpha = 0
+# is uniform). Emits each source's weight and its expected epoch count
+# at a fixed document budget, the quantity that flags over-epoching of
+# small domains BEFORE a training run.
+#
+# Scale: one fact-sized hash aggregate to the per-source counts
+# (map-side partials), one 1-row normalizer broadcast back — the
+# weight computation never rescans the corpus. POWER on the exact
+# integer counts is a single-shot double on identical inputs in both
+# engines, ROUND 6.
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.7
+MIX_DOC_BUDGET = 100_000
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents GROUP BY source
+), z AS (
+  SELECT SUM(POWER(n_docs, {MIX_ALPHA})) AS z FROM per_src
+)
+SELECT source, n_docs, n_chars_total,
+       ROUND(POWER(n_docs, {MIX_ALPHA}) / z, 6) AS weight,
+       ROUND(POWER(n_docs, {MIX_ALPHA}) / z * {MIX_DOC_BUDGET} / n_docs, 4)
+         AS epochs_at_budget
+FROM per_src, z
+"""
+
+
+@register("temperature_mix_weights", TEMPERATURE_MIX_ORACLE)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total")
+    )
+    z = per_src.agg(F.sum(F.pow("n_docs", F.lit(MIX_ALPHA))).alias("z"))
+    w = F.pow("n_docs", F.lit(MIX_ALPHA)) / F.col("z")
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(w, 6).alias("weight"),
+        F.round(w * MIX_DOC_BUDGET / F.col("n_docs"), 4).alias("epochs_at_budget"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (round 8): D = max_x |F1(x) -
+# F2(x)| between the event-value distributions of two event types — the
+# classic distribution-drift test next to psi_drift_bins (PSI needs a
+# binning choice; KS is binning-free and exact). The unscaled statistic
+# d_num = max |cum1*N2 - cum2*N1| is carried as an EXACT BIGINT (the
+# ECDF difference over the common denominator N1*N2), so the max, the
+# arg-max value, and the hash comparison are integer-exact; only the
+# final normalized D is a single-shot double division, ROUND 6.
+#
+# Scale: the fact collapses to per-distinct-VALUE counts first (one
+# hash aggregate; values are 2-decimal cents, so the aggregate is
+# bounded by the price domain, not the row count); the running ECDFs
+# are windows over that domain-bounded relation — the global windows /
+# 1-row max are SinglePartition over a provably bounded input (ratchet
+# class 2). Ties between the samples at one value are handled by
+# evaluating both ECDFs AFTER the shared step, the standard convention.
+# ---------------------------------------------------------------------------
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+
+KS_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  GROUP BY 1
+), e AS (
+  SELECT cents,
+         SUM(n1) OVER (ORDER BY cents) AS cum1,
+         SUM(n2) OVER (ORDER BY cents) AS cum2,
+         SUM(n1) OVER () AS tot1,
+         SUM(n2) OVER () AS tot2
+  FROM c
+), d AS (
+  SELECT cents, ABS(cum1 * tot2 - cum2 * tot1) AS gap, tot1, tot2,
+         MAX(ABS(cum1 * tot2 - cum2 * tot1)) OVER () AS dmax
+  FROM e
+)
+SELECT CAST(MIN(cents) AS BIGINT) AS at_cents,
+       CAST(MAX(dmax) AS BIGINT) AS d_num,
+       CAST(MAX(tot1) AS BIGINT) AS n_a,
+       CAST(MAX(tot2) AS BIGINT) AS n_b,
+       ROUND(CAST(MAX(dmax) AS DOUBLE) / (MAX(tot1) * MAX(tot2)), 6) AS ks_d
+FROM d WHERE gap = dmax
+"""
+
+
+@register("ks_test_two_sample", KS_ORACLE)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    # windows over the domain-bounded counts relation share ONE sort
+    run = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    e = c.select(
+        "cents",
+        F.sum("n1").over(run).alias("cum1"),
+        F.sum("n2").over(run).alias("cum2"),
+        F.sum("n1").over(full).alias("tot1"),
+        F.sum("n2").over(full).alias("tot2"),
+    )
+    gap = F.abs(F.col("cum1") * F.col("tot2") - F.col("cum2") * F.col("tot1"))
+    d = e.select(
+        "cents",
+        gap.alias("gap"),
+        "tot1",
+        "tot2",
+        F.max(gap).over(W.partitionBy()).alias("dmax"),
+    )
+    return d.filter(F.col("gap") == F.col("dmax")).agg(
+        F.min("cents").alias("at_cents"),
+        F.max("dmax").alias("d_num"),
+        F.max("tot1").alias("n_a"),
+        F.max("tot2").alias("n_b"),
+        F.round(
+            F.max("dmax").cast("double") / (F.max("tot1") * F.max("tot2")), 6
+        ).alias("ks_d"),
+    )

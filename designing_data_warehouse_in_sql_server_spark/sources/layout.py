@@ -40,6 +40,74 @@ def morton_key(col_a: Column, col_b: Column) -> Column:
     return (spread(col_a) * 2 + spread(col_b)).cast("long")
 
 
+def with_hilbert_key(
+    df: DataFrame,
+    col_x: Column,
+    col_y: Column,
+    out_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """``df`` plus the Hilbert-curve index of two nonnegative
+    ``bits``-bit integer dimensions as ``out_col`` — the
+    space-filling-curve alternative to :func:`morton_key` with strictly
+    better locality (every unit step along the curve moves exactly one
+    grid cell, so a contiguous key range covers a compact 2-D region;
+    Morton's bit-interleave jumps across the plane at every power-of-two
+    boundary). Delta Lake's liquid clustering and several Iceberg
+    sort-order implementations use exactly this curve for
+    multi-dimensional file layout.
+
+    Standard iterative xy→d transform (public domain, the classic form
+    in the Hilbert-curve literature/Wikipedia): per bit level ``s`` from
+    the top, accumulate the quadrant offset ``s² · ((3·rx) XOR ry)`` and
+    rotate/reflect the coordinate frame. Each level's (hx, hy, hd) is
+    materialized as NAMED alias columns via one ``select`` per level —
+    building the recurrence as a single nested Column expression would
+    duplicate each level's subtree 3-4× and blow the expression tree up
+    exponentially (4^16 nodes OOMs the driver during analysis; measured).
+    With named aliases the plan is linear in ``bits``, all BIGINT
+    ``div``/``%``/CASE/``+``/``*`` — a pure per-row codegen'd
+    projection: no UDF, no shuffle, identical integer semantics on any
+    engine."""
+    n = 1 << bits
+    keep = [F.col(c) for c in df.columns]
+    out = df.select(
+        *keep,
+        (col_x.cast("long") % n).alias("__hx"),
+        (col_y.cast("long") % n).alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        # bit test without & (portability): s is a power of two, so the
+        # double division is exact and the long cast is a true floor
+        rx = (hx / s).cast("long") % 2
+        ry = (hy / s).cast("long") % 2
+        # quadrant offset: (3*rx) XOR ry over {0,1} inputs, as a CASE map
+        quad = (
+            F.when((rx == 1) & (ry == 0), F.lit(3))
+            .when((rx == 1) & (ry == 1), F.lit(2))
+            .when((rx == 0) & (ry == 1), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        # rotate/reflect the frame for the next level (classic rot()):
+        # ry == 0: reflect both coords when rx == 1 (within the full
+        # n-grid), then swap x and y; ry == 1: frame unchanged
+        refl_x = F.when(rx == 1, F.lit(n - 1).cast("long") - hx).otherwise(hx)
+        refl_y = F.when(rx == 1, F.lit(n - 1).cast("long") - hy).otherwise(hy)
+        out = out.select(
+            *keep,
+            F.when(ry == 0, refl_y).otherwise(hx).alias("__hx"),
+            F.when(ry == 0, refl_x).otherwise(hy).alias("__hy"),
+            (hd + F.lit(s).cast("long") * F.lit(s).cast("long") * quad).alias(
+                "__hd"
+            ),
+        )
+    return out.select(*keep, F.col("__hd").alias(out_col))
+
+
 def zordered_frame(df: DataFrame, dim_a: str, dim_b: str) -> DataFrame:
     """``df`` plus a ``__zkey`` Morton-key column over (dim_a, dim_b).
 

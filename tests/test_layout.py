@@ -88,3 +88,153 @@ def test_zordered_write_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
     assert set(back.columns) == set(orders.columns)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve key (round 8)
+# ---------------------------------------------------------------------------
+def _xy2d_ref(bits: int, x: int, y: int) -> int:
+    """Independent pure-Python reference: the classic iterative xy->d
+    transform from the public Hilbert-curve literature, written with
+    bitwise ops (the engine version uses only div/%/CASE)."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_grid(spark, bits: int):
+    """All (x, y, hkey) cells of the full 2^bits x 2^bits grid."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.sources.layout import (
+        with_hilbert_key,
+    )
+
+    n = 1 << bits
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    return with_hilbert_key(cells, F.col("x"), F.col("y"), "hkey", bits=bits).collect()
+
+
+def test_hilbert_key_is_a_bijection_on_the_full_grid(spark):
+    """Every cell of the 16x16 grid maps to a distinct key in
+    [0, 256) — the curve visits each cell exactly once."""
+    rows = _hilbert_grid(spark, bits=4)
+    keys = sorted(r.hkey for r in rows)
+    assert keys == list(range(256))
+
+
+def test_hilbert_consecutive_keys_are_grid_adjacent(spark):
+    """THE Hilbert property (and the one Morton lacks): consecutive
+    curve positions are neighboring grid cells — |dx| + |dy| == 1 for
+    every unit step, so a contiguous key range always covers a compact
+    connected region. Morton's bit-interleave violates this at every
+    power-of-two boundary (checked as the contrast)."""
+    rows = _hilbert_grid(spark, bits=4)
+    by_key = {r.hkey: (r.x, r.y) for r in rows}
+    for d in range(255):
+        (x0, y0), (x1, y1) = by_key[d], by_key[d + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, (d, (x0, y0), (x1, y1))
+    # contrast: Morton order takes at least one non-adjacent jump
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.sources.layout import morton_key
+
+    n = 16
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    # scale 4-bit coords up to the 16-bit domain morton_key interleaves
+    mrows = cells.select(
+        "x", "y", morton_key(F.col("x") * 4096, F.col("y") * 4096).alias("mkey")
+    ).collect()
+    m_by_key = {r.mkey: (r.x, r.y) for r in mrows}
+    mkeys = sorted(m_by_key)
+    jumps = sum(
+        1
+        for a, b in zip(mkeys, mkeys[1:])
+        if abs(m_by_key[b][0] - m_by_key[a][0])
+        + abs(m_by_key[b][1] - m_by_key[a][1])
+        > 1
+    )
+    assert jumps > 0
+
+
+def test_hilbert_key_matches_bitwise_reference_at_16_bits(spark):
+    """Engine key (div/%/CASE arithmetic) == classic bitwise reference
+    on deterministic pseudo-random 16-bit points, including the domain
+    corners."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.sources.layout import (
+        with_hilbert_key,
+    )
+
+    pts = [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (32768, 32767)]
+    seed = 1234567
+    for _ in range(200):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        x = seed % 65536
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        y = seed % 65536
+        pts.append((x, y))
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = with_hilbert_key(df, F.col("x"), F.col("y"), "hkey").collect()
+    for r in got:
+        assert r.hkey == _xy2d_ref(16, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path):
+    """Same footer-statistics skipping check as the z-order twin: files
+    range-partitioned on the Hilbert key carry per-file min/max ranges
+    tight enough that a mid-domain point predicate on EITHER dimension
+    prunes at least half the files."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.sources.layout import (
+        with_hilbert_key,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1992-01-01')").alias("epoch_days"),
+    )
+    # rescale both dims to the full 16-bit range, as the z-order writer
+    # does, so both contribute comparable key significance
+    b = orders.agg(
+        F.min("o_custkey").alias("clo"), F.max("o_custkey").alias("chi"),
+        F.min("epoch_days").alias("dlo"), F.max("epoch_days").alias("dhi"),
+    ).first()
+    sx = ((F.col("o_custkey") - b.clo) * 65535 / max(b.chi - b.clo, 1)).cast("long")
+    sy = ((F.col("epoch_days") - b.dlo) * 65535 / max(b.dhi - b.dlo, 1)).cast("long")
+    hil = str(tmp_path / "hilbert")
+    n_files = 16
+    (
+        with_hilbert_key(orders, sx, sy, "__hkey")
+        .repartitionByRange(n_files, "__hkey")
+        .sortWithinPartitions("__hkey")
+        .drop("__hkey")
+        .write.mode("overwrite")
+        .parquet(hil)
+    )
+    med = orders.selectExpr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY o_custkey) AS c",
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY epoch_days) AS d",
+    ).first()
+    for col, probe in (("o_custkey", int(med.c)), ("epoch_days", int(med.d))):
+        frac = _candidate_fraction(_file_ranges(hil, col), probe)
+        assert frac <= 0.5, (col, frac)

@@ -1144,7 +1144,8 @@ SINGLE_PARTITION_BOUNDED = {
     "cumulative_distinct_users", "customer_rfm_segmentation",
     "cusum_mean_shift", "data_quality_profile", "equi_depth_histogram",
     "fk_integrity_audit", "funnel_conversion", "group_kfold",
-    "heavy_hitter_users", "kaplan_meier_churn", "kmv_distinct_intersection",
+    "heavy_hitter_users", "js_divergence_sources", "kaplan_meier_churn",
+    "kmv_distinct_intersection", "ks_test_two_sample",
     "largest_remainder_allocation", "mutual_information",
     "ols_multi_regression", "pareto_frontier", "peak_concurrency",
     "percent_rank_global", "psi_drift_bins", "q11_important_stock",
@@ -1152,8 +1153,8 @@ SINGLE_PARTITION_BOUNDED = {
     "q19_brand_discounts", "q22_dormant_customers", "q6_revenue_forecast",
     "rolling_correlation", "rolling_median_7d", "rsi_indicator",
     "seasonal_decompose_cma", "share_of_parent", "sliding_distinct_users",
-    "systematic_sample", "tfidf_top_terms", "triangle_count",
-    "unigram_lm_score", "vocab_coverage", "welch_ttest",
+    "systematic_sample", "temperature_mix_weights", "tfidf_top_terms",
+    "triangle_count", "unigram_lm_score", "vocab_coverage", "welch_ttest",
 }
 
 
@@ -1170,12 +1171,12 @@ SINGLE_PARTITION_BOUNDED = {
 # the query is deliberately NOT in this set.)
 BNLJ_CONSTANT_SIDE = {
     "approx_distinct_rollup", "association_rules", "bm25_search",
-    "heavy_hitter_users", "jl_projection_topk", "kaplan_meier_churn",
-    "kmeans_embeddings", "kmv_distinct_intersection", "ndcg_at_k",
-    "q11_important_stock", "q22_dormant_customers", "quantile_disc",
-    "similarity_ivf_topk", "similarity_topk_cosine", "tfidf_top_terms",
-    "triangle_count", "unigram_lm_score", "vocab_coverage",
-    "walk_forward_splits",
+    "heavy_hitter_users", "jl_projection_topk", "js_divergence_sources",
+    "kaplan_meier_churn", "kmeans_embeddings", "kmv_distinct_intersection",
+    "ndcg_at_k", "q11_important_stock", "q22_dormant_customers",
+    "quantile_disc", "similarity_ivf_topk", "similarity_topk_cosine",
+    "temperature_mix_weights", "tfidf_top_terms", "triangle_count",
+    "unigram_lm_score", "vocab_coverage", "walk_forward_splits",
 }
 
 
@@ -1244,3 +1245,56 @@ def test_single_partition_and_bnlj_ratchets(spark):
         gone = allowed - got
         assert not new, f"NEW {label} plans (justify + whitelist): {sorted(new)}"
         assert not gone, f"stale {label} whitelist entries (remove): {sorted(gone)}"
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions
+# ---------------------------------------------------------------------------
+def test_hilbert_layout_key_plan_is_one_codegen_projection(spark):
+    """The Hilbert key must be a pure per-row projection: zero
+    exchanges, zero windows, zero Python — and the 16 rotate/reflect
+    levels must stay LINEAR named-alias steps (a nested single
+    expression duplicates each level's subtree 3-4x and grows the tree
+    4^16-fold; the plan-text size bound catches that regression)."""
+    plan = _plan(QS["hilbert_layout_key"](spark, SF_DIR))
+    assert "Exchange" not in plan and "Window" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan
+    assert len(plan) < 2_000_000, f"plan text {len(plan)} bytes — expression blow-up"
+
+
+def test_spearman_plan_never_windows_the_fact(spark):
+    """Ranks come from prefix-summed distinct-value COUNTS joined back,
+    never a row_number/rank window over the fact table: the plan's
+    Window operators (the size-adaptive small-scale form) must sit
+    above an Aggregate, and the fact side reaches the final moment
+    aggregate through hash joins."""
+    plan = _plan(QS["spearman_rank_corr"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "HashAggregate" in plan and "HashJoin" in plan, plan[:2000]
+
+
+def test_ks_plan_aggregates_before_windowing(spark):
+    """The fact must collapse to per-distinct-value counts (hash
+    aggregate) BEFORE any window: the global ECDF windows then run over
+    the domain-bounded counts relation, which is what makes the
+    SinglePartition whitelisted."""
+    plan = _plan(QS["ks_test_two_sample"](spark, SF_DIR))
+    first_window = plan.find("Window")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_window != -1
+    # formatted plans list operators leaves-first, so the aggregate
+    # must appear before the window in the numbered tree walk
+    m_agg = re.search(r"\((\d+)\) HashAggregate", plan)
+    m_win = re.search(r"\((\d+)\) Window", plan)
+    assert int(m_agg.group(1)) < int(m_win.group(1)), plan[:2000]
+
+
+def test_jsd_pair_relation_joins_not_grid(spark):
+    """JSD touches only PRESENT (source, token) pairs: the plan must
+    contain the token-total equi-join and the broadcast source-total /
+    grand-total joins, and no cartesian grid."""
+    plan = _plan(QS["js_divergence_sources"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert plan.count("Generate explode") <= 1, plan[:2000]

@@ -1314,3 +1314,145 @@ def test_semantic_dedup_matches_numpy_reference(spark):
                    if got[k2] != want[k2]}.items())[:5]),
     )
     assert dropped, "vacuous reference: nothing dropped at sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Independent-reference checks for the round-8 statistical additions:
+# each pins the registered query against a genuinely different
+# derivation (pandas mid-ranks, brute-force ECDF enumeration, the
+# textbook full-vocabulary JSD grid formula, math.pow) on sf0.001.
+# ---------------------------------------------------------------------------
+def _cents_half_up(x: float) -> int:
+    """value*100 -> cents with the engines' ROUND semantics (HALF_UP on
+    the shortest-repr decimal, not banker's rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(x) * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_spearman_matches_pandas_mid_ranks(spark):
+    """Spearman from count-based doubled mid-ranks must equal Pearson
+    over pandas' rank(method='average') — an independent tie-handling
+    path (pandas sorts and averages positions; the engine never ranks
+    rows, it prefix-sums distinct-value counts)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.l_returnflag: r
+        for r in e.queries()["spearman_rank_corr"](spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li["pv"] = li["l_extendedprice"].map(lambda v: _cents_half_up(v) )
+    for flag, g in li.groupby("l_returnflag"):
+        rq = g["l_quantity"].rank(method="average")
+        rp = g["pv"].rank(method="average")
+        want = float(np.corrcoef(rq, rp)[0, 1])
+        got = rows[flag]
+        assert got.n_rows == len(g)
+        assert abs(got.spearman_qty_price - want) < 1e-6, (flag, want)
+
+
+def test_ks_two_sample_matches_bruteforce_ecdf(spark):
+    """KS D from the windowed integer-gap form must equal a brute-force
+    Python enumeration of |F1 - F2| over every distinct value."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+    )
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["ks_test_two_sample"](spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    a = sorted(ev[ev.event_type == KS_TYPE_A]["value"].map(_cents_half_up))
+    b = sorted(ev[ev.event_type == KS_TYPE_B]["value"].map(_cents_half_up))
+    na, nb = len(a), len(b)
+    best, best_at = -1, None
+    for v in sorted(set(a) | set(b)):
+        c1 = sum(1 for x in a if x <= v)
+        c2 = sum(1 for x in b if x <= v)
+        gap = abs(c1 * nb - c2 * na)
+        if gap > best:
+            best, best_at = gap, v
+        elif gap == best and v < best_at:
+            best_at = v
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.d_num == best
+    assert row.at_cents == best_at
+    assert abs(row.ks_d - best / (na * nb)) < 1e-6
+
+
+def test_jsd_matches_textbook_grid_formula(spark):
+    """The closed-form absent-token collapse must equal the textbook
+    JSD computed over the FULL union vocabulary grid in Python —
+    validating exactly the term the engine never materializes."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.source: r
+        for r in e.queries()["js_divergence_sources"](spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    per_src: dict[str, Counter] = {}
+    total: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", str(r["text"]).strip().lower())
+        per_src.setdefault(r["source"], Counter()).update(toks)
+        total.update(toks)
+    n_total = sum(total.values())
+    for src, cs in per_src.items():
+        n_s = sum(cs.values())
+        rest_n = n_total - n_s
+        jsd = 0.0
+        for tok in total:  # full union vocabulary, zero terms included
+            p = cs.get(tok, 0) / n_s
+            q = (total[tok] - cs.get(tok, 0)) / rest_n
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log2(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log2(q / m)
+        assert got[src].vocab_present == sum(1 for t in cs if cs[t] > 0)
+        assert abs(got[src].jsd_bits_vs_rest - jsd) < 1e-6, src
+
+
+def test_temperature_mix_weights_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        MIX_ALPHA,
+        MIX_DOC_BUDGET,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.source: r
+        for r in e.queries()["temperature_mix_weights"](spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    counts = docs.groupby("source").size().to_dict()
+    z = sum(math.pow(n, MIX_ALPHA) for n in counts.values())
+    assert set(got) == set(counts)
+    for src, n in counts.items():
+        w = math.pow(n, MIX_ALPHA) / z
+        assert got[src].n_docs == n
+        assert abs(got[src].weight - w) < 1e-6
+        assert abs(got[src].epochs_at_budget - w * MIX_DOC_BUDGET / n) < 1e-4
