@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
 # the official oracle check each round. Round 8 priorities (VERDICT r7
-# items 1-2): (a) the 10 queries whose implementation changed or was
+# items 1-2): (a) the 12 queries whose implementation changed or was
 # registered this round — the de-vacuated embedding_neardup_pairs
 # (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
 # (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
@@ -42,11 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (mid-rank correlation via prefix-summed counts),
 # ks_test_two_sample (exact-integer ECDF gap), js_divergence_sources
 # (vocabulary drift, closed-form absent-mass), and
-# temperature_mix_weights (n^alpha corpus re-balancing); then (b) 40
-# slots of STALE ROTATION — all 35 queries whose latest green driver row is
-# r3, then the r4-stale set, core-parity flagship_revenue /
-# json_extract_events and the heavily-reused dedup pair first, the rest
-# alphabetical. The remaining r4-stale queries past the boundary are
+# temperature_mix_weights (n^alpha corpus re-balancing), and
+# mannwhitney_u_test / wasserstein_1d (the rank-sum and earth-mover
+# drift companions of the KS test); then (b) 38 slots of STALE
+# ROTATION — all 35 queries whose latest green driver row is r3, then
+# core-parity flagship_revenue / json_extract_events /
+# dedup_exact_hash. The remaining r4-stale queries past the boundary are
 # queued first for round 9. Every query is also oracle-diffed locally in
 # tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
@@ -61,6 +62,8 @@ _CHECK_FIRST = (
     "ks_test_two_sample",
     "js_divergence_sources",
     "temperature_mix_weights",
+    "mannwhitney_u_test",
+    "wasserstein_1d",
     # (b) stale rotation: the 35 r3-latest queries, alphabetical
     "boilerplate_removal",
     "corr_regression_stats",
@@ -102,10 +105,10 @@ _CHECK_FIRST = (
     "flagship_revenue",
     "json_extract_events",
     "dedup_exact_hash",
+    # --- 50-query window boundary is here. Below: the round-9 queue
+    # (the remaining r4-stale queries, named-first then alphabetical) ---
     "dedup_minhash_lsh",
     "approx_distinct",
-    # --- 50-query window boundary is here. Below: the round-9 queue
-    # (the remaining r4-stale queries, alphabetical) ---
     "approx_percentiles",
     "basket_brand_pairs",
     "corpus_bigram_topk",

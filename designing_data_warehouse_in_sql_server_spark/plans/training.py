@@ -894,3 +894,178 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dmax").cast("double") / (F.max("tot1") * F.max("tot2")), 6
         ).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (round 8): the nonparametric location
+# test between the same two event-type samples as ks_test_two_sample —
+# KS asks "do the distributions differ anywhere", Mann-Whitney asks
+# "does one stochastically dominate". Everything up to the final z is
+# EXACT integer arithmetic: pooled DOUBLED mid-ranks (2·#below + ties
+# + 1, the spearman_rank_corr device) make the rank sum 2·R1 an exact
+# BIGINT, 4·U1 = 2·R1 - 2·n1·(n1+1)/2·2 stays integral, and the
+# tie-correction term Σ(t³-t) is an exact integer sum — the only
+# doubles are the final mean/variance normalization, ROUND 6.
+#
+# Scale: identical shape to the KS twin — one hash aggregate to
+# per-distinct-cents counts (domain-bounded), windows over that bounded
+# relation (whitelisted SinglePartition class 2), a 1-row reduction.
+# ---------------------------------------------------------------------------
+MWU_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  GROUP BY 1
+), r AS (
+  SELECT n1, n2, n1 + n2 AS t,
+         2 * (SUM(n1 + n2) OVER (ORDER BY cents) - (n1 + n2)) + (n1 + n2) + 1 AS r2
+  FROM c
+), agg AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS na,
+         CAST(SUM(n2) AS BIGINT) AS nb,
+         CAST(SUM(n1 * r2) AS BIGINT) AS r2sum_a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+  FROM r
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST((r2sum_a - na * (na + 1)) AS BIGINT) AS u1_doubled,
+       ROUND((CAST(r2sum_a - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2)
+             / SQRT(CAST(na AS DOUBLE) * nb / 12.0
+                    * ((na + nb + 1)
+                       - CAST(tie_term AS DOUBLE) / ((na + nb) * (na + nb - 1.0)))), 6)
+         AS z_score
+FROM agg
+"""
+
+
+@register("mannwhitney_u_test", MWU_ORACLE)
+def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    t = F.col("n1") + F.col("n2")
+    run = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # pooled doubled mid-rank of each distinct value, exact BIGINT
+    r = c.select(
+        "n1",
+        "n2",
+        t.alias("t"),
+        (2 * (F.sum(t).over(run) - t) + t + 1).alias("r2"),
+    )
+    agg = r.agg(
+        F.sum("n1").alias("na"),
+        F.sum("n2").alias("nb"),
+        F.sum(F.col("n1") * F.col("r2")).alias("r2sum_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+    )
+    u1d = F.col("r2sum_a") - F.col("na") * (F.col("na") + 1)
+    mean = F.col("na").cast("double") * F.col("nb") / 2
+    var = (
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("na") + F.col("nb") + 1)
+            - F.col("tie_term").cast("double")
+            / ((F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb") - 1.0))
+        )
+    )
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u1d.cast("long").alias("u1_doubled"),
+        F.round((u1d.cast("double") / 2 - mean) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover's) distance (round 8): the third drift
+# lens over the same two samples — KS is the worst-case ECDF gap,
+# Wasserstein is the INTEGRAL of the gap (how much probability mass
+# must move how far, in value units), the measure that distinguishes a
+# small shift everywhere from a large shift somewhere. Closed form in
+# 1-D: W1 = ∫|F1 - F2| dx = Σ over consecutive distinct values of
+# |cum1·N2 - cum2·N1| · Δv / (N1·N2) — the numerator Σ|gap|·Δv is an
+# EXACT BIGINT (same integer-gap device as the KS twin), the single
+# division at the end is the only double, ROUND 6 (units: cents).
+#
+# Scale: identical to the KS twin — per-distinct-cents counts, windows
+# over the domain-bounded relation, 1-row reduction.
+# ---------------------------------------------------------------------------
+WASSERSTEIN_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+  GROUP BY 1
+), e AS (
+  SELECT cents,
+         SUM(n1) OVER (ORDER BY cents) AS cum1,
+         SUM(n2) OVER (ORDER BY cents) AS cum2,
+         SUM(n1) OVER () AS tot1,
+         SUM(n2) OVER () AS tot2,
+         LEAD(cents) OVER (ORDER BY cents) AS next_cents
+  FROM c
+)
+SELECT CAST(SUM(ABS(cum1 * tot2 - cum2 * tot1) * (next_cents - cents)) AS BIGINT)
+         AS w1_num,
+       CAST(MAX(tot1) AS BIGINT) AS n_a,
+       CAST(MAX(tot2) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(ABS(cum1 * tot2 - cum2 * tot1) * (next_cents - cents)) AS DOUBLE)
+             / (MAX(tot1) * MAX(tot2)), 6) AS w1_cents
+FROM e WHERE next_cents IS NOT NULL
+"""
+
+
+@register("wasserstein_1d", WASSERSTEIN_ORACLE)
+def wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    run = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    full = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    e = c.select(
+        "cents",
+        F.sum("n1").over(run).alias("cum1"),
+        F.sum("n2").over(run).alias("cum2"),
+        F.sum("n1").over(full).alias("tot1"),
+        F.sum("n2").over(full).alias("tot2"),
+        F.lead("cents").over(W.orderBy("cents")).alias("next_cents"),
+    )
+    num = F.sum(
+        F.abs(F.col("cum1") * F.col("tot2") - F.col("cum2") * F.col("tot1"))
+        * (F.col("next_cents") - F.col("cents"))
+    )
+    return e.filter(F.col("next_cents").isNotNull()).agg(
+        num.cast("long").alias("w1_num"),
+        F.max("tot1").alias("n_a"),
+        F.max("tot2").alias("n_b"),
+        F.round(
+            num.cast("double") / (F.max("tot1") * F.max("tot2")), 6
+        ).alias("w1_cents"),
+    )

@@ -708,6 +708,71 @@ class TableStore:
             self._append_changes(name, old.withColumn("_change_type", F.lit(CDC_DELETE)), v)
         return v
 
+    def restore(self, name: str, version: int, capture_cdc: bool = True) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF v`` analog: commit
+        a NEW version whose content is the file set of the earlier
+        ``version`` — the rollback primitive. O(files) metadata work:
+        every parquet file of the target version is hard-linked into the
+        new version (no data motion, no Spark job); the chain stays
+        append-only, so the rolled-back versions remain time-travelable
+        and the audit trail records the restore as its own ``restore``
+        event, exactly as Delta's DESCRIBE HISTORY does.
+
+        Restoring to the current version is a no-op (returns it).
+        A target reclaimed by ``vacuum`` raises FileNotFoundError — the
+        same failure mode as Delta restoring past the retention window.
+
+        With an active CDC feed the restore captures
+        delete-of-current + insert-of-target (the ``overwrite`` CDC
+        convention; O(table) like any full-content change — pass
+        ``capture_cdc=False`` to skip). Divergence from Delta, by
+        design: CHECK constraints here are table-level metadata, not
+        version-pinned, so a constraint added AFTER the target version
+        is NOT re-validated against the restored rows (re-validation
+        would cost the full scan this operation exists to avoid); run
+        ``add_check_constraint`` again to force one."""
+        cur = self.current_version(name)
+        if cur is None:
+            raise FileNotFoundError(f"table {name!r} does not exist in {self.root}")
+        if version == cur:
+            return cur
+        src = os.path.join(self._dir(name), f"v{version}")
+        if not os.path.isdir(src):
+            raise FileNotFoundError(
+                f"restore {name!r}: version {version} has no files on disk "
+                "(reclaimed by vacuum?)"
+            )
+        want_cdc = capture_cdc and self._feed_exists(name)
+        pre = (
+            self.read(name).withColumn("_change_type", F.lit(CDC_DELETE))
+            if want_cdc
+            else None
+        )
+        v = cur + 1
+        vdir = os.path.join(self._dir(name), f"v{v}")
+        os.makedirs(vdir, exist_ok=True)
+        for dirpath, _dirnames, filenames in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                dst_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.link(os.path.join(dirpath, fn), os.path.join(dst_dir, fn))
+        # restored content is byte-identical to the target: carry its
+        # memoized stats instead of re-walking the version directory
+        stats = self._vstats.get((name, version))
+        self._commit(name, v, "restore", stats=stats)
+        if want_cdc:
+            changes = pre.unionByName(
+                self.time_travel(name, version).withColumn(
+                    "_change_type", F.lit(CDC_INSERT)
+                ),
+                allowMissingColumns=True,
+            )
+            self._append_changes(name, changes, v)
+        return v
+
     def update(
         self,
         name: str,

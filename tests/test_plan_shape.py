@@ -1146,7 +1146,8 @@ SINGLE_PARTITION_BOUNDED = {
     "fk_integrity_audit", "funnel_conversion", "group_kfold",
     "heavy_hitter_users", "js_divergence_sources", "kaplan_meier_churn",
     "kmv_distinct_intersection", "ks_test_two_sample",
-    "largest_remainder_allocation", "mutual_information",
+    "largest_remainder_allocation", "mannwhitney_u_test",
+    "mutual_information",
     "ols_multi_regression", "pareto_frontier", "peak_concurrency",
     "percent_rank_global", "psi_drift_bins", "q11_important_stock",
     "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
@@ -1154,7 +1155,8 @@ SINGLE_PARTITION_BOUNDED = {
     "rolling_correlation", "rolling_median_7d", "rsi_indicator",
     "seasonal_decompose_cma", "share_of_parent", "sliding_distinct_users",
     "systematic_sample", "temperature_mix_weights", "tfidf_top_terms",
-    "triangle_count", "unigram_lm_score", "vocab_coverage", "welch_ttest",
+    "triangle_count", "unigram_lm_score", "vocab_coverage",
+    "wasserstein_1d", "welch_ttest",
 }
 
 

@@ -1456,3 +1456,77 @@ def test_temperature_mix_weights_matches_python(spark):
         assert got[src].n_docs == n
         assert abs(got[src].weight - w) < 1e-6
         assert abs(got[src].epochs_at_budget - w * MIX_DOC_BUDGET / n) < 1e-4
+
+
+def test_mannwhitney_matches_bruteforce_rank_sum(spark):
+    """Mann-Whitney from pooled doubled mid-ranks over distinct-value
+    counts must equal a brute-force Python rank-sum: pool, sort, assign
+    average ranks by position, sum sample-A ranks."""
+    import math
+
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+    )
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["mannwhitney_u_test"](spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    a = list(ev[ev.event_type == KS_TYPE_A]["value"].map(_cents_half_up))
+    b = list(ev[ev.event_type == KS_TYPE_B]["value"].map(_cents_half_up))
+    pooled = sorted([(v, "a") for v in a] + [(v, "b") for v in b])
+    # positional average ranks (1-based), ties averaged
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # mean of positions i+1 .. j
+        ranks[pooled[i][0]] = avg
+        i = j
+    r1 = sum(ranks[v] for v in a)
+    n1, n2 = len(a), len(b)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    n = n1 + n2
+    tie_counts = {}
+    for v, _ in pooled:
+        tie_counts[v] = tie_counts.get(v, 0) + 1
+    tie_term = sum(t**3 - t for t in tie_counts.values())
+    var = n1 * n2 / 12 * ((n + 1) - tie_term / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    assert (row.n_a, row.n_b) == (n1, n2)
+    assert row.u1_doubled == int(2 * u1)
+    assert abs(row.z_score - z) < 1e-6
+
+
+def test_wasserstein_matches_bruteforce_cdf_integral(spark):
+    """W1 from the integer gap-times-gap-width sum must equal a
+    brute-force Python trapezoid-free CDF integral over every distinct
+    value interval."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+    )
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["wasserstein_1d"](spark, SF_DIR).collect()[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    a = sorted(ev[ev.event_type == KS_TYPE_A]["value"].map(_cents_half_up))
+    b = sorted(ev[ev.event_type == KS_TYPE_B]["value"].map(_cents_half_up))
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    num = 0
+    for v, nxt in zip(vals, vals[1:]):
+        c1 = sum(1 for x in a if x <= v)
+        c2 = sum(1 for x in b if x <= v)
+        num += abs(c1 * nb - c2 * na) * (nxt - v)
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.w1_num == num
+    assert abs(row.w1_cents - num / (na * nb)) < 1e-6
