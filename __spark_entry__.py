@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
 # the official oracle check each round. Round 8 priorities (VERDICT r7
-# items 1-2): (a) the 12 queries whose implementation changed or was
+# items 1-2): (a) the 13 queries whose implementation changed or was
 # registered this round — the de-vacuated embedding_neardup_pairs
 # (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
 # (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
@@ -42,12 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (mid-rank correlation via prefix-summed counts),
 # ks_test_two_sample (exact-integer ECDF gap), js_divergence_sources
 # (vocabulary drift, closed-form absent-mass), and
-# temperature_mix_weights (n^alpha corpus re-balancing), and
+# temperature_mix_weights (n^alpha corpus re-balancing),
 # mannwhitney_u_test / wasserstein_1d (the rank-sum and earth-mover
-# drift companions of the KS test); then (b) 38 slots of STALE
-# ROTATION — all 35 queries whose latest green driver row is r3, then
-# core-parity flagship_revenue / json_extract_events /
-# dedup_exact_hash. The remaining r4-stale queries past the boundary are
+# drift companions of the KS test), and rrf_hybrid_search (lexical +
+# vector reciprocal-rank fusion); then (b) 37 slots of STALE ROTATION
+# — all 35 queries whose latest green driver row is r3, then
+# core-parity flagship_revenue / json_extract_events. The remaining r4-stale queries past the boundary are
 # queued first for round 9. Every query is also oracle-diffed locally in
 # tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
@@ -64,6 +64,7 @@ _CHECK_FIRST = (
     "temperature_mix_weights",
     "mannwhitney_u_test",
     "wasserstein_1d",
+    "rrf_hybrid_search",
     # (b) stale rotation: the 35 r3-latest queries, alphabetical
     "boilerplate_removal",
     "corr_regression_stats",
@@ -104,9 +105,9 @@ _CHECK_FIRST = (
     # to the window boundary
     "flagship_revenue",
     "json_extract_events",
-    "dedup_exact_hash",
     # --- 50-query window boundary is here. Below: the round-9 queue
     # (the remaining r4-stale queries, named-first then alphabetical) ---
+    "dedup_exact_hash",
     "dedup_minhash_lsh",
     "approx_distinct",
     "approx_percentiles",

@@ -488,9 +488,9 @@ LIMIT 20
 """
 
 
-@register("bm25_search", BM25_ORACLE)
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document matching the fixed query-term
+    set — the scoring core shared by bm25_search and the RRF fusion."""
     toks = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("tok"))
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
     stats = dl.agg(F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n"))
@@ -525,7 +525,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25")
         )
     )
-    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+    return scored
+
+
+@register("bm25_search", BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _bm25_scored(docs).orderBy(F.col("bm25").desc(), "doc_id").limit(20)
 
 
 # ---------------------------------------------------------------------------
@@ -3711,4 +3717,117 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(present) + 0.5 * (1.0 - F.sum("prob_q")), 6
         ).alias("jsd_bits_vs_rest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of lexical and vector retrieval (round 8):
+# fuse the BM25 ranking (fixed query-term set, shared _bm25_scored
+# core) with the embedding cosine ranking (fixed query vector 0,
+# vec_id == doc_id in this corpus) via RRF — score(d) = Σ 1/(60 + rank)
+# over the lists that retrieved d (Cormack et al. 2009, the standard
+# hybrid-search combiner: rank-based, so the two engines' incomparable
+# score scales never need calibration). Docs outside a list contribute
+# 0 from it, the retrieved-lists convention.
+#
+# Determinism: both input rankings order by (rounded score DESC, id) —
+# the same rounded values the green bm25_search / similarity_topk_cosine
+# rows already pin cross-engine — and the fused score is a sum of TWO
+# doubles from exact integer ranks, ROUND 6, tie-broken by doc_id.
+#
+# Scale: each list is top-N bounded (TakeOrderedAndProject /
+# per-partition top-k; N = 50); the rank windows and the full-outer
+# fusion join run on those N-row relations (whitelisted SinglePartition
+# class 2), never on the corpus. The corpus-sized work is exactly the
+# two underlying retrieval scans.
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_TOPN = 50
+
+# the SAME quantized-integer cosine SQL the similarity family pins
+from .extensions import _sql_cosine  # noqa: E402  (no cycle: extensions imports only operators)
+
+_SQL_COSINE_EQ = _sql_cosine("e.embedding", "q.embedding")
+
+RRF_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE tok IN {_BM25_TERMS!r}
+  GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok, LN((n - df + 0.5) / (df + 0.5) + 1) AS idf
+  FROM (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok), stats
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(idf.idf * tf.tf * ({_K1} + 1)
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))), 3)
+           AS s
+  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY s DESC, tf.doc_id LIMIT {RRF_TOPN}
+), bm_r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM bm
+), cos AS (
+  SELECT e.vec_id AS doc_id, {_SQL_COSINE_EQ} AS c
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
+  ORDER BY c DESC, e.vec_id LIMIT {RRF_TOPN}
+), cos_r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r FROM cos
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({RRF_K} + b.r), 0) + COALESCE(1.0 / ({RRF_K} + c.r), 0), 6)
+         AS rrf,
+       CAST(b.r AS BIGINT) AS bm25_rank,
+       CAST(c.r AS BIGINT) AS cosine_rank
+FROM bm_r b FULL OUTER JOIN cos_r c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+@register("rrf_hybrid_search", RRF_ORACLE)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = (
+        _bm25_scored(docs)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_TOPN)
+    )
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    cos = cosine_topk(emb, query_id=0, k=RRF_TOPN).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    cos_r = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), "doc_id"))
+        .cast("long")
+        .alias("cosine_rank"),
+    )
+    fused = bm_r.join(cos_r, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("cosine_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", rrf.alias("rrf"), "bm25_rank", "cosine_rank")
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
     )

@@ -773,6 +773,48 @@ class TableStore:
             self._append_changes(name, changes, v)
         return v
 
+    def clone(self, src: str, dst: str) -> int:
+        """Delta ``CREATE TABLE ... SHALLOW CLONE`` analog: a NEW table
+        whose v1 is the source's current file set, hard-linked —
+        O(files) metadata work, zero data motion. The clone has its own
+        pointer, history (one ``clone`` event), partition spec and CHECK
+        constraints (copied as of now), and evolves independently: a
+        write to either table stages new files in its own directory, so
+        neither ever sees the other's changes; vacuuming one only
+        unlinks names in its own tree (shared inodes survive until
+        every referrer drops them — the filesystem's refcount is the
+        shared-data lifetime, which is exactly how cloud-object-store
+        shallow clones behave until a VACUUM epoch). CDC state is NOT
+        cloned (a clone starts with no feed), matching Delta."""
+        v_src = self.current_version(src)
+        if v_src is None:
+            raise FileNotFoundError(f"table {src!r} does not exist in {self.root}")
+        if self.exists(dst):
+            raise FileExistsError(f"clone target {dst!r} already exists")
+        src_dir = os.path.join(self._dir(src), f"v{v_src}")
+        vdir = os.path.join(self._dir(dst), "v1")
+        os.makedirs(vdir, exist_ok=True)
+        for dirpath, _dirnames, filenames in os.walk(src_dir):
+            rel = os.path.relpath(dirpath, src_dir)
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                dst_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.link(os.path.join(dirpath, fn), os.path.join(dst_dir, fn))
+        spec = self.partition_spec(src)
+        if spec:
+            with open(self._spec_path(dst), "w") as fh:
+                fh.write(",".join(spec))
+        cons = self.check_constraints(src)
+        if cons:
+            self._write_constraints(dst, cons)
+        stats = self._vstats.get((src, v_src))
+        if stats is not None:
+            self._vstats[(dst, 1)] = stats
+        self._commit(dst, 1, "clone", stats=stats)
+        return 1
+
     def update(
         self,
         name: str,

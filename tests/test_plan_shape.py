@@ -1152,7 +1152,8 @@ SINGLE_PARTITION_BOUNDED = {
     "percent_rank_global", "psi_drift_bins", "q11_important_stock",
     "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
     "q19_brand_discounts", "q22_dormant_customers", "q6_revenue_forecast",
-    "rolling_correlation", "rolling_median_7d", "rsi_indicator",
+    "rolling_correlation", "rolling_median_7d", "rrf_hybrid_search",
+    "rsi_indicator",
     "seasonal_decompose_cma", "share_of_parent", "sliding_distinct_users",
     "systematic_sample", "temperature_mix_weights", "tfidf_top_terms",
     "triangle_count", "unigram_lm_score", "vocab_coverage",
@@ -1176,7 +1177,8 @@ BNLJ_CONSTANT_SIDE = {
     "heavy_hitter_users", "jl_projection_topk", "js_divergence_sources",
     "kaplan_meier_churn", "kmeans_embeddings", "kmv_distinct_intersection",
     "ndcg_at_k", "q11_important_stock", "q22_dormant_customers",
-    "quantile_disc", "similarity_ivf_topk", "similarity_topk_cosine",
+    "quantile_disc", "rrf_hybrid_search", "similarity_ivf_topk",
+    "similarity_topk_cosine",
     "temperature_mix_weights", "tfidf_top_terms", "triangle_count",
     "unigram_lm_score", "vocab_coverage", "walk_forward_splits",
 }

@@ -1530,3 +1530,46 @@ def test_wasserstein_matches_bruteforce_cdf_integral(spark):
     assert (row.n_a, row.n_b) == (na, nb)
     assert row.w1_num == num
     assert abs(row.w1_cents - num / (na * nb)) < 1e-6
+
+
+def test_rrf_fusion_matches_python_recombination(spark):
+    """RRF must equal a Python recombination of the two top-N lists:
+    collect BM25 and cosine rankings (themselves oracle-pinned),
+    re-rank positionally, fuse with 1/(60+rank), compare the top-20."""
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        RRF_K,
+        RRF_TOPN,
+        _bm25_scored,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    got = e.queries()["rrf_hybrid_search"](spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bm = (
+        _bm25_scored(docs)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_TOPN)
+        .collect()
+    )
+    cos = cosine_topk(emb, query_id=0, k=RRF_TOPN).collect()
+    score: dict[int, float] = {}
+    ranks: dict[int, list] = {}
+    for i, r in enumerate(bm, start=1):
+        score[r.doc_id] = score.get(r.doc_id, 0.0) + 1.0 / (RRF_K + i)
+        ranks.setdefault(r.doc_id, [None, None])[0] = i
+    for i, r in enumerate(cos, start=1):
+        score[r.vec_id] = score.get(r.vec_id, 0.0) + 1.0 / (RRF_K + i)
+        ranks.setdefault(r.vec_id, [None, None])[1] = i
+    want = sorted(score.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:20]
+    assert [(r.doc_id, r.rrf) for r in got] == [
+        (d, round(s, 6)) for d, s in want
+    ]
+    for r in got:
+        assert (r.bm25_rank, r.cosine_rank) == tuple(ranks[r.doc_id])

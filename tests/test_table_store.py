@@ -924,3 +924,67 @@ def test_restore_preserves_partition_layout_and_pruning(spark, store):
     assert os.path.isdir(
         os.path.join(store.root, "t", f"v{v3}", "region=us")
     )
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE (round 8)
+# ---------------------------------------------------------------------------
+def test_clone_shares_files_and_evolves_independently(spark, store):
+    import glob
+    import os
+
+    store.overwrite("t", _df(spark, [(1, "a"), (2, "b")]))
+    assert store.clone("t", "t2") == 1
+    # identical content, shared inodes (zero-copy)
+    assert {(r.k, r.v) for r in store.read("t2").collect()} == {(1, "a"), (2, "b")}
+    src = {os.stat(f).st_ino for f in glob.glob(f"{store.root}/t/v1/**/*.parquet", recursive=True)}
+    dst = {os.stat(f).st_ino for f in glob.glob(f"{store.root}/t2/v1/**/*.parquet", recursive=True)}
+    assert src and dst == src
+    # history labels the clone
+    assert store.history("t2")[0]["op"] == "clone"
+    # independent evolution: writes to one never reach the other
+    store.append("t2", _df(spark, [(3, "c")]))
+    store.update("t", {"v": F.lit("X")}, where=F.col("k") == 1)
+    assert store.read("t2").count() == 3
+    assert {r.v for r in store.read("t").collect()} == {"X", "b"}
+    assert {r.v for r in store.read("t2").collect()} == {"a", "b", "c"}
+
+
+def test_clone_survives_source_vacuum_and_drop(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.clone("t", "t2")
+    # source rewrites + vacuum reclaim the source's old names; the
+    # clone's hard links keep the shared inodes alive
+    store.overwrite("t", _df(spark, [(9, "z")]))
+    store.overwrite("t", _df(spark, [(8, "y")]))
+    store.vacuum("t", keep_last=1)
+    store.drop("t")
+    assert {r.v for r in store.read("t2").collect()} == {"a"}
+
+
+def test_clone_copies_partition_spec_and_constraints(spark, store):
+    df = spark.createDataFrame(
+        [(1, "us", 5), (2, "eu", 7)], "k int, region string, qty int"
+    )
+    store.overwrite("t", df, partition_by=["region"])
+    store.add_check_constraint("t", "qty_pos", "qty > 0")
+    store.clone("t", "t2")
+    assert store.partition_spec("t2") == ["region"]
+    assert "qty_pos" in store.check_constraints("t2")
+    # the copied constraint enforces on the clone's own writes
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        is_check_violation,
+    )
+
+    with pytest.raises(Exception) as ei:
+        store.append(
+            "t2", spark.createDataFrame([(3, "ap", -1)], "k int, region string, qty int")
+        )
+    assert is_check_violation(ei.value)
+
+
+def test_clone_refuses_existing_target(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.overwrite("other", _df(spark, [(2, "b")]))
+    with pytest.raises(FileExistsError):
+        store.clone("t", "other")
