@@ -162,3 +162,31 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_frame(df: DataFrame, dim_a: str, dim_b: str) -> DataFrame:
+    """``df`` plus a ``__zkey`` HILBERT key over (dim_a, dim_b) — the
+    drop-in alternative to :func:`zordered_frame` with the curve
+    Delta's liquid clustering uses (strictly better locality: every
+    unit key step moves one grid cell, so range-partitioned files
+    cover compact 2-D regions). Same per-dimension 16-bit rescale and
+    single broadcast bounds pass as the Morton twin, same output
+    column name, so the layout write paths are interchangeable."""
+    bounds = df.agg(
+        F.min(dim_a).alias("__amin"),
+        F.max(dim_a).alias("__amax"),
+        F.min(dim_b).alias("__bmin"),
+        F.max(dim_b).alias("__bmax"),
+    )
+
+    def rescale(c: Column, lo: Column, hi: Column) -> Column:
+        span = F.greatest(hi - lo, F.lit(1)).cast("double")
+        return ((c - lo) * 65535.0 / span).cast("long")
+
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    return with_hilbert_key(
+        with_bounds,
+        rescale(F.col(dim_a), F.col("__amin"), F.col("__amax")),
+        rescale(F.col(dim_b), F.col("__bmin"), F.col("__bmax")),
+        "__zkey",
+    ).drop("__amin", "__amax", "__bmin", "__bmax")

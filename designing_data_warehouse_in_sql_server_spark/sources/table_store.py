@@ -1096,6 +1096,7 @@ class TableStore:
         name: str,
         zorder_by: tuple[str, str],
         target_files: int = 8,
+        curve: str = "morton",
     ) -> int:
         """OPTIMIZE ZORDER analog: rewrite the current version clustered
         on the Morton key of two dimensions (sources/layout — range-
@@ -1115,9 +1116,18 @@ class TableStore:
         across partitions proportional to their row share (range
         boundaries are row-quantile-based). The manifest covers the
         z-dims (footer stats) AND the partition columns (directory-name
-        stats), so skipping probes compose on all of them."""
-        from .layout import write_zordered, zordered_frame
+        stats), so skipping probes compose on all of them.
 
+        ``curve`` selects the clustering key: ``"morton"`` (default,
+        Delta OPTIMIZE ZORDER's interleave) or ``"hilbert"`` (the
+        space-filling curve behind Delta's liquid clustering — every
+        unit key step is one grid cell, so range-partitioned files
+        cover more compact 2-D regions; see sources/layout.py)."""
+        from .layout import hilbert_frame, zordered_frame
+
+        frames = {"morton": zordered_frame, "hilbert": hilbert_frame}
+        if curve not in frames:
+            raise ValueError(f"curve must be one of {sorted(frames)}: {curve!r}")
         spec = self.partition_spec(name)
         if any(c in spec for c in zorder_by):
             raise ValueError(
@@ -1127,18 +1137,16 @@ class TableStore:
         df = self.read(name)
         v = (self.current_version(name) or 0) + 1
         vdir = os.path.join(self._dir(name), f"v{v}")
-        if not spec:
-            write_zordered(df, vdir, zorder_by[0], zorder_by[1], target_files)
-        else:
-            (
-                zordered_frame(df, zorder_by[0], zorder_by[1])
-                .repartitionByRange(target_files, *spec, "__zkey")
-                .sortWithinPartitions(*spec, "__zkey")
-                .drop("__zkey")
-                .write.mode("overwrite")
-                .partitionBy(*spec)
-                .parquet(vdir)
-            )
+        keyed = frames[curve](df, zorder_by[0], zorder_by[1])
+        writer = (
+            keyed.repartitionByRange(target_files, *spec, "__zkey")
+            .sortWithinPartitions(*spec, "__zkey")
+            .drop("__zkey")
+            .write.mode("overwrite")
+        )
+        if spec:
+            writer = writer.partitionBy(*spec)
+        writer.parquet(vdir)
         self._commit(name, v, "optimize")
         self.collect_file_stats(
             name, list(zorder_by) + [c for c in spec if c not in zorder_by]

@@ -526,11 +526,36 @@ FRONTIER_SEMDEDUP = ("semantic_dedup",)
 
 
 # mode -> (query names, scale documents/embeddings too)
+# ---------------------------------------------------------------------------
+# Round-8b frontier: the statistical/layout/search wave at 100x.
+# spearman_rank_corr is the one with real superlinear risk (the price
+# rank map is a near-distinct-value relation joined back onto the
+# fact; above WINDOW_FORM_MAX_ROWS the footer hint flips the prefix
+# sum to the two-phase range-partitioned form — the probe exercises
+# exactly that dispatch). hilbert_layout_key is the 16-level pure
+# projection (must be scan-linear). ks/wasserstein/mannwhitney
+# collapse the fact to a price-DOMAIN-bounded counts relation (the
+# key-offset copies keep the value domain fixed, so their windows are
+# scale-invariant and the ratio should be dominated by the scan).
+# js_divergence_sources and rrf_hybrid_search read the salted text /
+# rotated embedding tables; rrf's lists stay top-N bounded.
+# ---------------------------------------------------------------------------
+FRONTIER_R8B = (
+    "spearman_rank_corr",
+    "hilbert_layout_key",
+    "ks_test_two_sample",
+    "wasserstein_1d",
+    "mannwhitney_u_test",
+    "js_divergence_sources",
+    "rrf_hybrid_search",
+)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
     "frontier_w6": (FRONTIER_W6, False),
     "frontier_r8": (FRONTIER_R8, True),
+    "frontier_r8b": (FRONTIER_R8B, True),
     "frontier_dedup": (FRONTIER_DEDUP, True),
     "frontier_misc": (FRONTIER_MISC, True),
     "frontier_twophase": (FRONTIER_TWOPHASE, True),

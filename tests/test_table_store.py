@@ -988,3 +988,33 @@ def test_clone_refuses_existing_target(spark, store):
     store.overwrite("other", _df(spark, [(2, "b")]))
     with pytest.raises(FileExistsError):
         store.clone("t", "other")
+
+
+def test_optimize_hilbert_curve_stats_skipping(spark, tmp_path):
+    """OPTIMIZE with curve='hilbert' (liquid-clustering-style layout):
+    same contract as the Morton default — a narrow probe on EITHER
+    dimension prunes files and returns exactly the filtered rows — and
+    the Hilbert layout must prune at least as well as unclustered."""
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 2654435761) % 64).alias("b"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    store.overwrite("t", df)
+    v = store.optimize("t", zorder_by=("a", "b"), target_files=8, curve="hilbert")
+    assert store.current_version("t") == v
+    assert store.history("t")[0]["op"] == "optimize"
+    kept_a, total = store.skipping_file_counts("t", "a", 10, 13)
+    kept_b, _ = store.skipping_file_counts("t", "b", 10, 13)
+    assert total == 8
+    assert kept_a < total and kept_b < total
+    want = sorted(
+        store.read("t").filter((F.col("a") >= 10) & (F.col("a") <= 13)).collect()
+    )
+    got = sorted(store.read_skipping("t", "a", 10, 13).collect())
+    assert got == want and len(got) == 4096 // 16
+    with pytest.raises(ValueError, match="curve"):
+        store.optimize("t", zorder_by=("a", "b"), curve="peano")
