@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
 # the official oracle check each round. Round 8 priorities (VERDICT r7
-# items 1-2): (a) the 13 queries whose implementation changed or was
+# items 1-2): (a) the 15 queries whose implementation changed or was
 # registered this round — the de-vacuated embedding_neardup_pairs
 # (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
 # (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
@@ -44,10 +44,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (vocabulary drift, closed-form absent-mass), and
 # temperature_mix_weights (n^alpha corpus re-balancing),
 # mannwhitney_u_test / wasserstein_1d (the rank-sum and earth-mover
-# drift companions of the KS test), and rrf_hybrid_search (lexical +
-# vector reciprocal-rank fusion); then (b) 37 slots of STALE ROTATION
-# — all 35 queries whose latest green driver row is r3, then
-# core-parity flagship_revenue / json_extract_events. The remaining r4-stale queries past the boundary are
+# drift companions of the KS test), rrf_hybrid_search (lexical +
+# vector reciprocal-rank fusion), winnow_fingerprint_pairs (MOSS
+# partial-overlap fingerprints), and poisson_bootstrap_ci (one-pass
+# bootstrap CI); then (b) 35 slots of STALE ROTATION — all 35 queries
+# whose latest green driver row is r3 (the r4 set, flagship_revenue /
+# json_extract_events first, heads the round-9 queue). The remaining r4-stale queries past the boundary are
 # queued first for round 9. Every query is also oracle-diffed locally in
 # tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
@@ -65,6 +67,8 @@ _CHECK_FIRST = (
     "mannwhitney_u_test",
     "wasserstein_1d",
     "rrf_hybrid_search",
+    "winnow_fingerprint_pairs",
+    "poisson_bootstrap_ci",
     # (b) stale rotation: the 35 r3-latest queries, alphabetical
     "boilerplate_removal",
     "corr_regression_stats",
@@ -103,10 +107,11 @@ _CHECK_FIRST = (
     "zorder_layout_key",
     # (b) stale rotation: r4-latest — named-first, then alphabetical up
     # to the window boundary
+    # --- 50-query window boundary is here (15 new/changed + the full
+    # 35-query r3-stale set). Below: the round-9 queue — the r4-stale
+    # set, core-parity names first, then alphabetical ---
     "flagship_revenue",
     "json_extract_events",
-    # --- 50-query window boundary is here. Below: the round-9 queue
-    # (the remaining r4-stale queries, named-first then alphabetical) ---
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "approx_distinct",

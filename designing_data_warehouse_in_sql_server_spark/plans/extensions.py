@@ -3481,3 +3481,147 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (round 8): the MOSS fingerprinting
+# scheme (Schleimer, Wilkerson, Aiken 2003) — normalize, hash every
+# character k-gram, keep the MINIMUM hash of each sliding window of w
+# consecutive k-grams (rightmost on ties), then join documents on
+# shared fingerprints. The guarantee the paper proves: any shared
+# substring of length >= w + k - 1 yields at least one shared
+# fingerprint (no false negatives above the threshold), while storage
+# is ~2/(w+1) of the k-gram count — the local-substring dedup family
+# member next to MinHash (whole-doc Jaccard) and SimHash (global
+# near-dup): winnowing catches PARTIAL overlap (quotes, boilerplate
+# spans, plagiarized passages) that whole-document sketches dilute.
+#
+# Exactness/portability: the k-gram hash is a plain polynomial over
+# codepoints mod 256 in BIGINT (Σ (cp % 256)·B^j, B = 131, k = 8 →
+# max ~1.7e17, no overflow), reduced mod 2^40; the rightmost-min
+# selection packs (hash, position) into ONE BIGINT (h·2^20 + (2^20-1-p),
+# positions capped at 2^20 chars) so a single MIN over the window frame
+# implements the paper's tie rule — identical integers on both engines.
+#
+# Scale: position explode is Σ n_chars rows (linear); the window min is
+# partitioned by doc (bounded by document length, never a global sort);
+# the fingerprint self-join is hash-equi on the 40-bit fingerprint —
+# collision-bounded like the LSH families, never all-pairs. Top-20
+# pairs via integer counts, id tiebreaks.
+# ---------------------------------------------------------------------------
+WINNOW_K = 8  # k-gram length (chars, normalized)
+WINNOW_W = 4  # window of consecutive k-grams per fingerprint
+_WIN_B = 131
+_POS_BITS = 1 << 20
+_H40 = 1 << 40
+
+_WIN_HASH_TERMS = " + ".join(
+    f"(ascii(substr(clean, p + {j}, 1)) % 256) * CAST({_WIN_B ** j} AS BIGINT)"
+    for j in range(WINNOW_K)
+)
+
+WINNOW_ORACLE = f"""
+WITH cleaned AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+  FROM documents
+), pos AS (
+  SELECT doc_id, clean, CAST(p AS BIGINT) AS p
+  FROM cleaned,
+       UNNEST(generate_series(1, LEAST(length(clean) - {WINNOW_K} + 1, {_POS_BITS} - 1))) AS t(p)
+  WHERE length(clean) >= {WINNOW_K + WINNOW_W - 1}
+), hashed AS (
+  SELECT doc_id, p,
+         (({_WIN_HASH_TERMS}) % {_H40}) * {_POS_BITS} + ({_POS_BITS} - 1 - p) AS packed
+  FROM pos
+), mins AS (
+  SELECT doc_id,
+         MIN(packed) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS sel,
+         p
+  FROM hashed
+), fp AS (
+  SELECT DISTINCT doc_id, sel // {_POS_BITS} AS h
+  FROM mins WHERE p >= {WINNOW_W}
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fingerprints,
+       CAST(shared_fingerprints * 10000
+            // LEAST(sa.n_fp, sb.n_fp) AS BIGINT) AS containment_bp
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY shared_fingerprints DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+@register("winnow_fingerprint_pairs", WINNOW_ORACLE)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("clean"),
+    ).filter(F.length("clean") >= WINNOW_K + WINNOW_W - 1)
+    pos = cleaned.select(
+        "doc_id",
+        "clean",
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("bigint"),
+                F.least(
+                    F.length("clean") - (WINNOW_K - 1), F.lit(_POS_BITS - 1)
+                ).cast("bigint"),
+            )
+        ).alias("p"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "p",
+        F.expr(
+            f"(({_WIN_HASH_TERMS}) % {_H40}) * {_POS_BITS} + ({_POS_BITS} - 1 - p)"
+        ).alias("packed"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(WINNOW_W - 1), W.currentRow)
+    )
+    mins = hashed.select(
+        "doc_id", "p", F.min("packed").over(w).alias("sel")
+    ).filter(F.col("p") >= WINNOW_W)
+    # integer div — sel reaches ~1.15e18, past double's 2^53 exactness
+    fp = mins.select(
+        "doc_id", F.expr(f"sel div {_POS_BITS}").alias("h")
+    ).distinct()
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
+    # containment against the SMALLER fingerprint set — the quantity
+    # that flags a short doc fully contained in a long one (exact
+    # integer basis points, floor div on nonnegative counts)
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fingerprints",
+            F.expr(
+                "CAST(shared_fingerprints * 10000 div least(na, nb) AS BIGINT)"
+            ).alias("containment_bp"),
+        )
+        .orderBy(F.col("shared_fingerprints").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )

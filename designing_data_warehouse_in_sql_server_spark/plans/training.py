@@ -1069,3 +1069,91 @@ def wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / (F.max("tot1") * F.max("tot2")), 6
         ).alias("w1_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (round 8): a 95% CI for the
+# mean order value WITHOUT resampling passes — each of B replicates
+# weights every row by an independent Poisson(1)-distributed count
+# (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# the standard bootstrap at data-parallel scale: multinomial resampling
+# needs the global N per replicate; Poisson weights are per-row
+# independent, so the whole bootstrap is ONE scan with a B-way
+# explode). The Poisson(1) draw is the inverse-CDF lookup on a
+# deterministic per-(row, replicate) hash bucket — integer thresholds
+# from the exact cumulative probabilities, capped at 5 (P > 5 at
+# lambda=1 is 0.06%), identical on both engines.
+#
+# Exactness: per-replicate sums are exact BIGINTs (cents x small
+# weights); each replicate mean is one double division; the percentile
+# bounds interpolate over the B-row means relation with the same
+# formula in both engines, ROUND 4.
+#
+# Scale: explode x B multiplies the scan linearly (the documented cost
+# of the method — still one pass over the data); the aggregate is a
+# B-row hash aggregate with map-side partials; the CI reduction is a
+# B-row single partition (whitelisted, bounded by the constant B).
+# ---------------------------------------------------------------------------
+BOOT_B = 100  # bootstrap replicates
+_BOOT_SALT = 40503
+# inverse CDF of Poisson(1) over a [0, 1e6) bucket: cumulative
+# probabilities e^-1 * (1, 2, 2.5, 2.666.., 2.7083..) scaled to 1e6
+_POIS_THRESH = (367879, 735759, 919699, 981012, 996340)
+
+
+def _pois_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_THRESH)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+BOOTSTRAP_ORACLE = f"""
+WITH expl AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(b AS BIGINT) AS b,
+         ((o_orderkey % {_PREMOD}) * {_KNUTH} + b * {_BOOT_SALT}) % {_MOD} % 1000000 AS u
+  FROM orders, UNNEST(generate_series(1, {BOOT_B})) AS t(b)
+), weighted AS (
+  SELECT b, CAST(SUM(({_pois_case('u')}) * cents) AS BIGINT) AS wsum,
+         CAST(SUM({_pois_case('u')}) AS BIGINT) AS wn
+  FROM expl GROUP BY b
+), means AS (
+  SELECT CAST(wsum AS DOUBLE) / wn AS m FROM weighted
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       ROUND(AVG(m), 4) AS boot_mean_cents,
+       ROUND(quantile_cont(m, 0.025), 4) AS ci_lo_cents,
+       ROUND(quantile_cont(m, 0.975), 4) AS ci_hi_cents
+FROM means
+"""
+
+
+@register("poisson_bootstrap_ci", BOOTSTRAP_ORACLE)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    expl = orders.select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.lit(BOOT_B).cast("bigint"))
+        ).alias("b"),
+    ).withColumn(
+        "u",
+        ((F.col("o_orderkey") % _PREMOD) * _KNUTH + F.col("b") * _BOOT_SALT)
+        % _MOD
+        % 1000000,
+    )
+    w = F.expr(_pois_case("u"))
+    weighted = expl.groupBy("b").agg(
+        F.sum(w * F.col("cents")).alias("wsum"), F.sum(w).alias("wn")
+    )
+    means = weighted.select(
+        (F.col("wsum").cast("double") / F.col("wn")).alias("m")
+    )
+    return means.agg(
+        F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean_cents"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo_cents"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi_cents"),
+    )

@@ -1149,7 +1149,8 @@ SINGLE_PARTITION_BOUNDED = {
     "largest_remainder_allocation", "mannwhitney_u_test",
     "mutual_information",
     "ols_multi_regression", "pareto_frontier", "peak_concurrency",
-    "percent_rank_global", "psi_drift_bins", "q11_important_stock",
+    "percent_rank_global", "poisson_bootstrap_ci", "psi_drift_bins",
+    "q11_important_stock",
     "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
     "q19_brand_discounts", "q22_dormant_customers", "q6_revenue_forecast",
     "rolling_correlation", "rolling_median_7d", "rrf_hybrid_search",

@@ -1573,3 +1573,170 @@ def test_rrf_fusion_matches_python_recombination(spark):
     ]
     for r in got:
         assert (r.bm25_rank, r.cosine_rank) == tuple(ranks[r.doc_id])
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[int]:
+    """Pure-Python winnowing per the paper: normalize, hash k-grams,
+    per window of w keep the rightmost minimum; return fingerprint
+    hash set."""
+    import re
+
+    clean = re.sub(r"[^a-z0-9]", "", text.lower())
+    if len(clean) < k + w - 1:
+        return set()
+    B, H40 = 131, 1 << 40
+    hashes = []
+    for p in range(len(clean) - k + 1):
+        h = sum((ord(clean[p + j]) % 256) * (B**j) for j in range(k)) % H40
+        hashes.append(h)
+    out = set()
+    for e in range(w - 1, len(hashes)):
+        window = hashes[e - w + 1 : e + 1]
+        m = min(window)
+        out.add(m)  # rightmost-min tie rule only affects positions, not the hash set
+    return out
+
+
+def test_winnowing_matches_python_reference_fingerprints(spark):
+    """The engine's packed-min fingerprint HASH set per document must
+    equal the paper algorithm run in plain Python."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        WINNOW_K,
+        WINNOW_W,
+        _POS_BITS,
+        _WIN_HASH_TERMS,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+    from pyspark.sql import Window as W
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(25)
+    cleaned = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("clean"),
+    ).filter(F.length("clean") >= WINNOW_K + WINNOW_W - 1)
+    pos = cleaned.select(
+        "doc_id",
+        "clean",
+        F.explode(
+            F.sequence(
+                F.lit(1).cast("bigint"),
+                F.least(F.length("clean") - (WINNOW_K - 1), F.lit(_POS_BITS - 1)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("p"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "p",
+        F.expr(
+            f"(({_WIN_HASH_TERMS}) % {1 << 40}) * {_POS_BITS} + ({_POS_BITS} - 1 - p)"
+        ).alias("packed"),
+    )
+    w = W.partitionBy("doc_id").orderBy("p").rowsBetween(-(WINNOW_W - 1), W.currentRow)
+    fp = (
+        hashed.select("doc_id", "p", F.min("packed").over(w).alias("sel"))
+        .filter(F.col("p") >= WINNOW_W)
+        .select("doc_id", F.expr(f"sel div {_POS_BITS}").alias("h"))
+        .distinct()
+        .collect()
+    )
+    got: dict[int, set[int]] = {}
+    for r in fp:
+        got.setdefault(r.doc_id, set()).add(r.h)
+    texts = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")["text"]
+    checked = 0
+    for doc_id, fps in got.items():
+        want = _winnow_ref(str(texts.loc[doc_id]), WINNOW_K, WINNOW_W)
+        assert fps == want, doc_id
+        checked += 1
+    assert checked >= 10
+
+
+def test_winnowing_guarantee_shared_substring_yields_shared_fingerprint(spark):
+    """The paper's detection guarantee: two documents sharing a
+    substring of length >= w + k - 1 (after normalization) MUST share
+    at least one fingerprint. Planted pair with otherwise-disjoint
+    content."""
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    shared = "thequickbrownfoxjumpsoverthelazydog"  # 35 >= 8 + 4 - 1
+    a = "aaaaaaaaaaaaaaaaaaaaaa" + shared + "bbbbbbbbbbbbbbbbbbb"
+    b = "cccccccccccccccccccccc" + shared + "ddddddddddddddddddd"
+    fa = _winnow_ref(a, WINNOW_K, WINNOW_W)
+    fb = _winnow_ref(b, WINNOW_K, WINNOW_W)
+    assert fa & fb, "guarantee violated in the reference"
+    # and the engine agrees end-to-end on the planted pair
+    import __spark_entry__ as e  # noqa: F401  (registry import side effect)
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, a, "en", "src1", len(a)), (2, b, "en", "src2", len(b)),
+             (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "en", "src3", 42)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        rows = QUERIES["winnow_fingerprint_pairs"](spark, tmp).collect()
+    pairs = {(r.doc_a, r.doc_b): r.shared_fingerprints for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(k == (1, 2) for k in pairs)  # doc 3 shares nothing
+
+
+def test_poisson_bootstrap_matches_python_rederivation(spark):
+    """Replicate weights, means, and interpolated CI bounds re-derived
+    in plain Python from the same deterministic hash."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        BOOT_B,
+        _BOOT_SALT,
+        _KNUTH,
+        _MOD,
+        _PREMOD,
+        _POIS_THRESH,
+    )
+    from tests.conftest import SF_DIR
+
+    row = e.queries()["poisson_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = orders["o_totalprice"].map(_cents_half_up).tolist()
+    keys = orders["o_orderkey"].tolist()
+
+    def pois(u: int) -> int:
+        for k, t in enumerate(_POIS_THRESH):
+            if u < t:
+                return k
+        return 5
+
+    means = []
+    for b in range(1, BOOT_B + 1):
+        wsum = wn = 0
+        for key, c in zip(keys, cents):
+            u = ((key % _PREMOD) * _KNUTH + b * _BOOT_SALT) % _MOD % 1000000
+            w = pois(u)
+            wsum += w * c
+            wn += w
+        means.append(wsum / wn)
+    means.sort()
+
+    def q(p: float) -> float:
+        idx = p * (len(means) - 1)
+        lo, f = int(idx), idx - int(idx)
+        return means[lo] * (1 - f) + means[min(lo + 1, len(means) - 1)] * f
+
+    assert row.n_replicates == BOOT_B
+    assert abs(row.boot_mean_cents - sum(means) / len(means)) < 1e-3
+    assert abs(row.ci_lo_cents - q(0.025)) < 1e-3
+    assert abs(row.ci_hi_cents - q(0.975)) < 1e-3
+    # sanity: the CI brackets the plain mean
+    plain = sum(cents) / len(cents)
+    assert row.ci_lo_cents < plain < row.ci_hi_cents
