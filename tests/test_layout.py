@@ -238,3 +238,62 @@ def test_hilbert_layout_prunes_both_dimensions(spark, tmp_path):
     for col, probe in (("o_custkey", int(med.c)), ("epoch_days", int(med.d))):
         frac = _candidate_fraction(_file_ranges(hil, col), probe)
         assert frac <= 0.5, (col, frac)
+
+
+def test_hilbert_beats_morton_on_2d_range_probes(spark, tmp_path):
+    """The locality claim, measured: over a deterministic 5x5 grid of
+    2-D range probes (each ~10% of each domain), the Hilbert layout
+    must leave no MORE candidate files than Morton — and on this
+    fixture it's ~30% fewer (0.15 vs 0.22 measured when pinned).
+    Single-dimension pruning is comparable between the curves; compact
+    2-D regions are where the unit-step property pays."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.sources.layout import (
+        hilbert_frame,
+        zordered_frame,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("datediff(o_orderdate, DATE '1992-01-01')").alias("epoch_days"),
+    )
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("epoch_days"), F.max("epoch_days")
+    ).first()
+    clo, chi, dlo, dhi = b
+
+    def mean_fraction(frame_fn, path):
+        (
+            frame_fn(orders, "o_custkey", "epoch_days")
+            .repartitionByRange(16, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        rc = _file_ranges(path, "o_custkey")
+        rd = _file_ranges(path, "epoch_days")
+        tot, n = 0.0, 0
+        for i in range(5):
+            for j in range(5):
+                c0 = clo + (chi - clo) * (i * 2 + 1) // 12
+                c1 = c0 + max((chi - clo) // 10, 1)
+                d0 = dlo + (dhi - dlo) * (j * 2 + 1) // 12
+                d1 = d0 + max((dhi - dlo) // 10, 1)
+                hits = sum(
+                    1
+                    for f in rc
+                    if rc[f][0] <= c1 and rc[f][1] >= c0
+                    and rd[f][0] <= d1 and rd[f][1] >= d0
+                )
+                tot += hits / len(rc)
+                n += 1
+        return tot / n
+
+    m = mean_fraction(zordered_frame, str(tmp_path / "m"))
+    h = mean_fraction(hilbert_frame, str(tmp_path / "h"))
+    assert h <= m, (h, m)
+    assert h <= 0.25  # absolute bound: compact probes prune hard
