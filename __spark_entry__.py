@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
 # the official oracle check each round. Round 8 priorities (VERDICT r7
-# items 1-2): (a) the 15 queries whose implementation changed or was
+# items 1-2): (a) the 16 queries whose implementation changed or was
 # registered this round — the de-vacuated embedding_neardup_pairs
 # (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
 # (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
@@ -46,10 +46,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # mannwhitney_u_test / wasserstein_1d (the rank-sum and earth-mover
 # drift companions of the KS test), rrf_hybrid_search (lexical +
 # vector reciprocal-rank fusion), winnow_fingerprint_pairs (MOSS
-# partial-overlap fingerprints), and poisson_bootstrap_ci (one-pass
-# bootstrap CI); then (b) 35 slots of STALE ROTATION — all 35 queries
-# whose latest green driver row is r3 (the r4 set, flagship_revenue /
-# json_extract_events first, heads the round-9 queue). The remaining r4-stale queries past the boundary are
+# partial-overlap fingerprints), poisson_bootstrap_ci (one-pass
+# bootstrap CI), and model_lift_deciles (decile-gain report on the
+# exact NTILE machinery); then (b) 34 slots of STALE ROTATION — the
+# r3-stale set, alphabetical (its last entry zorder_layout_key, then
+# the r4 set with flagship_revenue / json_extract_events first, heads
+# the round-9 queue). The remaining r4-stale queries past the boundary are
 # queued first for round 9. Every query is also oracle-diffed locally in
 # tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
@@ -69,6 +71,7 @@ _CHECK_FIRST = (
     "rrf_hybrid_search",
     "winnow_fingerprint_pairs",
     "poisson_bootstrap_ci",
+    "model_lift_deciles",
     # (b) stale rotation: the 35 r3-latest queries, alphabetical
     "boilerplate_removal",
     "corr_regression_stats",
@@ -104,12 +107,11 @@ _CHECK_FIRST = (
     "vocab_coverage",
     "weighted_sample",
     "winsorize_percentile",
+    # --- 50-query window boundary is here (16 new/changed + 34 of the
+    # 35 r3-stale queries). Below: the round-9 queue — the last r3
+    # entry, then the r4-stale set, core-parity names first, then
+    # alphabetical ---
     "zorder_layout_key",
-    # (b) stale rotation: r4-latest — named-first, then alphabetical up
-    # to the window boundary
-    # --- 50-query window boundary is here (15 new/changed + the full
-    # 35-query r3-stale set). Below: the round-9 queue — the r4-stale
-    # set, core-parity names first, then alphabetical ---
     "flagship_revenue",
     "json_extract_events",
     "dedup_exact_hash",

@@ -1157,3 +1157,88 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo_cents"),
         F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model lift table (round 8): decile-gain analysis — rank by a score
+# (order value as the stand-in propensity), split into exact deciles,
+# and report per-decile response rate, lift vs the base rate, and
+# cumulative capture — the standard campaign-targeting / model-quality
+# report next to auc_roc and calibration_bins. All rates are EXACT
+# integer basis points (cross-multiplied, floor division); nothing
+# floats.
+#
+# Scale: deciles come from the size-adaptive exact NTILE
+# (operators/ids.exact_ntile — plain window at most
+# WINDOW_FORM_MAX_ROWS rows by footer hint, two-phase sequential-id
+# form above, never an unbounded single-partition sort); the report is
+# a 10-row aggregate, and the cumulative capture is a window over that
+# 10-row relation.
+# ---------------------------------------------------------------------------
+LIFT_ORACLE = """
+WITH scored AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS hit,
+         NTILE(10) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                         o_orderkey) AS decile
+  FROM orders
+), per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(hit) AS BIGINT) AS responders
+  FROM scored GROUP BY decile
+), tot AS (
+  SELECT decile, n_orders, responders,
+         SUM(n_orders) OVER () AS n_total,
+         SUM(responders) OVER () AS r_total,
+         SUM(responders) OVER (ORDER BY decile) AS cum_r
+  FROM per
+)
+SELECT CAST(decile AS INT) AS decile, n_orders, responders,
+       CAST(responders * 10000 // n_orders AS BIGINT) AS response_bp,
+       CAST(responders * n_total * 10000 // (n_orders * r_total) AS BIGINT) AS lift_bp,
+       CAST(cum_r * 10000 // r_total AS BIGINT) AS cum_capture_bp
+FROM tot
+"""
+
+
+@register("model_lift_deciles", LIFT_ORACLE)
+def model_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import exact_ntile
+    from ..sources.parquet import table_row_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("hit"),
+        "o_orderkey",
+    )
+    deciled = exact_ntile(
+        scored,
+        10,
+        [F.col("cents").desc(), F.col("o_orderkey")],
+        "decile",
+        n_hint=table_row_count(sf_dir, "orders"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_orders"), F.sum("hit").alias("responders")
+    )
+    tot = per.select(
+        "decile",
+        "n_orders",
+        "responders",
+        F.sum("n_orders").over(W.partitionBy()).alias("n_total"),
+        F.sum("responders").over(W.partitionBy()).alias("r_total"),
+        F.sum("responders")
+        .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_r"),
+    )
+    return tot.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_orders",
+        "responders",
+        F.expr("CAST(responders * 10000 div n_orders AS BIGINT)").alias("response_bp"),
+        F.expr(
+            "CAST(responders * n_total * 10000 div (n_orders * r_total) AS BIGINT)"
+        ).alias("lift_bp"),
+        F.expr("CAST(cum_r * 10000 div r_total AS BIGINT)").alias("cum_capture_bp"),
+    )

@@ -1147,7 +1147,7 @@ SINGLE_PARTITION_BOUNDED = {
     "heavy_hitter_users", "js_divergence_sources", "kaplan_meier_churn",
     "kmv_distinct_intersection", "ks_test_two_sample",
     "largest_remainder_allocation", "mannwhitney_u_test",
-    "mutual_information",
+    "model_lift_deciles", "mutual_information",
     "ols_multi_regression", "pareto_frontier", "peak_concurrency",
     "percent_rank_global", "poisson_bootstrap_ci", "psi_drift_bins",
     "q11_important_stock",

@@ -1740,3 +1740,38 @@ def test_poisson_bootstrap_matches_python_rederivation(spark):
     # sanity: the CI brackets the plain mean
     plain = sum(cents) / len(cents)
     assert row.ci_lo_cents < plain < row.ci_hi_cents
+
+
+def test_lift_deciles_match_python_sort(spark):
+    """Decile membership, response rates, lift, and cumulative capture
+    re-derived by plain Python sorting on sf0.001."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from tests.conftest import SF_DIR
+
+    got = {r.decile: r for r in e.queries()["model_lift_deciles"](spark, SF_DIR).collect()}
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    rows = sorted(
+        (
+            (-_cents_half_up(r["o_totalprice"]), r["o_orderkey"],
+             1 if r["o_orderpriority"] == "1-URGENT" else 0)
+            for _, r in orders.iterrows()
+        )
+    )
+    n = len(rows)
+    q, rem = divmod(n, 10)
+    sizes = [q + 1] * rem + [q] * (10 - rem)
+    r_total = sum(hit for _, _, hit in rows)
+    i, cum_r = 0, 0
+    for d, size in enumerate(sizes, start=1):
+        chunk = rows[i : i + size]
+        i += size
+        resp = sum(h for _, _, h in chunk)
+        cum_r += resp
+        g = got[d]
+        assert g.n_orders == size
+        assert g.responders == resp
+        assert g.response_bp == resp * 10000 // size
+        assert g.lift_bp == resp * n * 10000 // (size * r_total)
+        assert g.cum_capture_bp == cum_r * 10000 // r_total
