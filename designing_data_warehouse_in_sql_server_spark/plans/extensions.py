@@ -3505,12 +3505,19 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: position explode is Σ n_chars rows (linear); the window min is
 # partitioned by doc (bounded by document length, never a global sort);
-# the fingerprint self-join is hash-equi on the 40-bit fingerprint —
-# collision-bounded like the LSH families, never all-pairs. Top-20
-# pairs via integer counts, id tiebreaks.
+# the fingerprint self-join is hash-equi on the 40-bit fingerprint. A
+# fingerprint's pair fan-out is df² — ONE boilerplate print shared by
+# 44% of the 10× corpus produced 2.5B join rows (measured) — so prints
+# with document frequency > WINNOW_MAX_DF are DROPPED before the join,
+# the way MOSS ignores matches above an occurrence threshold (a print
+# in hundreds of documents is boilerplate, not evidence of pairwise
+# copying). The absolute cap bounds the join at df_cap²/2 rows per
+# fingerprint — linear in the fingerprint count at any corpus size.
+# Top-20 pairs via integer counts, id tiebreaks.
 # ---------------------------------------------------------------------------
 WINNOW_K = 8  # k-gram length (chars, normalized)
 WINNOW_W = 4  # window of consecutive k-grams per fingerprint
+WINNOW_MAX_DF = 50  # drop boilerplate fingerprints above this doc frequency
 _WIN_B = 131
 _POS_BITS = 1 << 20
 _H40 = 1 << 40
@@ -3539,9 +3546,13 @@ WITH cleaned AS (
                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS sel,
          p
   FROM hashed
-), fp AS (
+), fp_all AS (
   SELECT DISTINCT doc_id, sel // {_POS_BITS} AS h
   FROM mins WHERE p >= {WINNOW_W}
+), fp AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM fp_all
+  ) WHERE df <= {WINNOW_MAX_DF}
 ), sizes AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id
 ), pairs AS (
@@ -3563,11 +3574,22 @@ LIMIT 20
 
 @register("winnow_fingerprint_pairs", WINNOW_ORACLE)
 def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = docs.select(
+    # spread to full parallelism BEFORE the k-gram hash projection: the
+    # corpus parquet is bytes-small relative to the per-char work (8
+    # substr+ascii per position), so the scan yields 1-2 input splits
+    # and the 10x corpus ran the whole 400M-op pipeline in one task
+    # (measured 21.8x at 10x data; the exchange of the ~n_chars bytes
+    # is trivial next to the compute it parallelizes)
+    cleaned = spread(
+        docs.select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("clean"),
+        ).filter(F.length("clean") >= WINNOW_K + WINNOW_W - 1),
         "doc_id",
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("clean"),
-    ).filter(F.length("clean") >= WINNOW_K + WINNOW_W - 1)
+    )
     pos = cleaned.select(
         "doc_id",
         "clean",
@@ -3596,9 +3618,18 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "p", F.min("packed").over(w).alias("sel")
     ).filter(F.col("p") >= WINNOW_W)
     # integer div — sel reaches ~1.15e18, past double's 2^53 exactness
-    fp = mins.select(
+    fp_all = mins.select(
         "doc_id", F.expr(f"sel div {_POS_BITS}").alias("h")
     ).distinct()
+    # boilerplate cap: the window over h shares the distinct's hash
+    # partitioning on h (no extra exchange); df > cap prints drop
+    fp = (
+        fp_all.withColumn(
+            "df", F.count("*").over(W.partitionBy("h"))
+        )
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .drop("df")
+    )
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = fp.select(F.col("doc_id").alias("doc_a"), "h")
     b = fp.select(F.col("doc_id").alias("doc_b"), "h")
