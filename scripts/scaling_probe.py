@@ -550,12 +550,18 @@ FRONTIER_R8B = (
     "rrf_hybrid_search",
 )
 
+# Round-8c frontier: winnowing after its two scale fixes (spread before
+# the hash projection; MOSS-style df cap on fingerprints). Reads only
+# the documents table — skip the fact build.
+FRONTIER_R8C = ("winnow_fingerprint_pairs",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
     "frontier_w6": (FRONTIER_W6, False),
     "frontier_r8": (FRONTIER_R8, True),
     "frontier_r8b": (FRONTIER_R8B, True),
+    "frontier_r8c": (FRONTIER_R8C, True, False),
     "frontier_dedup": (FRONTIER_DEDUP, True),
     "frontier_misc": (FRONTIER_MISC, True),
     "frontier_twophase": (FRONTIER_TWOPHASE, True),
