@@ -627,7 +627,7 @@ def _hilbert_sql(bits: int = 16) -> str:
             f"ELSE hx END AS hx, "
             f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END "
             f"ELSE hy END AS hy, "
-            f"hd + {s * s} * (CASE WHEN {rx} = 1 AND {ry} = 0 THEN 3 "
+            f"hd + CAST({s * s} AS BIGINT) * (CASE WHEN {rx} = 1 AND {ry} = 0 THEN 3 "
             f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
             f"WHEN {ry} = 1 THEN 1 ELSE 0 END) AS hd "
             f"FROM h{level + 1})"

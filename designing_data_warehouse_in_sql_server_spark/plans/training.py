@@ -905,7 +905,14 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + 1, the spearman_rank_corr device) make the rank sum 2·R1 an exact
 # BIGINT, 4·U1 = 2·R1 - 2·n1·(n1+1)/2·2 stays integral, and the
 # tie-correction term Σ(t³-t) is an exact integer sum — the only
-# doubles are the final mean/variance normalization, ROUND 6.
+# doubles are the final mean/variance normalization, ROUND 6. The two
+# cubic-headroom sums (Σ n1·r2 ≈ 2N² and Σ t³) are accumulated as
+# DECIMAL(38,0) on BOTH engines (ADVICE r8: t³ wraps a Spark BIGINT
+# once a single distinct value carries >2M ties; decimal keeps 38
+# digits of identical headroom where DuckDB would silently widen to
+# HUGEINT and diverge), and u1_doubled is emitted as a STRING of the
+# exact integer (same device as wasserstein_1d's w1_num: DuckDB's
+# pandas bridge renders DECIMAL(38,0) as lossy float64).
 #
 # Scale: identical shape to the KS twin — one hash aggregate to
 # per-distinct-cents counts (domain-bounded), windows over that bounded
@@ -926,12 +933,12 @@ WITH c AS (
 ), agg AS (
   SELECT CAST(SUM(n1) AS BIGINT) AS na,
          CAST(SUM(n2) AS BIGINT) AS nb,
-         CAST(SUM(n1 * r2) AS BIGINT) AS r2sum_a,
-         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+         CAST(SUM(CAST(n1 * r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2sum_a,
+         CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie_term
   FROM r
 )
 SELECT na AS n_a, nb AS n_b,
-       CAST((r2sum_a - na * (na + 1)) AS BIGINT) AS u1_doubled,
+       CAST(CAST((r2sum_a - na * (na + 1)) AS DECIMAL(38,0)) AS VARCHAR) AS u1_doubled,
        ROUND((CAST(r2sum_a - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2)
              / SQRT(CAST(na AS DOUBLE) * nb / 12.0
                     * ((na + nb + 1)
@@ -965,13 +972,17 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t"),
         (2 * (F.sum(t).over(run) - t) + t + 1).alias("r2"),
     )
+    # decimal(38,0) before the product/cube so no per-row BIGINT wrap
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     agg = r.agg(
         F.sum("n1").alias("na"),
         F.sum("n2").alias("nb"),
-        F.sum(F.col("n1") * F.col("r2")).alias("r2sum_a"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+        F.sum(dec(F.col("n1")) * dec(F.col("r2"))).alias("r2sum_a"),
+        F.sum(
+            dec(F.col("t")) * dec(F.col("t")) * dec(F.col("t")) - dec(F.col("t"))
+        ).alias("tie_term"),
     )
-    u1d = F.col("r2sum_a") - F.col("na") * (F.col("na") + 1)
+    u1d = (F.col("r2sum_a") - F.col("na") * (F.col("na") + 1)).cast("decimal(38,0)")
     mean = F.col("na").cast("double") * F.col("nb") / 2
     var = (
         F.col("na").cast("double")
@@ -986,7 +997,7 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
-        u1d.cast("long").alias("u1_doubled"),
+        u1d.cast("string").alias("u1_doubled"),
         F.round((u1d.cast("double") / 2 - mean) / F.sqrt(var), 6).alias("z_score"),
     )
 
@@ -999,8 +1010,16 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # small shift everywhere from a large shift somewhere. Closed form in
 # 1-D: W1 = ∫|F1 - F2| dx = Σ over consecutive distinct values of
 # |cum1·N2 - cum2·N1| · Δv / (N1·N2) — the numerator Σ|gap|·Δv is an
-# EXACT BIGINT (same integer-gap device as the KS twin), the single
-# division at the end is the only double, ROUND 6 (units: cents).
+# EXACT integer accumulated as DECIMAL(38,0) on BOTH engines (ADVICE
+# r8: it is bounded by N1·N2·cents-range, which approaches 2^63 at
+# ~100× event scale where a BIGINT sum would wrap silently in Spark's
+# non-ANSI mode while DuckDB's HUGEINT sum would error on the BIGINT
+# cast — decimal gives 38 digits of identical headroom on both
+# engines); the exact numerator is EMITTED AS A STRING because neither
+# engine can hand a 2^63-exceeding integer to the comparison harness
+# losslessly in a native type (DuckDB's pandas bridge renders
+# DECIMAL(38,0) as float64); the single division at the end is the
+# only double, ROUND 6 (units: cents).
 #
 # Scale: identical to the KS twin — per-distinct-cents counts, windows
 # over the domain-bounded relation, 1-row reduction.
@@ -1022,8 +1041,8 @@ WITH c AS (
          LEAD(cents) OVER (ORDER BY cents) AS next_cents
   FROM c
 )
-SELECT CAST(SUM(ABS(cum1 * tot2 - cum2 * tot1) * (next_cents - cents)) AS BIGINT)
-         AS w1_num,
+SELECT CAST(CAST(SUM(CAST(ABS(cum1 * tot2 - cum2 * tot1) * (next_cents - cents)
+                          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS w1_num,
        CAST(MAX(tot1) AS BIGINT) AS n_a,
        CAST(MAX(tot2) AS BIGINT) AS n_b,
        ROUND(CAST(SUM(ABS(cum1 * tot2 - cum2 * tot1) * (next_cents - cents)) AS DOUBLE)
@@ -1057,12 +1076,19 @@ def wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n2").over(full).alias("tot2"),
         F.lead("cents").over(W.orderBy("cents")).alias("next_cents"),
     )
+    # decimal(38,0) end-to-end: cast BEFORE the products so no
+    # intermediate ever lives in a wrappable BIGINT (dec*dec and
+    # SUM(dec) both stay decimal(38,0) in Spark — exact to 38 digits).
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     num = F.sum(
-        F.abs(F.col("cum1") * F.col("tot2") - F.col("cum2") * F.col("tot1"))
-        * (F.col("next_cents") - F.col("cents"))
+        F.abs(
+            dec(F.col("cum1")) * dec(F.col("tot2"))
+            - dec(F.col("cum2")) * dec(F.col("tot1"))
+        )
+        * dec(F.col("next_cents") - F.col("cents"))
     )
     return e.filter(F.col("next_cents").isNotNull()).agg(
-        num.cast("long").alias("w1_num"),
+        num.cast("string").alias("w1_num"),
         F.max("tot1").alias("n_a"),
         F.max("tot2").alias("n_b"),
         F.round(

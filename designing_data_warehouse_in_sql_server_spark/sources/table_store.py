@@ -750,6 +750,14 @@ class TableStore:
         )
         v = cur + 1
         vdir = os.path.join(self._dir(name), f"v{v}")
+        # A version directory past the committed pointer can only be the
+        # debris of a crashed earlier restore of this same number; the
+        # Spark write paths self-heal via mode("overwrite"), so the link
+        # stager must too — otherwise os.link raises FileExistsError
+        # (ADVICE r8). The pointer swap in _commit is what makes a
+        # version real, so removing uncommitted staging is always safe.
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
         os.makedirs(vdir, exist_ok=True)
         for dirpath, _dirnames, filenames in os.walk(src):
             rel = os.path.relpath(dirpath, src)
@@ -793,6 +801,10 @@ class TableStore:
             raise FileExistsError(f"clone target {dst!r} already exists")
         src_dir = os.path.join(self._dir(src), f"v{v_src}")
         vdir = os.path.join(self._dir(dst), "v1")
+        # self-heal debris from a crashed earlier clone (no pointer was
+        # ever written for dst — the exists() check above proves it)
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
         os.makedirs(vdir, exist_ok=True)
         for dirpath, _dirnames, filenames in os.walk(src_dir):
             rel = os.path.relpath(dirpath, src_dir)

@@ -297,3 +297,52 @@ def test_hilbert_beats_morton_on_2d_range_probes(spark, tmp_path):
     h = mean_fraction(hilbert_frame, str(tmp_path / "h"))
     assert h <= m, (h, m)
     assert h <= 0.25  # absolute bound: compact probes prune hard
+
+
+def test_hilbert_oracle_sql_survives_high_custkeys(spark, tmp_path):
+    """Regression (ADVICE r8): the DuckDB oracle's per-level offset
+    ``1073741824 * quadrant`` was typed INT32 and overflowed for any row
+    whose top-level quadrant is nonzero (o_custkey % 65536 >= 32768) —
+    unreachable at sf<=0.01 but fatal at the scales the harness depends
+    on. Pin oracle == Spark on custkeys straddling the 32768 boundary."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        HILBERT_ORACLE,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.layout import (
+        with_hilbert_key,
+    )
+
+    rows = [
+        (k, ck, f"1992-01-{1 + (ck % 28):02d}")
+        for k, ck in enumerate(
+            [1, 1500, 32767, 32768, 40000, 65535, 65536, 99999, 131071]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderdate string"
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    path = str(tmp_path / "orders_hi")
+    df.write.parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = dict(con.execute(HILBERT_ORACLE).fetchall())
+
+    got = with_hilbert_key(
+        df.select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("datediff(o_orderdate, DATE '1992-01-01')").alias("epoch_days"),
+        ),
+        F.col("o_custkey"),
+        F.col("epoch_days"),
+        "hkey",
+    ).collect()
+    assert len(oracle) == len(rows)
+    for r in got:
+        assert oracle[r.o_orderkey] == r.hkey, (r.o_orderkey, r.hkey)

@@ -1018,3 +1018,36 @@ def test_optimize_hilbert_curve_stats_skipping(spark, tmp_path):
     assert got == want and len(got) == 4096 // 16
     with pytest.raises(ValueError, match="curve"):
         store.optimize("t", zorder_by=("a", "b"), curve="peano")
+
+
+def test_restore_self_heals_crashed_staging_debris(spark, store, tmp_path):
+    """Regression (ADVICE r8): a crashed earlier restore leaves a partial
+    uncommitted v{cur+1} directory; os.link into it raised
+    FileExistsError where the Spark write paths self-heal via
+    mode('overwrite'). The link stager must rmtree uncommitted staging —
+    only the pointer swap makes a version real."""
+    import glob
+    import os
+    import shutil
+
+    v1 = store.overwrite("t", _df(spark, [(1, "a"), (2, "b")]))
+    v2 = store.overwrite("t", _df(spark, [(9, "z")]))
+    # simulate the crash: stage the target's files into v3, no commit
+    root = str(tmp_path / "warehouse" / "t")
+    debris = f"{root}/v{v2 + 1}"
+    os.makedirs(debris)
+    for f in glob.glob(f"{root}/v{v1}/*.parquet"):
+        os.link(f, os.path.join(debris, os.path.basename(f)))
+    assert store.current_version("t") == v2  # pointer untouched
+    v3 = store.restore("t", v1)
+    assert v3 == v2 + 1
+    assert {r.k for r in store.read("t").collect()} == {1, 2}
+
+    # same self-heal on the clone path
+    os.makedirs(str(tmp_path / "warehouse" / "c2" / "v1"), exist_ok=True)
+    shutil.copy(
+        glob.glob(f"{root}/v{v1}/*.parquet")[0],
+        str(tmp_path / "warehouse" / "c2" / "v1" / "junk.parquet"),
+    )
+    store.clone("t", "c2")
+    assert {r.k for r in store.read("c2").collect()} == {1, 2}
