@@ -124,8 +124,9 @@ def semantic_dedup(
     minimized at k = sqrt(n) — O(n^1.5), which the registered query
     derives from footer metadata. (The paper's web-scale regime fixes
     cluster SIZE and pays assignment approximately on GPUs/faiss; the
-    in-engine analog is IVF-pruned assignment, approximate and hence
-    not the oracle-checked form.) The Lloyd rounds are broadcast-join +
+    in-engine analog is ``semantic_dedup_ivf`` below — registered and
+    oracle-checked in its own right, with this exact form as its
+    quality anchor.) The Lloyd rounds are broadcast-join +
     hash-aggregate shaped (see kmeans_fixed); the prune is ONE
     equi-join on cid — never an all-pairs product.
     """
@@ -147,6 +148,18 @@ def semantic_dedup(
     member = member.withColumn(
         "__n2", dot_q(F.col("__qv"), F.col("__qv"))
     ).localCheckpoint(eager=True)
+    return _prune_within_clusters(member, id_col, threshold)
+
+
+def _prune_within_clusters(
+    member: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared SemDeDup prune over an (id, cid, __qv, __n2) relation that
+    the caller has already materialized (it is referenced three times):
+    a vector is dropped iff some LOWER-id member of its own cluster has
+    rounded cosine >= threshold with it. ONE equi-join on cid — never an
+    all-pairs product; the squared norms ride in so each candidate pair
+    evaluates a single dot product."""
     a = member.select(
         F.col(id_col).alias("__ida"), "cid",
         F.col("__qv").alias("__qa"), F.col("__n2").alias("__n2a"),
@@ -174,3 +187,103 @@ def semantic_dedup(
         F.col("cid").alias("cluster"),
         F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
     )
+
+
+def semantic_dedup_ivf(
+    embeddings: DataFrame,
+    k: int,
+    m: int,
+    n_probe: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The WEB-SCALE regime of SemDeDup (Abbas et al. 2023 §3 run their
+    clustering approximately on GPUs/faiss): fix the target cluster SIZE
+    (so ``k`` grows with the corpus) and make the assignment affordable
+    with IVF-pruned scoring — a vector is scored only against the fine
+    centroids living in its ``n_probe`` nearest COARSE cells, instead of
+    against all k. Deterministic end-to-end (seed centroids are the
+    first vectors by id, all distances exact int64, all ties break on
+    lowest id), so the DuckDB oracle replays it exactly — approximate
+    refers to the CLUSTERING being single-shot IVF rather than converged
+    k-means, not to any nondeterminism.
+
+    Assignment guarantee: every vector's nearest coarse cell always
+    contains at least one fine centroid (coarse seed j is also fine seed
+    j since m <= k, and the lowest-id member of any duplicate group
+    assigns to itself), so the argmin is never empty and the output
+    keeps one row per vector.
+
+    Scale: coarse scoring is n*m rows off a broadcast (m = isqrt(k)
+    rows); the top-p cells come from ONE hash aggregate
+    (slice(array_sort(collect_list))) over m-element lists — no n*m
+    window; fine scoring is n*p*(k/m) rows off a broadcast of the
+    k-row (cell -> fine centroid) relation; the prune is the shared
+    one-equi-join kernel. With cluster size fixed at S (k = n/S):
+    O(n * p * sqrt(n/S)) ~ O(n^1.25) total vs the exact form's
+    O(n^1.5) — the remaining superlinearity is the flat two-level
+    IVF; production systems cap it by deepening the hierarchy.
+
+    Returns (id_col, cluster, kept) — same contract as semantic_dedup.
+    """
+    q = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    fine = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+    )
+    coarse = q.filter(F.col(id_col) < m).select(
+        F.col(id_col).alias("__ccid"), F.col("__qv").alias("__ccv")
+    )
+
+    def d(av, bv):
+        return dot_q(av, av) - 2 * dot_q(av, bv) + dot_q(bv, bv)
+
+    # fine centroid -> its coarse cell (k x m rows, both tiny)
+    fc = (
+        fine.crossJoin(F.broadcast(coarse))
+        .select(
+            "cid",
+            F.struct(
+                d(F.col("__cv"), F.col("__ccv")).alias("__d"), F.col("__ccid")
+            ).alias("__s"),
+        )
+        .groupBy("cid")
+        .agg(F.min("__s").alias("__m"))
+        .select("cid", F.col("__m.__ccid").alias("__ccid"))
+    )
+    cells = fc.join(fine, "cid")  # (cid, __ccid, __cv) — k rows
+    # vector -> its n_probe nearest coarse cells: one hash aggregate,
+    # never a window over the n*m scored relation
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            F.col(id_col),
+            F.struct(
+                d(F.col("__qv"), F.col("__ccv")).alias("__d"), F.col("__ccid")
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__s")), 1, n_probe).alias("__t")
+        )
+        .select(F.col(id_col), F.explode("__t.__ccid").alias("__ccid"))
+    )
+    assigned = (
+        probes.join(q, id_col)
+        .join(F.broadcast(cells), "__ccid")
+        .select(
+            F.col(id_col),
+            F.struct(
+                d(F.col("__qv"), F.col("__cv")).alias("__d"), F.col("cid")
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__m"))
+        .select(F.col(id_col), F.col("__m.cid").alias("cid"))
+    )
+    member = (
+        assigned.join(q, id_col)
+        .withColumn("__n2", dot_q(F.col("__qv"), F.col("__qv")))
+        .localCheckpoint(eager=True)
+    )
+    return _prune_within_clusters(member, id_col, threshold)

@@ -1316,6 +1316,144 @@ def test_semantic_dedup_matches_numpy_reference(spark):
     assert dropped, "vacuous reference: nothing dropped at sf0.001"
 
 
+def test_semantic_dedup_ivf_matches_numpy_reference(spark):
+    """semantic_dedup_ivf must equal a numpy re-derivation of the SAME
+    contract — quantize, coarse-assign the k fine seeds, probe each
+    vector's n_probe nearest coarse cells, argmin over only those
+    cells' fine centroids (all ties on lowest id), then the shared
+    within-cluster prune — independent of both Spark expressions and
+    the DuckDB WITH-chain. Also pins the non-vacuity of the IVF
+    pruning itself: at least one vector's IVF assignment must differ
+    from full exhaustive fine assignment (else the test proves
+    nothing about the probe restriction)."""
+    import math
+
+    import numpy as np
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        SEMDEDUP_IVF_CLUSTER_SIZE,
+        SEMDEDUP_IVF_NPROBE,
+        SEMDEDUP_THRESHOLD,
+    )
+    from tests.conftest import SF_DIR
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up(x: float, places: int) -> float:
+        quantum = Decimal(1).scaleb(-places)
+        return float(
+            Decimal(repr(float(x))).quantize(quantum, rounding=ROUND_HALF_UP)
+        )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, V = ids[order], np.stack(emb["embedding"].to_numpy())[order]
+    q = np.array(
+        [[int(half_up(v * 10000.0, 0)) for v in row] for row in V.astype(np.float64)],
+        dtype=np.int64,
+    )
+    n = len(ids)
+    k = max(8, -(-n // SEMDEDUP_IVF_CLUSTER_SIZE))
+    m = max(2, math.isqrt(k))
+
+    def dists(mat_a, mat_b):
+        return (
+            (mat_a * mat_a).sum(1)[:, None]
+            - 2 * (mat_a @ mat_b.T)
+            + (mat_b * mat_b).sum(1)[None, :]
+        )
+
+    fine_ids = [int(i) for i in ids if i < k]
+    coarse_ids = [int(i) for i in ids if i < m]
+    fmat = q[np.isin(ids, fine_ids)]
+    cmat = q[np.isin(ids, coarse_ids)]
+    # fine -> coarse (rows follow sorted id order; argmin first-min = lowest ccid)
+    f2c = {fine_ids[r]: coarse_ids[p] for r, p in enumerate(dists(fmat, cmat).argmin(1))}
+    # vector -> top n_probe coarse cells (stable lexical (dist, ccid) order)
+    dqc = dists(q, cmat)
+    assign = np.empty(n, dtype=np.int64)
+    for r in range(n):
+        probe_cells = [
+            coarse_ids[j]
+            for j in sorted(range(len(coarse_ids)), key=lambda j: (dqc[r, j], coarse_ids[j]))[:SEMDEDUP_IVF_NPROBE]
+        ]
+        cand = [fid for fid in fine_ids if f2c[fid] in probe_cells]
+        assert cand, "empty probe candidate set breaks the one-row-per-vector contract"
+        best = min(
+            cand,
+            key=lambda fid: (
+                int(q[r] @ q[r])
+                - 2 * int(q[r] @ fmat[fine_ids.index(fid)])
+                + int(fmat[fine_ids.index(fid)] @ fmat[fine_ids.index(fid)]),
+                fid,
+            ),
+        )
+        assign[r] = best
+    # the probe restriction must bite somewhere at this SF
+    exhaustive = np.array([fine_ids[p] for p in dists(q, fmat).argmin(1)])
+    assert (assign != exhaustive).any(), "IVF pruning vacuous: probes saw every cell"
+
+    dropped = set()
+    for c in sorted(set(assign.tolist())):
+        members = np.where(assign == c)[0]
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                cos = q[i] @ q[j] / np.sqrt(float(q[i] @ q[i]) * float(q[j] @ q[j]))
+                if half_up(cos, 6) >= SEMDEDUP_THRESHOLD:
+                    dropped.add(int(ids[j]))
+    want = {
+        int(ids[i]): (int(assign[i]), 0 if int(ids[i]) in dropped else 1)
+        for i in range(n)
+    }
+    out = e.queries()["semantic_dedup_ivf"](spark, SF_DIR).collect()
+    got = {r.vec_id: (r.cluster, r.kept) for r in out}
+    assert got == want, (
+        len(got),
+        len(want),
+        dict(list({k2: (got[k2], want[k2]) for k2 in got
+                   if got[k2] != want[k2]}.items())[:5]),
+    )
+
+
+def test_semantic_dedup_ivf_drops_planted_duplicates(spark):
+    """Quality anchor vs the exact form (VERDICT r8 #1): identical
+    vectors quantize identically, probe the same cells, and land in the
+    same cluster by determinism — so BOTH forms must drop every planted
+    exact duplicate (recall 1.0 on exact dupes), and both must keep the
+    lowest id of each duplicate group."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from designing_data_warehouse_in_sql_server_spark.operators.clustering import (
+        semantic_dedup,
+        semantic_dedup_ivf,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 16).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    # ids 200..239 duplicate ids 0..39 exactly
+    rows += [(200 + i, base[i].tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = set(range(200, 240))
+    for out in (
+        semantic_dedup_ivf(emb, k=10, m=3, n_probe=2, threshold=0.99),
+        semantic_dedup(emb, k=10, threshold=0.99, iterations=2),
+    ):
+        res = {r.vec_id: r for r in out.collect()}
+        assert len(res) == 160  # one row per vector
+        for d in planted:
+            assert res[d].kept == 0, d
+            assert res[d].cluster == res[d - 200].cluster, d
+        # lowest id of each dup group survives (nothing else is near at 0.99)
+        assert all(res[i].kept == 1 for i in range(120))
+
+
 # ---------------------------------------------------------------------------
 # Independent-reference checks for the round-8 statistical additions:
 # each pins the registered query against a genuinely different
