@@ -3592,16 +3592,27 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # implements the paper's tie rule — identical integers on both engines.
 #
 # Scale: position explode is Σ n_chars rows (linear); the window min is
-# partitioned by doc (bounded by document length, never a global sort);
-# the fingerprint self-join is hash-equi on the 40-bit fingerprint. A
-# fingerprint's pair fan-out is df² — ONE boilerplate print shared by
-# 44% of the 10× corpus produced 2.5B join rows (measured) — so prints
-# with document frequency > WINNOW_MAX_DF are DROPPED before the join,
-# the way MOSS ignores matches above an occurrence threshold (a print
-# in hundreds of documents is boilerplate, not evidence of pairwise
-# copying). The absolute cap bounds the join at df_cap²/2 rows per
-# fingerprint — linear in the fingerprint count at any corpus size.
-# Top-20 pairs via integer counts, id tiebreaks.
+# partitioned by doc (bounded by document length, never a global sort).
+# The fingerprint relation is exchanged exactly ONCE (VERDICT r8 #3
+# measured the old distinct + df-window + self-join formulation
+# spilling three full-relation exchanges, ~2.1x over linear at 100x):
+# one groupBy(h).collect_set(doc_id) — map-side partials do the
+# (doc_id, h) dedup for free because spread() co-located each doc's
+# positions — then the df cap filters the sets, per-doc sizes come
+# from the exploded POST-CAP relation, and candidate pairs are
+# generated ARRAY-SIDE by a flatten/transform HOF over each <= df_cap
+# sorted set (no self-join, no second exchange of the fingerprints).
+# A fingerprint's pair fan-out is df² — ONE boilerplate print shared
+# by 44% of the 10x corpus produced 2.5B join rows (measured) — so
+# prints with document frequency > WINNOW_MAX_DF are DROPPED before
+# pair generation, the way MOSS ignores matches above an occurrence
+# threshold (a print in hundreds of documents is boilerplate, not
+# evidence of pairwise copying). The cap bounds pair fan-out at
+# df_cap²/2 rows per fingerprint — linear in the fingerprint count at
+# any corpus size. Top-20 pairs via integer counts, id tiebreaks.
+# The ORACLE deliberately keeps the original distinct + COUNT-window +
+# self-join algebra: same answer through a different formulation is a
+# stronger check than a mirrored rewrite.
 # ---------------------------------------------------------------------------
 WINNOW_K = 8  # k-gram length (chars, normalized)
 WINNOW_W = 4  # window of consecutive k-grams per fingerprint
@@ -3705,25 +3716,37 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = hashed.select(
         "doc_id", "p", F.min("packed").over(w).alias("sel")
     ).filter(F.col("p") >= WINNOW_W)
-    # integer div — sel reaches ~1.15e18, past double's 2^53 exactness
-    fp_all = mins.select(
-        "doc_id", F.expr(f"sel div {_POS_BITS}").alias("h")
-    ).distinct()
-    # boilerplate cap: the window over h shares the distinct's hash
-    # partitioning on h (no extra exchange); df > cap prints drop
-    fp = (
-        fp_all.withColumn(
-            "df", F.count("*").over(W.partitionBy("h"))
-        )
-        .filter(F.col("df") <= WINNOW_MAX_DF)
-        .drop("df")
+    # integer div — sel reaches ~1.15e18, past double's 2^53 exactness.
+    # ONE exchange for the whole fingerprint relation: collect_set's
+    # map-side partials dedup (doc_id, h) before the shuffle (a doc's
+    # positions are co-located by the spread), the set size IS the
+    # document frequency for the boilerplate cap, and the surviving
+    # sorted sets feed both the per-doc sizes and the array-side pair
+    # expansion below.
+    fp_g = (
+        mins.select("doc_id", F.expr(f"sel div {_POS_BITS}").alias("h"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= WINNOW_MAX_DF)
     )
-    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    sizes = (
+        fp_g.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fp"))
+    )
+    # all i<j pairs of each sorted set, generated where the set already
+    # lives (flatten/transform HOF) — no fingerprint self-join
     pairs = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        fp_g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared_fingerprints"))
     )

@@ -555,6 +555,20 @@ FRONTIER_R8B = (
 # the documents table — skip the fact build.
 FRONTIER_R8C = ("winnow_fingerprint_pairs",)
 
+# Round-9 frontier (VERDICT r8 #7): the two adjudications that rested
+# on sf1 evidence plus argument, now measured — winnowing AFTER the
+# single-exchange rewrite (collect_set + array-side pair HOF; the r8
+# run conceded ~2.1x over linear to its three full-relation
+# exchanges), and BOTH semantic_dedup forms side by side: the exact
+# O(n^1.5) anchor vs the new O(n^1.25) IVF-pruned registered form —
+# the probe certifies the IVF curve sits materially below the exact
+# one. All three read only the text tables — skip the fact build.
+FRONTIER_R9 = (
+    "winnow_fingerprint_pairs",
+    "semantic_dedup",
+    "semantic_dedup_ivf",
+)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -567,6 +581,7 @@ _FRONTIER_MODES = {
     "frontier_twophase": (FRONTIER_TWOPHASE, True),
     # semantic_dedup reads embeddings only: skip the 100x fact build
     "frontier_semdedup": (FRONTIER_SEMDEDUP, True, False),
+    "frontier_r9": (FRONTIER_R9, True, False),
 }
 
 

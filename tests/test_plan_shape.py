@@ -1155,7 +1155,8 @@ SINGLE_PARTITION_BOUNDED = {
     "q19_brand_discounts", "q22_dormant_customers", "q6_revenue_forecast",
     "rolling_correlation", "rolling_median_7d", "rrf_hybrid_search",
     "rsi_indicator",
-    "seasonal_decompose_cma", "share_of_parent", "sliding_distinct_users",
+    "seasonal_decompose_cma", "sequence_pack_tokens", "share_of_parent",
+    "sliding_distinct_users",
     "systematic_sample", "temperature_mix_weights", "tfidf_top_terms",
     "triangle_count", "unigram_lm_score", "vocab_coverage",
     "wasserstein_1d", "welch_ttest",
@@ -1220,6 +1221,15 @@ SHUFFLE_COUNT_TOP20 = {
     "association_rules": 11,
     "dedup_minhash_lsh": 1,
     "dedup_incremental_lsh": 2,
+    # r9: winnowing rewritten to ONE full-relation exchange (VERDICT r8
+    # #3 — collect_set by h with map-side dedup + array-side pair HOF;
+    # the remaining exchanges are the spread, the post-cap sizes/pairs
+    # aggregates and the two small joins); the semantic_dedup pair pins
+    # cover the checkpoint-visible tail (Lloyd/IVF assignment runs
+    # behind the localCheckpoint)
+    "winnow_fingerprint_pairs": 9,
+    "semantic_dedup": 4,
+    "semantic_dedup_ivf": 4,
 }
 
 

@@ -1913,3 +1913,69 @@ def test_lift_deciles_match_python_sort(spark):
         assert g.response_bp == resp * 10000 // size
         assert g.lift_bp == resp * n * 10000 // (size * r_total)
         assert g.cum_capture_bp == cum_r * 10000 // r_total
+
+
+def test_sequence_pack_exact_fill_accounting_with_overlong_doc(spark):
+    """Planted packing corpus (VERDICT r8 #6): one document longer than
+    the token budget plus short filler docs. Exact fill accounting must
+    hold: (a) per-document piece_tokens sum to the document's encoded
+    n_tokens and n_pieces matches the emitted pieces; (b) the overlong
+    document spans >= 2 sequences; (c) every sequence is filled to
+    EXACTLY the budget except the single tail sequence; (d) within each
+    sequence the pieces tile [0, fill) with no gaps or overlaps."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401  (registry import side effect)
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+    from designing_data_warehouse_in_sql_server_spark.plans.quality import (
+        SEQ_PACK_BUDGET,
+        bpe_encode_corpus,
+    )
+
+    # ~3 budgets of single-char words in doc 1 (each word >= 1 token
+    # whatever the trained merges do), plus 40 short fillers
+    long_text = " ".join(["a b c d"] * (SEQ_PACK_BUDGET * 3 // 4))
+    fillers = [
+        (100 + i, ("w%d x y z " % i) * 12, "en", "src%d" % (i % 3), 120)
+        for i in range(40)
+    ]
+    rows = [(1, long_text, "en", "src0", len(long_text))] + fillers
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        enc = {r.doc_id: r.n_tokens for r in bpe_encode_corpus(spark, tmp).collect()}
+        pieces = QUERIES["sequence_pack_tokens"](spark, tmp).collect()
+
+    assert enc[1] > SEQ_PACK_BUDGET  # the planted doc exceeds the budget
+    # (a) per-doc accounting
+    by_doc: dict = {}
+    for r in pieces:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, prs in by_doc.items():
+        assert sum(p.piece_tokens for p in prs) == enc[doc_id], doc_id
+        assert all(p.n_pieces == len(prs) for p in prs), doc_id
+        assert all(p.piece_tokens >= 1 for p in prs), doc_id
+    assert set(by_doc) == set(enc)
+    # (b) the overlong doc spans consecutive sequences
+    seqs_of_long = sorted(p.seq_id for p in by_doc[1])
+    assert len(seqs_of_long) >= 2
+    assert seqs_of_long == list(range(seqs_of_long[0], seqs_of_long[-1] + 1))
+    # (c) + (d) per-sequence tiling
+    by_seq: dict = {}
+    for r in pieces:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    last_seq = max(by_seq)
+    assert set(by_seq) == set(range(last_seq + 1))  # no empty sequences
+    for seq_id, prs in by_seq.items():
+        fill = sum(p.piece_tokens for p in prs)
+        if seq_id < last_seq:
+            assert fill == SEQ_PACK_BUDGET, seq_id  # perfect fill
+        else:
+            assert 1 <= fill <= SEQ_PACK_BUDGET
+        spans = sorted((p.offset_in_seq, p.offset_in_seq + p.piece_tokens) for p in prs)
+        assert spans[0][0] == 0, seq_id
+        for (a0, a1), (b0, _b1) in zip(spans, spans[1:]):
+            assert a1 == b0, (seq_id, spans)  # contiguous, no overlap
+        assert spans[-1][1] == fill, seq_id
