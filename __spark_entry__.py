@@ -30,87 +30,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 8 priorities (VERDICT r7
-# items 1-2): (a) the 16 queries whose implementation changed or was
-# registered this round — the de-vacuated embedding_neardup_pairs
-# (NEARDUP_THRESHOLD constant, real rows at sf0.01) and kaplan_meier_churn
-# (CHURN_GAP_DAYS constant), set_similarity_prefix_join (PPJoin length
-# filter added at candidate generation), the new bpe_encode_corpus
-# (apply the trained merges, per-document sequence lengths),
-# semantic_dedup (SemDeDup cluster-then-prune), hilbert_layout_key
-# (space-filling-curve layout twin of zorder), spearman_rank_corr
-# (mid-rank correlation via prefix-summed counts),
-# ks_test_two_sample (exact-integer ECDF gap), js_divergence_sources
-# (vocabulary drift, closed-form absent-mass), and
-# temperature_mix_weights (n^alpha corpus re-balancing),
-# mannwhitney_u_test / wasserstein_1d (the rank-sum and earth-mover
-# drift companions of the KS test), rrf_hybrid_search (lexical +
-# vector reciprocal-rank fusion), winnow_fingerprint_pairs (MOSS
-# partial-overlap fingerprints), poisson_bootstrap_ci (one-pass
-# bootstrap CI), and model_lift_deciles (decile-gain report on the
-# exact NTILE machinery); then (b) 34 slots of STALE ROTATION — the
-# r3-stale set, alphabetical (its last entry zorder_layout_key, then
-# the r4 set with flagship_revenue / json_extract_events first, heads
-# the round-9 queue). The remaining r4-stale queries past the boundary are
-# queued first for round 9. Every query is also oracle-diffed locally in
-# tests/test_oracle_parity.py on every run.
+# the official oracle check each round. Round 9 priorities (VERDICT r8
+# items 1-8): (a) the 7 queries whose implementation, output type, or
+# oracle changed this round — the new semantic_dedup_ivf (IVF-pruned
+# web-scale SemDeDup, the registered fix for the one superlinear plan),
+# sequence_pack_tokens (budget-exact packing of the BPE-encoded
+# corpus), table_restore_roundtrip (RESTORE + SHALLOW CLONE +
+# CDC-on-restore through the driver's oracle), the rewritten
+# winnow_fingerprint_pairs (single-exchange collect_set + array-side
+# pair HOF), wasserstein_1d / mannwhitney_u_test (DECIMAL(38,0)
+# accumulation, exact integers emitted as strings), and
+# hilbert_layout_key (oracle INT32-overflow fix — BIGINT offsets);
+# then (b) 43 slots of STALE ROTATION: zorder_layout_key (the last
+# r3-latest row), then the r4-stale set with core-parity
+# flagship_revenue / json_extract_events first, then alphabetical.
+# The final two r4-stale queries (window_lag_lead_delta,
+# window_running_sum) did not fit the 50-slot window and head the
+# round-10 queue below the boundary. Every query is also oracle-diffed
+# locally in tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
-    # (a) implementation changed / registered this round
-    "embedding_neardup_pairs",
-    "kaplan_meier_churn",
-    "set_similarity_prefix_join",
-    "bpe_encode_corpus",
-    "semantic_dedup",
-    "hilbert_layout_key",
-    "spearman_rank_corr",
-    "ks_test_two_sample",
-    "js_divergence_sources",
-    "temperature_mix_weights",
-    "mannwhitney_u_test",
-    "wasserstein_1d",
-    "rrf_hybrid_search",
+    # (a) new / changed this round
+    "semantic_dedup_ivf",
+    "sequence_pack_tokens",
+    "table_restore_roundtrip",
     "winnow_fingerprint_pairs",
-    "poisson_bootstrap_ci",
-    "model_lift_deciles",
-    # (b) stale rotation: the 35 r3-latest queries, alphabetical
-    "boilerplate_removal",
-    "corr_regression_stats",
-    "cumulative_distinct_users",
-    "data_quality_profile",
-    "dedup_containment",
-    "domain_cap_sample",
-    "embedding_decontaminate",
-    "event_transition_matrix",
-    "events_hourly_unique_users",
-    "file_format_roundtrip",
-    "forward_fill_locf",
-    "heavy_hitter_users",
-    "incremental_agg_refresh",
-    "interval_coalesce",
-    "kmeans_embeddings",
-    "m4_downsample",
-    "multimodal_frame_sample",
-    "pagerank_fixed",
-    "quantile_cont",
-    "rolling_anomaly_zscore",
-    "salted_aggregation",
-    "scd2_point_in_time",
-    "session_paths_topk",
-    "split_leakage_audit",
-    "tfidf_top_terms",
-    "time_grain_rollup",
-    "time_weighted_average",
-    "token_entropy_quality",
-    "unigram_lm_score",
-    "user_day_streaks",
-    "vector_arithmetic_hof",
-    "vocab_coverage",
-    "weighted_sample",
-    "winsorize_percentile",
-    # --- 50-query window boundary is here (16 new/changed + 34 of the
-    # 35 r3-stale queries). Below: the round-9 queue — the last r3
-    # entry, then the r4-stale set, core-parity names first, then
-    # alphabetical ---
+    "wasserstein_1d",
+    "mannwhitney_u_test",
+    "hilbert_layout_key",
+    # (b) stale rotation: zorder_layout_key (r3), then the r4 set
     "zorder_layout_key",
     "flagship_revenue",
     "json_extract_events",
@@ -154,6 +101,8 @@ _CHECK_FIRST = (
     "topk_orders",
     "topk_per_group",
     "window_first_last",
+    # --- 50-query window boundary is here (7 new/changed + 43 stale).
+    # Round-10 queue: the two r4-stale rows that did not fit ---
     "window_lag_lead_delta",
     "window_running_sum",
 )

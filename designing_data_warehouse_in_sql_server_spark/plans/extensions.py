@@ -3430,6 +3430,94 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RESTORE + SHALLOW CLONE + CDC-on-restore round-trip (round 9, VERDICT
+# r8 #8): the three round-8 TableStore capabilities certified by the
+# DRIVER's oracle harness rather than pytest alone. Flow through the
+# real write paths: overwrite v1 (per-customer aggregates), enable the
+# change feed, MERGE an upsert v2 (price bumps on k%7, inserted
+# negative keys on k%11), RESTORE to v1 with CDC capture, then SHALLOW
+# CLONE the restored table. Output rows carry a src discriminator:
+#   'clone'      — the clone's content, which must equal v1 exactly
+#                  (restore rolled the content back; clone shares it)
+#   'cdc_delete' — the restore's delete-of-current image = v2 exactly
+#   'cdc_insert' — the restore's insert-of-target image = v1 exactly
+# The oracle derives all three relations straight from orders.
+#
+# Scale: every step is O(table) metadata + one aggregate-sized write;
+# restore and clone are hard-link O(files) with delta-carried stats.
+# The result is localCheckpointed before the tmp store is removed
+# (same device as snapshot_diff / file_format_roundtrip).
+# ---------------------------------------------------------------------------
+RESTORE_ROUNDTRIP_ORACLE = """
+WITH v1 AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+v2 AS (
+  SELECT k, n_orders, cents + 1000 AS cents FROM v1 WHERE k % 7 = 0
+  UNION ALL
+  SELECT k, n_orders, cents FROM v1 WHERE k % 7 <> 0
+  UNION ALL
+  SELECT k + 10000000 AS k, n_orders, cents FROM v1 WHERE k % 11 = 0
+)
+SELECT 'clone' AS src, k, n_orders, cents FROM v1
+UNION ALL
+SELECT 'cdc_delete' AS src, k, n_orders, cents FROM v2
+UNION ALL
+SELECT 'cdc_insert' AS src, k, n_orders, cents FROM v1
+"""
+
+
+@register("table_restore_roundtrip", RESTORE_ROUNDTRIP_ORACLE)
+def table_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.table_store import TableStore
+
+    v1_df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+        )
+    )
+    source = (
+        v1_df.filter(F.col("k") % 7 == 0)
+        .select("k", "n_orders", (F.col("cents") + 1000).alias("cents"))
+        .unionByName(
+            v1_df.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 10_000_000).alias("k"), "n_orders", "cents"
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="ddw_restore_")
+    try:
+        store = TableStore(spark, tmp)
+        v1 = store.overwrite("t", v1_df)
+        store.enable_cdc("t")
+        store.merge("t", source, on=["k"])
+        v3 = store.restore("t", v1, capture_cdc=True)
+        store.clone("t", "t2")
+        cdc = store.read_changes("t", starting_version=v3).select(
+            F.concat(F.lit("cdc_"), F.col("_change_type")).alias("src"),
+            "k",
+            "n_orders",
+            "cents",
+        )
+        out = (
+            store.read("t2")
+            .select(F.lit("clone").alias("src"), "k", "n_orders", "cents")
+            .unionByName(cdc)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Exact set-similarity join with PREFIX FILTERING (round 7): all pairs
 # of orders whose PART BASKETS have Jaccard >= 0.5 — near-identical
 # purchases without LSH and without all-pairs (Chaudhuri et al. 2006 /
