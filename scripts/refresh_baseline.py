@@ -80,7 +80,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # unreproducible solo on a quiet host, 0.415 s best-of-3 on unchanged
 # code; re-measured 0.18 s). All five committed rows now describe
 # current code, so the entries are removed per the lifecycle above.
-FRESH: set[str] = set()
+# Round-9 FRESH set: winnow_fingerprint_pairs rewritten to the
+# single-exchange collect_set + array-side pair HOF (performance-class
+# change — the prior minimum described the distinct + df-window +
+# self-join plan); wasserstein_1d / mannwhitney_u_test re-measured
+# after the DECIMAL(38,0) accumulation. Clear after the r9 refresh.
+FRESH: set[str] = {
+    "winnow_fingerprint_pairs",
+    "wasserstein_1d",
+    "mannwhitney_u_test",
+}
 
 BASELINE = "BASELINE.md"
 
