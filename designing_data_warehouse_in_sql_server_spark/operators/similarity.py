@@ -447,3 +447,110 @@ def jl_topk(
         .orderBy(F.col("cosine_proj").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF probe regime against exact brute force, per
+    query — the certification harness every approximate index needs
+    before it is trusted at corpus scale (an IVF whose measured recall
+    sags is mis-probed or mis-clustered; re-tune n_probe / centroids).
+
+    Queries are the `n_queries` lowest-id vectors; both rankings use
+    the same rounded-cosine + id tiebreak, so the comparison is exact
+    and the DuckDB oracle replays it bit-for-bit.
+
+    Scale: ONE scored relation (corpus x broadcast queries — at 100 TB
+    the query panel stays a few hundred rows, so this is a broadcast
+    nested-loop over a narrow projection, linear in the corpus) feeds
+    BOTH rankings; the IVF side reuses the scored cosines filtered to
+    the probed cells (assignment is the same broadcast-centroid pass
+    ivf_topk uses). Rankings are windows partitioned by query id —
+    n_queries * corpus rows, never collected; the recall join is
+    k * n_queries rows."""
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("__qid"), quantized(F.col(vec_col)).alias("__qv")
+    )
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("__cid"), quantized(F.col(vec_col)).alias("__cvec")
+    )
+    v = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__v"))
+
+    cscored = v.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        "__cid",
+        F.round(cosine_q(F.col("__v"), F.col("__cvec")), 6).alias("__ccos"),
+    )
+    aw = W.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("__cid"))
+    assigned = (
+        cscored.withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__cid")
+    )
+    probes = (
+        cscored.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("__qid"), "__cid", "__ccos")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("__qid").orderBy(
+                    F.col("__ccos").desc(), F.col("__cid")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__cid")
+    )
+
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            "__qid",
+            id_col,
+            F.round(cosine_q(F.col("__v"), F.col("__qv")), 6).alias("__cos"),
+        )
+    )
+    rw = W.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col(id_col))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") <= k)
+        .select("__qid", id_col)
+    )
+    ivf = (
+        scored.join(assigned, id_col)
+        .join(F.broadcast(probes), ["__qid", "__cid"])
+        .withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias("__ivf_qid"),
+            F.col(id_col).alias("__ivf_id"),
+        )
+    )
+    return (
+        exact.join(
+            ivf,
+            (F.col("__qid") == F.col("__ivf_qid"))
+            & (F.col(id_col) == F.col("__ivf_id")),
+            "left",
+        )
+        .groupBy("__qid")
+        .agg(
+            F.count("*").cast("long").alias("exact_k"),
+            F.count("__ivf_id").cast("long").alias("ivf_hits"),
+        )
+        .select(
+            F.col("__qid").alias("query_id"),
+            "exact_k",
+            "ivf_hits",
+            F.expr("ivf_hits * 10000 DIV exact_k").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )

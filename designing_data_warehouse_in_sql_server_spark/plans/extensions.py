@@ -28,6 +28,7 @@ from ..operators.dedup_text import (
 )
 from ..operators.multimodal import documents_as_assets, extract_features
 from ..operators.similarity import (
+    ann_recall_at_k,
     cosine_topk,
     embedding_centroids,
     ivf_topk,
@@ -3854,4 +3855,97 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("shared_fingerprints").desc(), "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall certification (round 9): measured recall@10 of the IVF
+# probe regime against exact brute force, per query, over a 20-query
+# panel — the acceptance test every approximate index needs before it
+# serves at corpus scale, run THROUGH the driver's oracle harness so
+# the certification itself is certified. similarity_ivf_topk pins the
+# IVF answer for one query; this pins the QUALITY CONTRACT of the whole
+# regime (16 centroids, 4 probes) as data: per-query hit counts and
+# basis-point recall, bit-identical on both engines because both
+# rankings use the quantized-integer cosine + id tiebreak.
+#
+# Scale: one scored relation (corpus x broadcast query panel — the
+# panel stays O(100) rows at any corpus size) feeds both rankings; the
+# IVF side reuses those cosines filtered to probed cells, so the
+# comparison adds NO second corpus pass. Rankings are windows
+# partitioned by query id; the recall join handles k * n_queries rows.
+# At 100 TB the same harness runs on a sampled panel against the
+# precomputed cell assignment — identical plan shape.
+# ---------------------------------------------------------------------------
+RECALL_QUERIES, RECALL_K = 20, 10
+
+_RECALL_QUANT = SQL_QUANT.format(v="embedding")
+
+ANN_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, {_RECALL_QUANT} AS qv
+  FROM embeddings WHERE vec_id < {RECALL_QUERIES}
+), cent AS (
+  SELECT vec_id AS cid, {_RECALL_QUANT} AS cvec
+  FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+), v AS (
+  SELECT vec_id, {_RECALL_QUANT} AS vv FROM embeddings
+), cscored AS (
+  SELECT v.vec_id, cent.cid,
+         {_sql_cosine_preq('v.vv', 'cent.cvec')} AS ccos
+  FROM v CROSS JOIN cent
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM cscored) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM cscored WHERE vec_id < {RECALL_QUERIES})
+  WHERE rn <= {IVF_PROBE}
+), scored AS (
+  SELECT q.qid, v.vec_id, {_sql_cosine_preq('v.vv', 'q.qv')} AS cosine
+  FROM v CROSS JOIN q WHERE v.vec_id != q.qid
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored) WHERE rn <= {RECALL_K}
+), ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.qid
+                              ORDER BY s.cosine DESC, s.vec_id) AS rn
+    FROM scored s
+    JOIN assigned a ON s.vec_id = a.vec_id
+    JOIN probes p ON p.qid = s.qid AND p.cid = a.cid)
+  WHERE rn <= {RECALL_K}
+)
+SELECT e.qid AS query_id,
+       CAST(COUNT(*) AS BIGINT) AS exact_k,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS ivf_hits,
+       COUNT(i.vec_id) * 10000 // COUNT(*) AS recall_bp
+FROM exact e
+LEFT JOIN ivf i ON e.qid = i.qid AND e.vec_id = i.vec_id
+GROUP BY e.qid
+ORDER BY query_id
+"""
+
+
+@register("ann_recall_at_k", ANN_RECALL_ORACLE)
+def ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of similarity_ivf_topk's probe regime vs
+    exact brute force (operators/similarity.py:ann_recall_at_k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_at_k(
+        emb,
+        n_queries=RECALL_QUERIES,
+        k=RECALL_K,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
     )

@@ -3934,3 +3934,240 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage per document (round 9): the ExactSubstr
+# regime of Lee et al. 2021 ("Deduplicating Training Data Makes
+# Language Models Better") — instead of scoring document PAIRS
+# (winnowing / MinHash), find every w-word window that occurs verbatim
+# in >= 2 distinct documents, merge the flagged windows per document
+# into maximal spans, and report how much of each document is
+# corpus-duplicated text. This is the signal used to CUT repeated
+# passages out of a training corpus (the paper's substring
+# deduplication), not to drop whole near-duplicate documents.
+#
+# No pair enumeration ANYWHERE: a window shared by 3000 documents
+# contributes 3000 flagged positions (linear), never 3000^2 pairs —
+# document frequency is a hash aggregate on the gram, so the
+# boilerplate cap the pairwise operators need (winnowing's df <= 50)
+# is unnecessary here, and high-df boilerplate is exactly what the
+# operator is FOR. The paper uses a suffix array; the relational
+# equivalent over fixed w-word grams keeps the same output semantics
+# (maximal duplicated spans at w-gram resolution) while staying a
+# shuffle-friendly explode -> aggregate -> join -> window pipeline.
+#
+# Scale: positions explode to Sigma(n_words) rows (linear in corpus
+# tokens); gram df is one hash aggregate WITH map-side partials; the
+# flag join is a gram equi-join (both sides hash-partitioned, never
+# broadcast-dependent); the span merge windows are partitioned by
+# doc_id and bounded by document length (no global sort). Gram keys
+# travel as strings (~8 words) — at 100 TB, fingerprint them with the
+# winnowing 40-bit polynomial to shrink the two gram shuffles 6-8x;
+# string keys here keep the operator collision-free so the DuckDB
+# oracle is an EXACT replay. Output is one row per document.
+# ---------------------------------------------------------------------------
+DUPSPAN_W = 8  # window width in words; spans are maximal unions of windows
+
+DUPSPAN_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         array_to_string(list_slice(w, p, p + {DUPSPAN_W - 1}), ' ') AS gram
+  FROM ws, UNNEST(generate_series(1, len(w) - {DUPSPAN_W - 1})) AS t(p)
+  WHERE len(w) >= {DUPSPAN_W}
+), dup AS (
+  SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT doc_id, p FROM pos JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, p,
+         CASE WHEN MAX(p + {DUPSPAN_W - 1}) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NOT DISTINCT FROM NULL THEN 1
+              WHEN p > MAX(p + {DUPSPAN_W - 1}) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 THEN 1
+              ELSE 0 END AS new_island
+  FROM flagged
+), isl2 AS (
+  SELECT doc_id, p,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island,
+         MAX(p) + {DUPSPAN_W - 1} - MIN(p) + 1 AS span_len
+  FROM isl2 GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_words,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS total_words,
+       COALESCE(per_doc.dup_words, 0) AS dup_words,
+       COALESCE(per_doc.n_spans, 0) AS n_spans,
+       COALESCE(per_doc.dup_words, 0) * 10000 // len(ws.w) AS dup_frac_bp
+FROM ws LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("dup_span_fraction", DUPSPAN_ORACLE)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    pos = (
+        base.filter(F.size("w") >= DUPSPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (DUPSPAN_W - 1))
+            ).alias("p"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.col("p").cast("long").alias("p"),
+            F.array_join(F.slice("w", F.col("p"), DUPSPAN_W), " ").alias(
+                "gram"
+            ),
+        )
+    )
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("dfd"))
+        .filter(F.col("dfd") >= 2)
+        .select("gram")
+    )
+    flagged = pos.join(dup, "gram").select("doc_id", "p")
+    win = W.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + (DUPSPAN_W - 1)).over(
+        win.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = flagged.select(
+        "doc_id",
+        "p",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    isl2 = isl.select(
+        "doc_id", "p", F.sum("new_island").over(win).alias("island")
+    )
+    per_doc = (
+        isl2.groupBy("doc_id", "island")
+        .agg(
+            (F.max("p") + (DUPSPAN_W - 1) - F.min("p") + 1).alias("span_len")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("span_len").cast("long").alias("dup_words"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("long").alias("total_words"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_words",
+            F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.expr(
+                "coalesce(dup_words, 0) * 10000 DIV total_words"
+            ).alias("dup_frac_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty per document (round 9): for every distinct word
+# 3-gram, attribute it to the LOWEST doc_id that contains it; a
+# document's novelty is the fraction of its distinct 3-grams it
+# introduced to the corpus. This is the incremental-information signal
+# used when growing / ordering a training corpus (a crawl snapshot
+# whose novelty collapses toward 0 is re-crawling known text; a
+# curriculum that feeds high-novelty documents first maximizes early
+# coverage). Complements dup_span_fraction: novelty measures what a
+# document ADDS, span coverage measures what it REPEATS.
+#
+# Scale: per-doc distinct 3-grams come from array_distinct BEFORE the
+# explode (doc-local, no shuffle); first-occurrence attribution is a
+# MIN window over the gram key — ONE hash exchange on the gram, no
+# join back (the window and a groupBy+join compute the same thing;
+# the window does it in the single exchange). The per-doc reduction
+# reuses the doc_id partitioning of the final aggregate. Linear in
+# Sigma(distinct grams per doc); no pair enumeration.
+# ---------------------------------------------------------------------------
+NOVELTY_K = 3  # words per gram
+
+NOVELTY_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (
+    SELECT doc_id,
+           array_to_string(list_slice(w, p, p + {NOVELTY_K - 1}), ' ') AS gram
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), UNNEST(generate_series(1, len(w) - {NOVELTY_K - 1})) AS t(p)
+    WHERE len(w) >= {NOVELTY_K}
+  )
+), attributed AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM g
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_grams
+  FROM attributed GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per_doc.n_grams, 0) AS n_grams,
+       COALESCE(per_doc.novel_grams, 0) AS novel_grams,
+       CASE WHEN COALESCE(per_doc.n_grams, 0) = 0 THEN 0
+            ELSE per_doc.novel_grams * 10000 // per_doc.n_grams END
+         AS novelty_bp
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("ngram_novelty_score", NOVELTY_ORACLE)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = docs.select(
+        "doc_id",
+        F.explode(shingles_col(F.col("text"), k=NOVELTY_K)).alias("gram"),
+    )
+    attributed = g.select(
+        "doc_id",
+        F.min("doc_id").over(W.partitionBy("gram")).alias("first_doc"),
+    )
+    per_doc = attributed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("novel_grams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("novel_grams", F.lit(0)).alias("novel_grams"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) = 0 THEN 0"
+                " ELSE novel_grams * 10000 DIV n_grams END"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1268,3 +1268,158 @@ def model_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift_bp"),
         F.expr("CAST(cum_r * 10000 div r_total AS BIGINT)").alias("cum_capture_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (round 9): Data Selection with Importance
+# Resampling (Xie et al. 2023) — score every raw document by how much
+# its hashed n-gram feature distribution looks like a TARGET domain
+# versus the raw corpus, w(doc) = Sigma_f c_doc(f) * [ln p_T(f) -
+# ln p_R(f)] with Laplace-smoothed bucket unigram+bigram features.
+# The standard recipe for carving a domain-matched subset out of a web
+# crawl before training (the paper selects Pile-subset lookalikes; here
+# the target is the corpus's lang='en' slice and the raw side is the
+# whole corpus). Downstream, weights feed Gumbel-top-k / weighted
+# reservoir sampling (weighted_sample, reservoir_sample_per_group).
+#
+# Cross-engine exactness: features are hashed with the same
+# exact-integer polynomial discipline as winnowing — bucket(tok) =
+# (Sigma_j<8 ascii(char_j) % 256 * 131^j) % 8192 in plain BIGINT
+# arithmetic (max term 255*131^7 ~ 1.9e17, sum of 8 < 2^63), bigram
+# bucket = (h1 * 131 + h2) % 8192 — so both engines compute IDENTICAL
+# buckets; the only doubles are the two LNs on exact integer counts,
+# ROUND 6 like js_divergence_sources.
+#
+# Scale: tokenize-and-hash is a per-row projection; the bigram needs
+# one doc-partitioned LEAD window (bounded by doc length). Bucket
+# statistics are a hash aggregate onto AT MOST 8192 rows — broadcast
+# back to the per-doc feature counts (the join the paper's streaming
+# implementation does with an in-memory array). Totals are a 1-row
+# broadcast. Everything else is per-doc hash aggregation with map-side
+# partials. Linear, two bounded broadcasts, no pair work.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 8192
+DSIR_TARGET_LANG = "en"
+DSIR_TOPN = 100
+
+_DSIR_HASH_TERMS = " + ".join(
+    f"(CASE WHEN length(tok) > {j} THEN ascii(substr(tok, {j + 1}, 1)) % 256"
+    f" ELSE 0 END) * CAST({131 ** j} AS BIGINT)"
+    for j in range(8)
+)
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(p AS BIGINT) AS p, w[p] AS tok
+  FROM (
+    SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents
+  ), UNNEST(generate_series(1, len(w))) AS t(p)
+), hashed AS (
+  SELECT doc_id, lang, p, ({_DSIR_HASH_TERMS}) % {DSIR_BUCKETS} AS h
+  FROM toks
+), adjacent AS (
+  SELECT doc_id, lang, h,
+         LEAD(h) OVER (PARTITION BY doc_id ORDER BY p) AS nh
+  FROM hashed
+), features AS (
+  SELECT doc_id, lang, h AS bucket FROM adjacent
+  UNION ALL
+  SELECT doc_id, lang, (h * 131 + nh) % {DSIR_BUCKETS} AS bucket
+  FROM adjacent WHERE nh IS NOT NULL
+), bucket_stats AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_t
+  FROM features GROUP BY bucket
+), totals AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t
+  FROM bucket_stats
+), per_doc AS (
+  SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM features GROUP BY doc_id, lang, bucket
+)
+SELECT d.doc_id, d.lang,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_features,
+       ROUND(SUM(d.cnt * (LN(CAST(b.c_t + 1 AS DOUBLE) / (t.n_t + {DSIR_BUCKETS}))
+                        - LN(CAST(b.c_r + 1 AS DOUBLE) / (t.n_r + {DSIR_BUCKETS})))),
+             6) AS dsir_logratio
+FROM per_doc d
+JOIN bucket_stats b USING (bucket)
+CROSS JOIN totals t
+GROUP BY d.doc_id, d.lang
+ORDER BY dsir_logratio DESC, d.doc_id
+LIMIT {DSIR_TOPN}
+"""
+
+
+@register("dsir_importance_weights", DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import words_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(words_col(F.col("text"))).alias("p", "tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        "p",
+        (F.expr(_DSIR_HASH_TERMS) % DSIR_BUCKETS).alias("h"),
+    )
+    adjacent = hashed.select(
+        "doc_id",
+        "lang",
+        "h",
+        F.lead("h").over(W.partitionBy("doc_id").orderBy("p")).alias("nh"),
+    )
+    features = adjacent.select(
+        "doc_id", "lang", F.col("h").alias("bucket")
+    ).unionAll(
+        adjacent.filter(F.col("nh").isNotNull()).select(
+            "doc_id",
+            "lang",
+            ((F.col("h") * 131 + F.col("nh")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    bucket_stats = features.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("c_r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_t"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    per_doc = features.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    term = F.col("cnt") * (
+        F.log(
+            (F.col("c_t") + 1).cast("double")
+            / (F.col("n_t") + DSIR_BUCKETS)
+        )
+        - F.log(
+            (F.col("c_r") + 1).cast("double")
+            / (F.col("n_r") + DSIR_BUCKETS)
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(bucket_stats), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_features"),
+            F.round(F.sum(term), 6).alias("dsir_logratio"),
+        )
+        .select("doc_id", "lang", "n_features", "dsir_logratio")
+        .orderBy(F.col("dsir_logratio").desc(), "doc_id")
+        .limit(DSIR_TOPN)
+    )

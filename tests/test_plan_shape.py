@@ -1142,7 +1142,8 @@ SINGLE_PARTITION_BOUNDED = {
     "categorical_label_encode", "confusion_matrix_metrics",
     "contingency_chi_square", "covariance_matrix",
     "cumulative_distinct_users", "customer_rfm_segmentation",
-    "cusum_mean_shift", "data_quality_profile", "equi_depth_histogram",
+    "cusum_mean_shift", "data_quality_profile", "dsir_importance_weights",
+    "equi_depth_histogram",
     "fk_integrity_audit", "funnel_conversion", "group_kfold",
     "heavy_hitter_users", "js_divergence_sources", "kaplan_meier_churn",
     "kmv_distinct_intersection", "ks_test_two_sample",
@@ -1175,7 +1176,10 @@ SINGLE_PARTITION_BOUNDED = {
 # operator's localCheckpoint, so the returned plan carries no BNLJ and
 # the query is deliberately NOT in this set.)
 BNLJ_CONSTANT_SIDE = {
+    "ann_recall_at_k",  # fixed 20-row query panel + 16-row centroid build sides
     "approx_distinct_rollup", "association_rules", "bm25_search",
+    "dsir_importance_weights",  # 1-row feature-total aggregate
+
     "heavy_hitter_users", "jl_projection_topk", "js_divergence_sources",
     "kaplan_meier_churn", "kmeans_embeddings", "kmv_distinct_intersection",
     "ndcg_at_k", "q11_important_stock", "q22_dormant_customers",

@@ -1637,7 +1637,7 @@ def test_mannwhitney_matches_bruteforce_rank_sum(spark):
     var = n1 * n2 / 12 * ((n + 1) - tie_term / (n * (n - 1)))
     z = (u1 - n1 * n2 / 2) / math.sqrt(var)
     assert (row.n_a, row.n_b) == (n1, n2)
-    assert row.u1_doubled == int(2 * u1)
+    assert row.u1_doubled == str(int(2 * u1))  # DECIMAL(38,0) emitted as string
     assert abs(row.z_score - z) < 1e-6
 
 
@@ -1666,7 +1666,7 @@ def test_wasserstein_matches_bruteforce_cdf_integral(spark):
         c2 = sum(1 for x in b if x <= v)
         num += abs(c1 * nb - c2 * na) * (nxt - v)
     assert (row.n_a, row.n_b) == (na, nb)
-    assert row.w1_num == num
+    assert row.w1_num == str(num)  # DECIMAL(38,0) emitted as string
     assert abs(row.w1_cents - num / (na * nb)) < 1e-6
 
 
@@ -1979,3 +1979,171 @@ def test_sequence_pack_exact_fill_accounting_with_overlong_doc(spark):
         for (a0, a1), (b0, _b1) in zip(spans, spans[1:]):
             assert a1 == b0, (seq_id, spans)  # contiguous, no overlap
         assert spans[-1][1] == fill, seq_id
+
+
+def test_dup_span_fraction_planted(spark):
+    """Two documents share two separate 12-word passages; every other
+    token is document-unique. Expected per sharer: two merged spans of
+    12 words each (12 - 8 + 1 = 5 flagged windows per passage, merged
+    back to exactly the passage extent), dup_words = 24; the
+    passage-free document reports zeros."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    passage_a = " ".join("shared%d" % i for i in range(12))
+    passage_b = " ".join("common%d" % i for i in range(12))
+
+    def filler(doc, i, n):
+        return " ".join("u%d_%d_%d" % (doc, i, j) for j in range(n))
+
+    rows = [
+        (1, " ".join([filler(1, 0, 10), passage_a, filler(1, 1, 9),
+                      passage_b, filler(1, 2, 10)]), "en", "s0", 0),
+        (2, " ".join([filler(2, 0, 15), passage_b, filler(2, 1, 11),
+                      passage_a, filler(2, 2, 8)]), "en", "s1", 0),
+        (3, filler(3, 0, 40), "en", "s2", 0),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r for r in QUERIES["dup_span_fraction"](spark, tmp).collect()}
+
+    for doc in (1, 2):
+        assert out[doc].dup_words == 24, out[doc]
+        assert out[doc].n_spans == 2, out[doc]
+    assert out[1].total_words == 10 + 12 + 9 + 12 + 10
+    assert out[1].dup_frac_bp == 24 * 10000 // 53
+    assert out[3].dup_words == 0 and out[3].n_spans == 0
+    assert out[3].dup_frac_bp == 0
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    """A verbatim copy with a higher doc_id introduces nothing (novelty
+    0); the original keeps 10000 when no lower doc shares its grams;
+    attribution always goes to the LOWEST doc_id."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    original = " ".join("alpha%d" % i for i in range(20))
+    other = " ".join("beta%d" % i for i in range(20))
+    rows = [
+        (5, original, "en", "s0", 0),
+        (7, other, "en", "s1", 0),
+        (9, original, "en", "s2", 0),  # verbatim copy of doc 5
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r for r in QUERIES["ngram_novelty_score"](spark, tmp).collect()}
+
+    assert out[5].novelty_bp == 10000
+    assert out[7].novelty_bp == 10000
+    assert out[9].novelty_bp == 0 and out[9].novel_grams == 0
+    assert out[9].n_grams == out[5].n_grams == 18  # 20 words -> 18 3-grams
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """DSIR log-ratio weights recomputed token-by-token in plain Python
+    (same 131-polynomial bucket hash, same Laplace smoothing) must
+    match the Spark output at the shared ROUND 6."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+    from designing_data_warehouse_in_sql_server_spark.plans.training import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    rows = [
+        (1, "spark shuffles data across the cluster quickly", "en", "s0", 0),
+        (2, "der schnelle braune fuchs springt darueber", "de", "s0", 0),
+        (3, "spark reads parquet data across executors", "en", "s1", 0),
+        (4, "la rapida zorra marron salta encima", "es", "s1", 0),
+        (5, "cluster data shuffles spark quickly again", "fr", "s2", 0),
+    ]
+
+    def bucket(tok: str) -> int:
+        return sum(
+            (ord(tok[j]) % 256) * 131**j for j in range(min(8, len(tok)))
+        ) % DSIR_BUCKETS
+
+    def feats(text: str) -> list[int]:
+        toks = text.strip().lower().split()
+        hs = [bucket(t) for t in toks]
+        return hs + [(a * 131 + b) % DSIR_BUCKETS for a, b in zip(hs, hs[1:])]
+
+    c_t: Counter = Counter()
+    c_r: Counter = Counter()
+    for _doc, text, lang, _s, _n in rows:
+        fs = feats(text)
+        c_r.update(fs)
+        if lang == DSIR_TARGET_LANG:
+            c_t.update(fs)
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    expected = {}
+    for doc, text, lang, _s, _n in rows:
+        w = sum(
+            math.log((c_t[b] + 1) / (n_t + DSIR_BUCKETS))
+            - math.log((c_r[b] + 1) / (n_r + DSIR_BUCKETS))
+            for b in feats(text)
+        )
+        expected[doc] = round(w, 6)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r.doc_id: r for r in QUERIES["dsir_importance_weights"](spark, tmp).collect()
+        }
+
+    assert set(got) == set(expected)
+    for doc, r in got.items():
+        assert abs(r.dsir_logratio - expected[doc]) < 2e-6, (doc, r)
+        assert r.n_features == len(feats(rows[doc - 1][1]))
+    # the target-language docs must outrank the rest
+    ranked = sorted(expected, key=lambda d: -expected[d])
+    assert {ranked[0], ranked[1]} == {1, 3}
+
+
+def test_ann_recall_full_probe_is_exact(spark):
+    """Probing every IVF cell IS brute force: recall_bp must be 10000
+    for every query; with the registered 4-of-16 probe regime recall
+    stays bounded by it."""
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+        ann_recall_at_k,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    full = ann_recall_at_k(emb, n_queries=5, k=10, n_centroids=16, n_probe=16)
+    rows = full.collect()
+    assert len(rows) == 5
+    assert all(r.recall_bp == 10000 and r.exact_k == 10 for r in rows)
+
+    probed = {
+        r.query_id: r
+        for r in ann_recall_at_k(
+            emb, n_queries=5, k=10, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    for qid, r in probed.items():
+        assert 0 <= r.ivf_hits <= r.exact_k == 10, (qid, r)
