@@ -41,15 +41,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # pair HOF), wasserstein_1d / mannwhitney_u_test (DECIMAL(38,0)
 # accumulation, exact integers emitted as strings), and
 # hilbert_layout_key (oracle INT32-overflow fix — BIGINT offsets);
-# then (b) 43 slots of STALE ROTATION: zorder_layout_key (the last
+# then (b) the 6 BRAND-NEW round-9 corpus-curation queries
+# (dup_span_fraction, ngram_novelty_score, dsir_importance_weights,
+# ann_recall_at_k, corpus_curation_funnel, embedding_quantize_int8)
+# — a query's birth round is when the driver must certify it; then
+# (c) 37 slots of STALE ROTATION: zorder_layout_key (the last
 # r3-latest row), then the r4-stale set with core-parity
 # flagship_revenue / json_extract_events first, then alphabetical.
-# The final two r4-stale queries (window_lag_lead_delta,
-# window_running_sum) did not fit the 50-slot window and head the
-# round-10 queue below the boundary. Every query is also oracle-diffed
-# locally in tests/test_oracle_parity.py on every run.
+# Eight r4-stale queries (rollup_aggregate, sessionize_events,
+# set_operations, topk_orders, topk_per_group, window_first_last,
+# window_lag_lead_delta, window_running_sum) did not fit the 50-slot
+# window and head the round-10 queue below the boundary. Every query
+# is also oracle-diffed locally in tests/test_oracle_parity.py on
+# every run.
 _CHECK_FIRST = (
-    # (a) new / changed this round
+    # (a) new / changed earlier this round
     "semantic_dedup_ivf",
     "sequence_pack_tokens",
     "table_restore_roundtrip",
@@ -57,6 +63,13 @@ _CHECK_FIRST = (
     "wasserstein_1d",
     "mannwhitney_u_test",
     "hilbert_layout_key",
+    # (b) new round-9 corpus-curation wave
+    "dup_span_fraction",
+    "ngram_novelty_score",
+    "dsir_importance_weights",
+    "ann_recall_at_k",
+    "corpus_curation_funnel",
+    "embedding_quantize_int8",
     # (b) stale rotation: zorder_layout_key (r3), then the r4 set
     "zorder_layout_key",
     "flagship_revenue",
@@ -95,14 +108,15 @@ _CHECK_FIRST = (
     "q8_market_share",
     "q9_product_profit",
     "repeat_purchase_interval",
+    # --- 50-query window boundary is here (7 new/changed + 6 new +
+    # 37 stale). Round-10 queue: the eight r4-stale rows that did not
+    # fit ---
     "rollup_aggregate",
     "sessionize_events",
     "set_operations",
     "topk_orders",
     "topk_per_group",
     "window_first_last",
-    # --- 50-query window boundary is here (7 new/changed + 43 stale).
-    # Round-10 queue: the two r4-stale rows that did not fit ---
     "window_lag_lead_delta",
     "window_running_sum",
 )

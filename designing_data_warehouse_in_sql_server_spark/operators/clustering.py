@@ -30,13 +30,37 @@ from pyspark.sql import functions as F
 from .similarity import dot_q, quantized
 
 
+def _rebalanced(q: DataFrame) -> DataFrame:
+    """Round-robin the quantized relation across the cluster's default
+    parallelism and materialize it. For COMPUTE-DENSE stages (k or m
+    broadcast-side dot products per input row) the scan's bytes-based
+    partitioning is the wrong unit of parallelism — a few tens of MB of
+    vectors can carry minutes of per-row work. One bounded O(n) shuffle
+    + checkpoint buys every downstream reference full-width execution
+    and a single materialization of the scan. Results are
+    partitioning-invariant (everything downstream is aggregates and
+    equi-joins), so this changes nothing but the task graph."""
+    sc = q.sparkSession.sparkContext
+    return q.repartition(sc.defaultParallelism).localCheckpoint(eager=True)
+
+
 def _assign_rounds(
     q: DataFrame, id_col: str, k: int, iterations: int
 ) -> DataFrame:
     """Shared Lloyd loop over a quantized relation ``q`` =
     (id_col, __qv): ``iterations`` rounds from deterministic seeds (the
     first ``k`` vectors by id), returning the final per-vector
-    assignment (id_col, cid, __dist)."""
+    assignment (id_col, cid, __dist).
+
+    The input is rebalanced and materialized ONCE before the loop
+    (see _rebalanced): the scoring stage does k 64-dim dot products
+    PER ROW off a broadcast, so its cost is k*dim times the scan bytes
+    — parquet's bytes-based split sizing under-partitions it
+    catastrophically (measured: the 100x probe corpus is ~50 MB = ONE
+    scan partition, putting the entire n*k assignment on one core).
+    Compute-dense stages must set their own parallelism floor; the
+    checkpoint also stops the scan re-executing every iteration."""
+    q = _rebalanced(q)
     cents = q.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
     )
@@ -227,7 +251,13 @@ def semantic_dedup_ivf(
 
     Returns (id_col, cluster, kept) — same contract as semantic_dedup.
     """
-    q = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    # Rebalance + materialize once: q is referenced four times below and
+    # the probe/assignment stages are compute-dense (m and p*k/m dots
+    # per row) — see _rebalanced for why the scan's partitioning is the
+    # wrong unit here.
+    q = _rebalanced(
+        embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    )
     fine = q.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
     )

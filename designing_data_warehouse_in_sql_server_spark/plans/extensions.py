@@ -3949,3 +3949,123 @@ def ann_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=IVF_CENTROIDS,
         n_probe=IVF_PROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of the embedding column (round 9): the
+# standard vector-DB ingestion step — per-vector max-abs scale, codes
+# in [-127, 127], 4x memory cut and integer-dot search — reported as
+# per-label reconstruction-error statistics so the quality cost of the
+# compression is certified data, the way ann_recall_at_k certifies the
+# IVF index.
+#
+# Exactness: works on the fixed-point integer view (round(x*10000),
+# the repo-wide quantized() form), so scale, codes, and error
+# numerators are ALL exact BIGINT arithmetic on both engines —
+# code = sign(q) * floor((|q|*254 + scale) / (2*scale)) is
+# round-half-up on the magnitude (max |code| provably 127), error
+# numerator |q*127 - code*scale| is exact, and the per-vector relative
+# error in ppm is an integer division. No doubles anywhere. (The
+# double-division floor on the Spark side is exact: operands stay
+# under 2^53.)
+#
+# Scale: pure per-row higher-order expressions (transform/zip_with/
+# aggregate — JVM-side, no shuffle) followed by one ~|labels|-row hash
+# aggregate. Linear, embarrassingly parallel; at 100 TB the codes
+# column is written once at ingest and every downstream ANN pass reads
+# a quarter of the bytes.
+# ---------------------------------------------------------------------------
+_QUANT8_Q = SQL_QUANT.format(v="embedding")
+
+QUANT8_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, {_QUANT8_Q} AS qv FROM embeddings
+), scaled AS (
+  SELECT vec_id, label, qv,
+         list_max(list_transform(qv, x -> abs(x))) AS scale
+  FROM q
+), coded AS (
+  SELECT vec_id, label, qv, scale,
+         list_transform(qv, x -> CASE WHEN scale = 0 THEN 0
+           WHEN x >= 0 THEN (x * 254 + scale) // (2 * scale)
+           ELSE -((-x * 254 + scale) // (2 * scale)) END) AS codes
+  FROM scaled
+), err AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, 65),
+           i -> abs(qv[i] * 127 - codes[i] * scale))) AS err_num,
+         list_sum(list_transform(qv, x -> abs(x))) AS sum_abs,
+         list_max(list_transform(codes, c -> abs(c))) AS max_abs_code
+  FROM coded
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN sum_abs = 0 THEN 0
+                ELSE err_num * 1000000 // (127 * sum_abs) END)
+            // COUNT(*) AS BIGINT) AS avg_rel_err_ppm,
+       CAST(MAX(max_abs_code) AS BIGINT) AS max_abs_code
+FROM err
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_quantize_int8", QUANT8_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = quantized(F.col("embedding"))
+    scaled = emb.select(
+        "label",
+        qv.alias("qv"),
+        F.array_max(F.transform(qv, lambda x: F.abs(x))).alias("scale"),
+    )
+    scale = F.col("scale")
+    codes = F.transform(
+        F.col("qv"),
+        lambda x: F.when(scale == 0, F.lit(0).cast("long")).otherwise(
+            F.when(
+                x >= 0,
+                F.floor((x * 254 + scale) / (2 * scale)).cast("long"),
+            ).otherwise(
+                -F.floor((-x * 254 + scale) / (2 * scale)).cast("long")
+            )
+        ),
+    )
+    coded = scaled.select("label", "qv", "scale", codes.alias("codes"))
+    zero = F.lit(0).cast("long")
+    err = coded.select(
+        "label",
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("codes"),
+                lambda q, c: F.abs(q * 127 - c * F.col("scale")),
+            ),
+            zero,
+            lambda acc, v: acc + v,
+        ).alias("err_num"),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: F.abs(x)),
+            zero,
+            lambda acc, v: acc + v,
+        ).alias("sum_abs"),
+        F.array_max(
+            F.transform(F.col("codes"), lambda c: F.abs(c))
+        ).alias("max_abs_code"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr(
+                "CAST(SUM(CASE WHEN sum_abs = 0 THEN 0"
+                " ELSE err_num * 1000000 DIV (127 * sum_abs) END)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_rel_err_ppm"),
+            F.max("max_abs_code").cast("long").alias("max_abs_code"),
+        )
+        .select("label", "n_vecs", "avg_rel_err_ppm", "max_abs_code")
+        .orderBy("label")
+    )

@@ -3969,10 +3969,15 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 DUPSPAN_W = 8  # window width in words; spans are maximal unions of windows
 
-DUPSPAN_ORACLE = f"""
-WITH ws AS (
+
+def _dupspan_cte(rel: str) -> str:
+    """The duplicated-span CTE chain over relation `rel` (doc_id, text):
+    defines ws/pos/dup/flagged/isl/isl2/spans/per_doc. Shared by the
+    dup_span_fraction oracle (rel=documents) and the curation-funnel
+    oracle (rel=the post-dedup survivor set)."""
+    return f"""ws AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-  FROM documents
+  FROM {rel}
 ), pos AS (
   SELECT doc_id, CAST(p AS BIGINT) AS p,
          array_to_string(list_slice(w, p, p + {DUPSPAN_W - 1}), ' ') AS gram
@@ -4005,7 +4010,11 @@ WITH ws AS (
   SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_words,
          CAST(COUNT(*) AS BIGINT) AS n_spans
   FROM spans GROUP BY doc_id
-)
+)"""
+
+
+DUPSPAN_ORACLE = f"""
+WITH {_dupspan_cte("documents")}
 SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS total_words,
        COALESCE(per_doc.dup_words, 0) AS dup_words,
        COALESCE(per_doc.n_spans, 0) AS n_spans,
@@ -4015,11 +4024,12 @@ ORDER BY doc_id
 """
 
 
-@register("dup_span_fraction", DUPSPAN_ORACLE)
-def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", words_col(F.col("text")).alias("w")
-    )
+def dup_span_per_doc(base: DataFrame) -> DataFrame:
+    """Per-document duplicated-span accounting over `base` (doc_id, w:
+    array<string>): (doc_id, total_words, dup_words, n_spans,
+    dup_frac_bp). Shared by dup_span_fraction and the curation funnel —
+    the funnel runs it on the post-dedup SURVIVOR set, so span coverage
+    is measured against the corpus that would actually be trained on."""
     pos = (
         base.filter(F.size("w") >= DUPSPAN_W)
         .select(
@@ -4081,8 +4091,15 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "coalesce(dup_words, 0) * 10000 DIV total_words"
             ).alias("dup_frac_bp"),
         )
-        .orderBy("doc_id")
     )
+
+
+@register("dup_span_fraction", DUPSPAN_ORACLE)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    return dup_span_per_doc(base).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -4171,3 +4188,126 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation funnel (round 9): the end-to-end acceptance report a
+# training-data pipeline publishes per source — how many documents
+# survive each curation stage, in order: (1) language filter
+# (lang = en), (2) quality floor (>= 30 words), (3) exact dedup (one
+# survivor per normalized text, lowest doc_id), (4) substring-level
+# dedup (drop documents whose duplicated-span coverage among the
+# SURVIVOR set is >= 50%). The per-source retention table is what
+# decides which crawls/feeds are worth re-ingesting — the curation
+# counterpart of pipeline_end_to_end's warehouse flow, composing the
+# registered stage semantics (lang filter, token floor, dedup_exact's
+# keep-lowest rule, dup_span_fraction's span accounting) into one
+# certified report.
+#
+# Stage 4 deliberately measures span coverage on the post-stage-3
+# corpus: duplicated text that stage 3 already removed must not count
+# twice (measuring on the RAW corpus would double-penalize exact
+# copies — the ExactSubstr paper dedups substrings after exact dedup
+# for the same reason).
+#
+# Scale: stages 1-2 are scan filters; stage 3 is one window over the
+# normalized-text key (hash-partitioned, no sort beyond per-key);
+# stage 4 is the linear dup-span pipeline (dup_span_per_doc) on the
+# surviving subset; the report is four ~|sources|-row aggregates
+# hash-joined on source. Nothing collects; every count has map-side
+# partials. Linear end to end.
+# ---------------------------------------------------------------------------
+FUNNEL_LANG = "en"
+FUNNEL_MIN_WORDS = 30
+FUNNEL_MAX_DUP_BP = 5000
+
+FUNNEL_ORACLE = f"""
+WITH s1 AS (
+  SELECT doc_id, source, text FROM documents WHERE lang = '{FUNNEL_LANG}'
+), s2 AS (
+  SELECT doc_id, source, text FROM s1
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+        >= {FUNNEL_MIN_WORDS}
+), s3 AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (PARTITION BY trim(lower(text))
+                              ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn = 1
+), {_dupspan_cte("s3")}, s4 AS (
+  SELECT s3.doc_id, s3.source FROM s3
+  JOIN ws USING (doc_id)
+  LEFT JOIN per_doc USING (doc_id)
+  WHERE COALESCE(per_doc.dup_words, 0) * 10000 // len(ws.w)
+        < {FUNNEL_MAX_DUP_BP}
+), src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM documents GROUP BY source
+)
+SELECT src.source, src.n_total,
+       COALESCE(c1.n, 0) AS n_lang,
+       COALESCE(c2.n, 0) AS n_quality,
+       COALESCE(c3.n, 0) AS n_unique,
+       COALESCE(c4.n, 0) AS n_final,
+       COALESCE(c4.n, 0) * 10000 // src.n_total AS retention_bp
+FROM src
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s1 GROUP BY source) c1 USING (source)
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s2 GROUP BY source) c2 USING (source)
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s3 GROUP BY source) c3 USING (source)
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s4 GROUP BY source) c4 USING (source)
+ORDER BY source
+"""
+
+
+@register("corpus_curation_funnel", FUNNEL_ORACLE)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    s1 = docs.filter(F.col("lang") == FUNNEL_LANG)
+    s2 = s1.filter(F.size(words_col(F.col("text"))) >= FUNNEL_MIN_WORDS)
+    s3 = (
+        s2.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.trim(F.lower(F.col("text")))).orderBy(
+                    "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    span = dup_span_per_doc(
+        s3.select("doc_id", words_col(F.col("text")).alias("w"))
+    )
+    s4 = s3.join(
+        span.filter(F.col("dup_frac_bp") < FUNNEL_MAX_DUP_BP).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+
+    def per_source(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count("*").cast("long").alias(name))
+
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    out = (
+        src.join(per_source(s1, "n_lang"), "source", "left")
+        .join(per_source(s2, "n_quality"), "source", "left")
+        .join(per_source(s3, "n_unique"), "source", "left")
+        .join(per_source(s4, "n_final"), "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_total",
+        F.coalesce("n_lang", F.lit(0)).alias("n_lang"),
+        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        F.expr("coalesce(n_final, 0) * 10000 DIV n_total").alias(
+            "retention_bp"
+        ),
+    ).orderBy("source")

@@ -85,10 +85,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # change — the prior minimum described the distinct + df-window +
 # self-join plan); wasserstein_1d / mannwhitney_u_test re-measured
 # after the DECIMAL(38,0) accumulation. Clear after the r9 refresh.
+# semantic_dedup / semantic_dedup_ivf / kmeans_embeddings rebalance +
+# materialize the quantized relation before their compute-dense stages
+# (performance-class change: the scan now runs once, full-width —
+# warm sf0.1 measured 4.7 -> 2.4 s on the exact form).
 FRESH: set[str] = {
     "winnow_fingerprint_pairs",
     "wasserstein_1d",
     "mannwhitney_u_test",
+    "semantic_dedup",
+    "semantic_dedup_ivf",
+    "kmeans_embeddings",
 }
 
 BASELINE = "BASELINE.md"

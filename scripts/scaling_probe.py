@@ -569,6 +569,23 @@ FRONTIER_R9 = (
     "semantic_dedup_ivf",
 )
 
+# Round-9b frontier: the new corpus-curation wave at 100x. All six
+# read only the text tables (documents/embeddings) — skip the fact
+# build. Claims under test: dup_span_fraction / corpus_curation_funnel
+# never enumerate pairs (df is a hash aggregate; the salted-vocab
+# copies keep true span structure linear); ngram_novelty's MIN window
+# rides one gram exchange; dsir's bucket stats stay <= 8192 rows at
+# any scale; ann_recall's panel and embedding_quantize's per-row HOFs
+# are scan-dominated.
+FRONTIER_R9B = (
+    "dup_span_fraction",
+    "ngram_novelty_score",
+    "dsir_importance_weights",
+    "corpus_curation_funnel",
+    "ann_recall_at_k",
+    "embedding_quantize_int8",
+)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -582,6 +599,7 @@ _FRONTIER_MODES = {
     # semantic_dedup reads embeddings only: skip the 100x fact build
     "frontier_semdedup": (FRONTIER_SEMDEDUP, True, False),
     "frontier_r9": (FRONTIER_R9, True, False),
+    "frontier_r9b": (FRONTIER_R9B, True, False),
 }
 
 

@@ -2147,3 +2147,85 @@ def test_ann_recall_full_probe_is_exact(spark):
     }
     for qid, r in probed.items():
         assert 0 <= r.ivf_hits <= r.exact_k == 10, (qid, r)
+
+
+def test_corpus_curation_funnel_stage_accounting(spark):
+    """Planted corpus where each stage removes exactly one known doc:
+    a non-en doc (stage 1), a short doc (stage 2), the higher-id twin
+    of an exact duplicate (stage 3), and a doc whose duplicated-span
+    coverage among survivors is >= 50% (stage 4, while its partner
+    under 50% survives)."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    passage = " ".join("pass%d" % i for i in range(35))
+
+    def uniq(tag, n):
+        return " ".join("%s_%d" % (tag, j) for j in range(n))
+
+    docs = [
+        # doc A: 35 shared + 30 unique = 65 words, 35/65 = 53.8% -> dropped s4
+        (1, passage + " " + uniq("a", 30), "en", "srcA", 0),
+        # doc B: 35 shared + 40 unique = 75 words, 35/75 = 46.6% -> kept
+        (2, passage + " " + uniq("b", 40), "en", "srcA", 0),
+        (3, uniq("c", 40), "de", "srcA", 0),          # dropped s1 (lang)
+        (4, uniq("d", 10), "en", "srcB", 0),          # dropped s2 (short)
+        (5, uniq("e", 40), "en", "srcB", 0),          # exact-dup survivor
+        (6, uniq("e", 40), "en", "srcB", 0),          # dropped s3 (dup of 5)
+        (7, uniq("g", 40), "en", "srcB", 0),          # clean
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r.source: r
+            for r in QUERIES["corpus_curation_funnel"](spark, tmp).collect()
+        }
+
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_total, a.n_lang, a.n_quality, a.n_unique, a.n_final) == (3, 2, 2, 2, 1)
+    assert a.retention_bp == 1 * 10000 // 3
+    assert (b.n_total, b.n_lang, b.n_quality, b.n_unique, b.n_final) == (4, 4, 3, 2, 2)
+    assert b.retention_bp == 2 * 10000 // 4
+
+
+def test_embedding_quantize_int8_exact_hand_check(spark):
+    """Hand-computable fixture: [1.0, 0.5, 0...] quantizes to codes
+    [127, 64, 0...] with error numerator exactly 5000 -> 2624 ppm; the
+    negated vector is bit-symmetric; an all-zero vector contributes 0
+    ppm and code 0."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    def vec(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    rows = [
+        (0, vec(1.0, 0.5), 0),
+        (1, vec(-1.0, -0.5), 1),
+        (2, vec(), 2),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        out = {
+            r.label: r
+            for r in QUERIES["embedding_quantize_int8"](spark, tmp).collect()
+        }
+
+    # err = |5000*127 - 64*10000| = 5000; ppm = 5000e6 // (127 * 15000)
+    expected_ppm = 5000 * 1000000 // (127 * 15000)
+    assert out[0].avg_rel_err_ppm == expected_ppm
+    assert out[0].max_abs_code == 127
+    assert out[1].avg_rel_err_ppm == expected_ppm  # sign-symmetric
+    assert out[1].max_abs_code == 127
+    assert out[2].avg_rel_err_ppm == 0 and out[2].max_abs_code == 0
