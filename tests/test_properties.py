@@ -2229,3 +2229,44 @@ def test_embedding_quantize_int8_exact_hand_check(spark):
     assert out[1].avg_rel_err_ppm == expected_ppm  # sign-symmetric
     assert out[1].max_abs_code == 127
     assert out[2].avg_rel_err_ppm == 0 and out[2].max_abs_code == 0
+
+
+def test_clustering_rebalances_single_partition_input(spark):
+    """Compute-dense clustering stages must not inherit the scan's
+    bytes-based partitioning: a single-partition input (the 100x probe
+    corpus is ~50 MB = one parquet split) must be rebalanced to the
+    cluster's default parallelism before the Lloyd/IVF scoring, and the
+    result must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.operators.clustering import (
+        _rebalanced,
+        semantic_dedup,
+    )
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+        quantized,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import (
+        load_table,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    one = emb.coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    q = one.select("vec_id", quantized(F.col("embedding")).alias("__qv"))
+    balanced = _rebalanced(q)
+    assert (
+        balanced.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    wide = {
+        (r.vec_id, r.cluster, r.kept)
+        for r in semantic_dedup(emb.repartition(16), k=8).collect()
+    }
+    narrow = {
+        (r.vec_id, r.cluster, r.kept)
+        for r in semantic_dedup(one, k=8).collect()
+    }
+    assert wide == narrow and len(wide) == 200
