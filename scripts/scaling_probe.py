@@ -158,6 +158,18 @@ _PASSTHROUGH = ("region", "nation", "documents", "embeddings")
 _OFFSET = 100_000_000
 
 
+def _probe_files(spark) -> int:
+    """Output-file count for the scaled tables: 2 files per core. The
+    scaled corpus must land as MANY parquet files — a crossJoin off a
+    1-3-split sf0.1 scan otherwise writes 1-3 ~300 MB files whose
+    ~128 MB row groups cap every downstream scan at ~7-10 tasks on 32
+    cores (observed: a 7-minute tokenize straggler at 100x while 31
+    cores idled). Real corpora at this volume are thousands of files;
+    a fixture that serializes the scan measures the fixture, not the
+    operator."""
+    return 2 * spark.sparkContext.defaultParallelism
+
+
 def build_scaled_dir(spark, out_dir: str, n_copies: int) -> None:
     copies = spark.range(n_copies).select(F.col("id").alias("__copy"))
     for name, keys in _SCALED_TABLES.items():
@@ -175,9 +187,9 @@ def build_scaled_dir(spark, out_dir: str, n_copies: int) -> None:
             scaled = scaled.withColumn(
                 "ts", F.timestamp_add("YEAR", F.col("__copy") * 10, F.col("ts"))
             )
-        scaled.drop("__copy").write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"{name}.parquet")
-        )
+        scaled.drop("__copy").repartition(_probe_files(spark)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{name}.parquet"))
     for name in _PASSTHROUGH:
         load_table(spark, SF_DIR, name).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
@@ -339,7 +351,7 @@ def write_scaled_text_tables(spark, out_dir: str, n_copies: int) -> None:
         F.col("doc_id") % 10_000_000 == F.col("__orig"),
     ).drop("__orig").withColumn(
         "n_chars", F.length("text").cast("long")  # true length of the salted text
-    ).write.mode("overwrite").parquet(
+    ).repartition(_probe_files(spark)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -354,7 +366,9 @@ def write_scaled_text_tables(spark, out_dir: str, n_copies: int) -> None:
         (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
         rotated.alias("embedding"),
         "label",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    ).repartition(_probe_files(spark)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
 
 
 def build_sf1(out_root: str) -> None:
