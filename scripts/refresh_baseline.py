@@ -85,18 +85,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # change — the prior minimum described the distinct + df-window +
 # self-join plan); wasserstein_1d / mannwhitney_u_test re-measured
 # after the DECIMAL(38,0) accumulation. Clear after the r9 refresh.
-# semantic_dedup / semantic_dedup_ivf / kmeans_embeddings rebalance +
-# materialize the quantized relation before their compute-dense stages
-# (performance-class change: the scan now runs once, full-width —
-# warm sf0.1 measured 4.7 -> 2.4 s on the exact form).
-FRESH: set[str] = {
-    "winnow_fingerprint_pairs",
-    "wasserstein_1d",
-    "mannwhitney_u_test",
-    "semantic_dedup",
-    "semantic_dedup_ivf",
-    "kmeans_embeddings",
-}
+# Round-9 FRESH set (cleared 2026-08-15 after the round-9 refresh from
+# two solo passes): winnow_fingerprint_pairs (single-exchange rewrite,
+# new minimum 1.82 s vs 2.90), wasserstein_1d / mannwhitney_u_test
+# (DECIMAL(38,0) accumulation), and semantic_dedup /
+# semantic_dedup_ivf / kmeans_embeddings (compute-dense rebalance +
+# single materialization of the quantized scan — semantic_dedup's
+# minimum dropped 4.72 -> 1.76 s). All committed rows now describe
+# current code.
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 
