@@ -4069,3 +4069,89 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_vecs", "avg_rel_err_ppm", "max_abs_code")
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 9): for each query vector, the top-k
+# most-similar vectors with a DIFFERENT label — the standard negative-
+# sampling step for contrastive / retrieval training (the hardest
+# negatives are the near neighbors the model must learn to push away;
+# random negatives are too easy to carry gradient). Uses the embeddings
+# table's label column as the supervision signal; same 20-query panel
+# and quantized-integer cosine as ann_recall_at_k.
+#
+# Scale: the scored relation is corpus x broadcast panel (panel is
+# O(100) rows at any corpus size — linear); the label filter is a
+# per-row predicate pushed into the scan side of the score projection;
+# ranking is a window partitioned by query id. At 100 TB the panel
+# batches queries against the same single corpus pass a per-query
+# TakeOrdered would repeat 20 times.
+# ---------------------------------------------------------------------------
+HARDNEG_QUERIES, HARDNEG_K = 20, 5
+
+HARDNEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, {_RECALL_QUANT} AS qv
+  FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}
+), v AS (
+  SELECT vec_id, label, {_RECALL_QUANT} AS vv FROM embeddings
+), scored AS (
+  SELECT q.qid, v.vec_id, v.label,
+         {_sql_cosine_preq('v.vv', 'q.qv')} AS cosine
+  FROM v CROSS JOIN q
+  WHERE v.vec_id != q.qid AND v.label != q.qlabel
+)
+SELECT qid AS query_id, vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label,
+       cosine
+FROM (
+  SELECT qid, vec_id, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored)
+WHERE rn <= {HARDNEG_K}
+ORDER BY query_id, cosine DESC, neg_id
+"""
+
+
+@register("hard_negative_mining", HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_q, quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("__qid"),
+        F.col("label").alias("__qlabel"),
+        quantized(F.col("embedding")).alias("__qv"),
+    )
+    v = emb.select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("__v")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("__qid"))
+            & (F.col("label") != F.col("__qlabel"))
+        )
+        .select(
+            "__qid",
+            "vec_id",
+            "label",
+            F.round(cosine_q(F.col("__v"), F.col("__qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("__qid").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("__rn") <= HARDNEG_K)
+    return ranked.select(
+        F.col("__qid").alias("query_id"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").cast("long").alias("neg_label"),
+        "cosine",
+    ).orderBy("query_id", F.col("cosine").desc(), "neg_id")

@@ -1179,6 +1179,7 @@ BNLJ_CONSTANT_SIDE = {
     "ann_recall_at_k",  # fixed 20-row query panel + 16-row centroid build sides
     "approx_distinct_rollup", "association_rules", "bm25_search",
     "dsir_importance_weights",  # 1-row feature-total aggregate
+    "hard_negative_mining",  # fixed 20-row query-panel build side
 
     "heavy_hitter_users", "jl_projection_topk", "js_divergence_sources",
     "kaplan_meier_churn", "kmeans_embeddings", "kmv_distinct_intersection",

@@ -2270,3 +2270,43 @@ def test_clustering_rebalances_single_partition_input(spark):
         for r in semantic_dedup(one, k=8).collect()
     }
     assert wide == narrow and len(wide) == 200
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """A same-label exact duplicate of the query must be excluded even
+    at cosine 1.0; the top negative is the most-similar DIFFERENT-label
+    vector; no emitted negative shares the query's label."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    def vec(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    rows = [
+        (0, vec(1.0), 0),            # the query (panel = vec_id < 20)
+        (100, vec(1.0), 0),          # same-label twin: cosine 1.0, excluded
+        (101, vec(0.9, 0.4359), 1),  # hard negative, cos ~0.9
+        (102, vec(0.5, 0.8660), 1),  # easier negative, cos ~0.5
+        (103, vec(-1.0), 2),         # opposite
+    ] + [
+        # fill the panel so vec_id<20 queries exist but are far away
+        (i, vec(0.0, 0.0, 1.0 + 0.01 * i), 3) for i in range(1, 20)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        out = QUERIES["hard_negative_mining"](spark, tmp).collect()
+
+    q0 = [r for r in out if r.query_id == 0]
+    assert [r.neg_id for r in q0][:2] == [101, 102]
+    assert all(r.neg_id != 100 for r in q0)  # same-label twin excluded
+    assert all(r.neg_label != 0 for r in q0)
+    # global contract: k bound and different-label-only
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 5 for v in by_q.values())
