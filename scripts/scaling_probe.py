@@ -600,6 +600,11 @@ FRONTIER_R9B = (
     "embedding_quantize_int8",
 )
 
+# Round-9c: hard_negative_mining landed after the r9b run — same
+# scored-relation + rank-window shape as ann_recall_at_k (certified
+# 3.9x there), probed in its own right.
+FRONTIER_R9C = ("hard_negative_mining",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -614,6 +619,7 @@ _FRONTIER_MODES = {
     "frontier_semdedup": (FRONTIER_SEMDEDUP, True, False),
     "frontier_r9": (FRONTIER_R9, True, False),
     "frontier_r9b": (FRONTIER_R9B, True, False),
+    "frontier_r9c": (FRONTIER_R9C, True, False),
 }
 
 
