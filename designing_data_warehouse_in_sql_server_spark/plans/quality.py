@@ -4311,3 +4311,291 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_bp"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule bundle (round 9, Rae et al. 2021 "Scaling Language
+# Models: ... Gopher", Table A1): the canonical per-document heuristic
+# screens a web corpus passes before training, as one scan of named
+# integer rules — word count in [50, 100k], mean word length in [3, 10],
+# >= 80% of words containing an alphabetic character, symbol-to-word
+# ratio ("#", "...") < 0.1, and >= 2 stop-word hits from the paper's
+# 8-word list (the|be|to|of|and|that|have|with). Complements
+# text_quality_score (raw ratio FEATURES for a learned scorer) — this is
+# the fixed RULE bundle with per-rule verdicts + the combined gate a
+# curation funnel consumes directly.
+#
+# Every comparison is exact-integer cross-multiplication (mean length in
+# [3,10] <=> 3n <= chars <= 10n; alpha >= 80% <=> 10*alpha >= 8*n) — no
+# doubles anywhere, so both engines agree bit-for-bit. On the synthetic
+# fixture (lowercase alpha word soup) r_alpha_words and r_symbol_ratio
+# are constant-true — they are kept because the bundle IS the published
+# rule set and both screens bite on real crawl data; r_word_count,
+# r_mean_word_len, r_stopwords, and pass_all all discriminate here.
+#
+# Scale: ONE projection scan — per-row regexp_count / size arithmetic,
+# zero joins, zero windows, zero exchanges before the (optional) sort.
+# At 100 TB this is the cheapest possible shape: embarrassingly
+# parallel, whole-stage-codegen, reads only (doc_id, text).
+# ---------------------------------------------------------------------------
+_GOPHER_STOP_RE = r"\b(the|be|to|of|and|that|have|with)\b"
+_GOPHER_SYM_RE = r"#|\.\.\."
+
+GOPHER_ORACLE = rf"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_word_chars,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(regexp_extract_all(text, '{_GOPHER_SYM_RE}')) AS BIGINT) AS n_symbols,
+         CAST(len(regexp_extract_all(lower(text), '{_GOPHER_STOP_RE}')) AS BIGINT) AS n_stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_symbols, n_stop_hits,
+       r_word_count, r_mean_word_len, r_alpha_words, r_symbol_ratio, r_stopwords,
+       r_word_count * r_mean_word_len * r_alpha_words * r_symbol_ratio * r_stopwords
+         AS pass_all
+FROM (
+  SELECT *,
+         CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INT) AS r_word_count,
+         CAST(CASE WHEN sum_word_chars >= 3 * n_words
+                    AND sum_word_chars <= 10 * n_words THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+         CAST(CASE WHEN 10 * n_alpha_words >= 8 * n_words THEN 1 ELSE 0 END AS INT) AS r_alpha_words,
+         CAST(CASE WHEN 10 * n_symbols < n_words THEN 1 ELSE 0 END AS INT) AS r_symbol_ratio,
+         CAST(CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS r_stopwords
+  FROM g
+)
+ORDER BY doc_id
+"""
+
+
+@register("gopher_quality_rules", GOPHER_ORACLE)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_col(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("long")
+        .alias("sum_word_chars"),
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("long")
+        .alias("n_alpha_words"),
+        F.regexp_count(F.col("text"), F.lit(_GOPHER_SYM_RE)).cast("long")
+        .alias("n_symbols"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_GOPHER_STOP_RE))
+        .cast("long")
+        .alias("n_stop_hits"),
+    )
+    flags = stats.select(
+        "*",
+        F.col("n_words").between(50, 100000).cast("int").alias("r_word_count"),
+        (
+            (F.col("sum_word_chars") >= 3 * F.col("n_words"))
+            & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+        ).cast("int").alias("r_mean_word_len"),
+        (10 * F.col("n_alpha_words") >= 8 * F.col("n_words"))
+        .cast("int")
+        .alias("r_alpha_words"),
+        (10 * F.col("n_symbols") < F.col("n_words"))
+        .cast("int")
+        .alias("r_symbol_ratio"),
+        (F.col("n_stop_hits") >= 2).cast("int").alias("r_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("r_word_count")
+            * F.col("r_mean_word_len")
+            * F.col("r_alpha_words")
+            * F.col("r_symbol_ratio")
+            * F.col("r_stopwords")
+        ).alias("pass_all"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed linear classifier inference (round 9, fastText-shaped:
+# Joulin et al. 2016 "Bag of Tricks for Efficient Text Classification"):
+# the quality/toxicity classifier pass every large-scale curation
+# pipeline runs over the full corpus. Unigrams AND word bigrams are
+# hashed into 2^10 buckets (the hashing trick — no vocabulary, fixed
+# model width); each bucket carries a signed integer centi-weight; a
+# document's logit is the sum of its features' bucket weights and the
+# keep decision is logit > 0. Weights here are derived deterministically
+# from the bucket id's md5 (a stand-in for a trained vector so the
+# DuckDB oracle reproduces them exactly); a production model swaps in a
+# 1024-row broadcast weight table — the plan shape is identical because
+# the weight lookup is per-row arithmetic, not a join.
+#
+# Scale: tokenize -> ONE explode of unigrams+bigrams (2x corpus tokens,
+# never materialized beyond the pipeline) -> per-row md5 bucket + weight
+# arithmetic (whole-stage codegen, JVM-side) -> ONE hash aggregate on
+# doc_id with map-side partial sums. No joins, no windows, no UDFs; at
+# 100 TB it is a single map+combine pass, the same class as token_count.
+# ---------------------------------------------------------------------------
+_QC_BUCKETS = 1024
+
+QC_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, unnest(w || bg) AS tok FROM (
+    SELECT doc_id, w,
+           list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bg
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          FROM documents)
+  )
+), b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qc:' || tok), 1, 8))::BIGINT % {_QC_BUCKETS} AS bucket
+  FROM f
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feat,
+       CAST(SUM(('0x' || substr(md5('qw:' || CAST(bucket AS VARCHAR)), 1, 4))::BIGINT
+                % 201 - 100) AS BIGINT) AS logit_centi,
+       CAST(CASE WHEN SUM(('0x' || substr(md5('qw:' || CAST(bucket AS VARCHAR)), 1, 4))::BIGINT
+                          % 201 - 100) > 0 THEN 1 ELSE 0 END AS INT) AS pred_keep
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("hash_classifier_score", QC_ORACLE)
+def hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    feats = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.coalesce(
+                    F.when(
+                        F.size("w") >= 2,
+                        F.expr(
+                            "transform(sequence(1, size(w) - 1),"
+                            " i -> concat(element_at(w, i), ' ',"
+                            " element_at(w, i + 1)))"
+                        ),
+                    ),
+                    F.expr("array()"),
+                ),
+            )
+        ).alias("tok"),
+    )
+    bucketed = feats.select(
+        "doc_id",
+        F.expr(
+            "CAST(CONV(SUBSTR(md5(CONCAT('qc:', tok)), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_QC_BUCKETS}"
+        ).alias("bucket"),
+    )
+    wt = F.expr(
+        "CAST(CONV(SUBSTR(md5(CONCAT('qw:', CAST(bucket AS STRING))), 1, 4),"
+        " 16, 10) AS BIGINT) % 201 - 100"
+    )
+    return (
+        bucketed.select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feat"),
+            F.sum("wt").cast("long").alias("logit_centi"),
+        )
+        .select(
+            "doc_id",
+            "n_feat",
+            "logit_centi",
+            (F.col("logit_centi") > 0).cast("int").alias("pred_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (round 9): for every ordered pair of
+# sources, how many distinct 5-word grams of source A also occur in
+# source B, and what fraction of A's gram inventory that is. The
+# source-vs-source counterpart of decontaminate_ngrams (train-vs-eval):
+# a crawl feed whose containment against an existing feed approaches
+# 100% is re-ingesting the same text and should be dropped from the mix;
+# the matrix is also the standard evidence for benchmark contamination
+# BETWEEN corpus components. Output is |sources|^2-bounded (tiny), the
+# work is gram-bounded (corpus-linear).
+#
+# Scale: per-doc distinct grams (array_distinct BEFORE the explode — no
+# shuffle), dedup to (gram, source), then ONE hash aggregate on gram
+# collecting the source set — bounded by |sources| (20 here), NEVER by
+# documents, so collect_set cannot blow up — and an explode of the
+# per-gram source-pair cross (<= |sources|^2 per gram, in practice the
+# set is 1-2 long for non-boilerplate text). Per-source totals join back
+# broadcast (|sources| rows). No doc-pair enumeration anywhere; the
+# quadratic term is over SOURCES, which a real lakehouse counts in
+# hundreds, not billions.
+# ---------------------------------------------------------------------------
+_OVERLAP_K = 5
+
+OVERLAP_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           array_to_string(list_slice(w, p, p + {_OVERLAP_K - 1}), ' ') AS gram
+    FROM (
+      SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), UNNEST(generate_series(1, len(w) - {_OVERLAP_K - 1})) AS t(p)
+    WHERE len(w) >= {_OVERLAP_K}
+  )
+), src_tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sh GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, shared_grams, t.n_grams AS grams_a,
+       shared_grams * 10000 // t.n_grams AS contain_bp
+FROM pairs JOIN src_tot t ON t.source = pairs.src_a
+ORDER BY src_a, src_b
+"""
+
+
+@register("source_overlap_matrix", OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sh = docs.select(
+        "source",
+        F.explode(shingles_col(F.col("text"), k=_OVERLAP_K)).alias("gram"),
+    ).distinct()
+    src_tot = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    per_gram = sh.groupBy("gram").agg(F.collect_set("source").alias("srcs"))
+    pairs = (
+        per_gram.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(srcs,"
+                    " a -> transform(srcs, b -> struct(a AS src_a, b AS src_b)))),"
+                    " p -> p.src_a <> p.src_b)"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(src_tot.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            F.col("n_grams").alias("grams_a"),
+            F.expr("shared_grams * 10000 DIV n_grams").alias("contain_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )

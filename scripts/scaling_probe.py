@@ -605,6 +605,19 @@ FRONTIER_R9B = (
 # 3.9x there), probed in its own right.
 FRONTIER_R9C = ("hard_negative_mining",)
 
+# Round-9d: the late round-9 curation trio. gopher_quality_rules and
+# hash_classifier_score are scan-shaped controls (one projection / one
+# explode+aggregate — both must track the text volume); the claim
+# under real test is source_overlap_matrix's gram-bounded pair
+# expansion: the salted-vocab copies make each copy's grams disjoint,
+# so per-gram source sets — and therefore the |sources|^2-bounded pair
+# explode — must stay flat while gram volume grows linearly.
+FRONTIER_R9D = (
+    "gopher_quality_rules",
+    "hash_classifier_score",
+    "source_overlap_matrix",
+)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -620,6 +633,7 @@ _FRONTIER_MODES = {
     "frontier_r9": (FRONTIER_R9, True, False),
     "frontier_r9b": (FRONTIER_R9B, True, False),
     "frontier_r9c": (FRONTIER_R9C, True, False),
+    "frontier_r9d": (FRONTIER_R9D, True, False),
 }
 
 

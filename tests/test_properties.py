@@ -2310,3 +2310,126 @@ def test_hard_negative_mining_excludes_same_label(spark):
     for r in out:
         by_q.setdefault(r.query_id, []).append(r)
     assert all(len(v) <= 5 for v in by_q.values())
+
+
+def test_gopher_rules_planted(spark):
+    """One doc trips each Gopher rule in isolation; a clean doc passes
+    all five. Exact integer accounting is asserted per rule."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    def mk(words):
+        return " ".join(words)
+
+    clean = ["word"] * 58 + ["the", "the"]            # 60 words, all rules pass
+    short = ["word"] * 38 + ["the", "the"]            # 40 words: word-count fails
+    tiny = ["a"] * 58 + ["the", "the"]                # mean word len < 3 fails
+    numeric = ["wordy"] * 28 + ["99"] * 30 + ["the", "the"]  # alpha < 80% fails
+    symbols = ["word"] * 48 + ["#"] * 10 + ["the", "the"]   # symbol ratio fails
+    rows = [
+        (1, mk(clean), "en", "s0", 0),
+        (2, mk(short), "en", "s0", 0),
+        (3, mk(tiny), "en", "s0", 0),
+        (4, mk(numeric), "en", "s0", 0),
+        (5, mk(symbols), "en", "s0", 0),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in QUERIES["gopher_quality_rules"](spark, tmp).collect()
+        }
+
+    assert out[1].pass_all == 1 and out[1].n_stop_hits == 2
+    assert out[2].r_word_count == 0 and out[2].pass_all == 0
+    # 58*1 + 2*3 = 64 chars < 3*60
+    assert out[3].sum_word_chars == 64 and out[3].r_mean_word_len == 0
+    # 30 non-alpha words of 60: 10*30 < 8*60
+    assert out[4].n_alpha_words == 30 and out[4].r_alpha_words == 0
+    assert out[5].n_symbols == 10 and out[5].r_symbol_ratio == 0
+    for d in (2, 3, 4, 5):
+        failed = [
+            f for f in ("r_word_count", "r_mean_word_len", "r_alpha_words",
+                        "r_symbol_ratio", "r_stopwords")
+            if getattr(out[d], f) == 0
+        ]
+        assert len(failed) == 1, (d, failed)
+
+
+def test_hash_classifier_matches_python_reference(spark):
+    """The hashed-ngram logit reproduces an independent hashlib
+    recomputation feature-by-feature (unigrams + bigrams, bucket md5,
+    centi-weight md5)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    text = "alpha beta gamma alpha"
+    words = text.split()
+    feats = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+
+    def h(s, n):
+        return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
+
+    expected = 0
+    for tok in feats:
+        bucket = h("qc:" + tok, 8) % 1024
+        expected += h("qw:" + str(bucket), 4) % 201 - 100
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, text, "en", "s0", 0), (2, "solo", "en", "s0", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in QUERIES["hash_classifier_score"](spark, tmp).collect()
+        }
+
+    row = out[1]
+    assert row.n_feat == len(feats) == 7
+    assert row.logit_centi == expected
+    assert row.pred_keep == (1 if expected > 0 else 0)
+    # single-word doc: unigram only, empty bigram branch
+    solo_w = h("qw:" + str(h("qc:solo", 8) % 1024), 4) % 201 - 100
+    assert out[2].n_feat == 1 and out[2].logit_centi == solo_w
+
+
+def test_source_overlap_matrix_planted(spark):
+    """Sources A and B share exactly one 5-gram; C is disjoint. The
+    matrix reports the single shared gram both directions with exact
+    containment, and no row involves C."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    shared = "s1 s2 s3 s4 s5"
+    rows = [
+        (1, shared + " a1 a2 a3 a4", "en", "A", 0),     # 5 distinct 5-grams
+        (2, "b1 b2 b3 b4 " + shared, "en", "B", 0),     # 5 distinct 5-grams
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8", "en", "C", 0),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = QUERIES["source_overlap_matrix"](spark, tmp).collect()
+
+    got = {(r.src_a, r.src_b): r for r in out}
+    assert set(got) == {("A", "B"), ("B", "A")}
+    for k in got:
+        assert got[k].shared_grams == 1
+        assert got[k].grams_a == 5
+        assert got[k].contain_bp == 1 * 10000 // 5
