@@ -41,15 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # pair HOF), wasserstein_1d / mannwhitney_u_test (DECIMAL(38,0)
 # accumulation, exact integers emitted as strings), and
 # hilbert_layout_key (oracle INT32-overflow fix — BIGINT offsets);
-# then (b) the 10 BRAND-NEW round-9 corpus-curation queries
+# then (b) the 11 BRAND-NEW round-9 corpus-curation queries
 # (dup_span_fraction, ngram_novelty_score, dsir_importance_weights,
 # ann_recall_at_k, corpus_curation_funnel, embedding_quantize_int8,
 # hard_negative_mining, gopher_quality_rules, hash_classifier_score,
-# source_overlap_matrix) — a query's birth round is when the driver
-# must certify it; then (c) 33 slots of STALE ROTATION: zorder_layout_key (the last
+# source_overlap_matrix, tokenizer_fertility) — a query's birth round
+# is when the driver
+# must certify it; then (c) 32 slots of STALE ROTATION: zorder_layout_key (the last
 # r3-latest row), then the r4-stale set with core-parity
 # flagship_revenue / json_extract_events first, then alphabetical.
-# Twelve r4-stale queries (q7_volume_shipping, q8_market_share,
+# Thirteen r4-stale queries (q5_local_supplier_volume,
+# q7_volume_shipping, q8_market_share,
 # q9_product_profit, repeat_purchase_interval, rollup_aggregate,
 # sessionize_events, set_operations, topk_orders, topk_per_group,
 # window_first_last, window_lag_lead_delta, window_running_sum) did
@@ -77,6 +79,7 @@ _CHECK_FIRST = (
     "gopher_quality_rules",
     "hash_classifier_score",
     "source_overlap_matrix",
+    "tokenizer_fertility",
     # (c) stale rotation: zorder_layout_key (r3), then the r4 set
     "zorder_layout_key",
     "flagship_revenue",
@@ -110,10 +113,10 @@ _CHECK_FIRST = (
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
+    # --- 50-query window boundary is here (7 new/changed + 11 new +
+    # 32 stale). Round-10 queue: the thirteen r4-stale rows that did
+    # not fit ---
     "q5_local_supplier_volume",
-    # --- 50-query window boundary is here (7 new/changed + 10 new +
-    # 33 stale). Round-10 queue: the twelve r4-stale rows that did not
-    # fit ---
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

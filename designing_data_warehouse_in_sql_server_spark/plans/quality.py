@@ -4120,6 +4120,17 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window does it in the single exchange). The per-doc reduction
 # reuses the doc_id partitioning of the final aggregate. Linear in
 # Sigma(distinct grams per doc); no pair enumeration.
+#
+# Adjudicated alternative (measured, kept OUT): the two-hash-aggregate
+# form — groupBy(gram).min(doc_id) then groupBy(min_doc).count(), with
+# per-doc totals from a doc-local size() branch — looks cheaper on
+# paper (algebraic MIN gets a map-side combine; no window sort) and
+# its aggregates ARE faster in isolation (3.8 s vs 4.6 s at sf0.1),
+# but the assembly needs a SECOND evaluation of the shingle projection
+# for the totals branch plus a doc-level join of two derived branches,
+# and measured 20-21 s vs 5-6 s for this form end-to-end (A/B, warm,
+# sf0.1). One shingle evaluation feeding one window + one aggregate
+# beats two cheaper aggregates that re-derive their input.
 # ---------------------------------------------------------------------------
 NOVELTY_K = 3  # words per gram
 
@@ -4598,4 +4609,70 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shared_grams * 10000 DIV n_grams").alias("contain_bp"),
         )
         .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source tokenizer fertility (round 9): tokens-per-word and
+# chars-per-token of the TRAINED BPE encoder, broken out by source —
+# the standard per-domain tokenizer-quality report (fertility >> 1 on a
+# domain means the vocabulary under-serves it: its text costs more
+# sequence length per word, skewing the effective mixture away from
+# nominal token budgets). Composes the registered tokenizer end to end:
+# bpe_train_merges's merge table -> bpe_encode_corpus's per-doc token
+# counts -> one per-source roll-up joined with the documents metadata.
+# All ratios are exact-integer basis points / centi-units (floor
+# division of non-negative BIGINTs — Spark DIV and DuckDB // agree).
+#
+# Scale: the encoder cost is bpe_encode_corpus's (distinct-WORD
+# vocabulary loop + one corpus-sized word join — never tokenizes the
+# corpus row-by-row); this adds one doc-level hash join (doc_id) and
+# one ~|sources|-row aggregate with map-side partials. Nothing new
+# scales with token volume. 100x frontier probe: 24.8x (linear-class,
+# tracking the embedded encoder's certified scan-linear curve).
+# ---------------------------------------------------------------------------
+FERTILITY_ORACLE = f"""
+WITH tok AS (
+{BPE_ENCODE_ORACLE}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(CAST(SUM(t.n_tokens) AS BIGINT) * 10000
+            // CAST(SUM(t.n_words) AS BIGINT) AS BIGINT) AS fertility_bp,
+       CAST(CAST(SUM(d.n_chars) AS BIGINT) * 100
+            // CAST(SUM(t.n_tokens) AS BIGINT) AS BIGINT) AS chars_per_token_centi
+FROM tok t JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("tokenizer_fertility", FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = bpe_encode_corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        tok.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 10000 DIV n_words").alias("fertility_bp"),
+            F.expr("n_chars * 100 DIV n_tokens").alias("chars_per_token_centi"),
+        )
+        .orderBy("source")
     )

@@ -618,6 +618,12 @@ FRONTIER_R9D = (
     "source_overlap_matrix",
 )
 
+# Round-9e: tokenizer_fertility landed after the r9d run. Its cost is
+# bpe_encode_corpus (certified scan-linear 42.5x in frontier_r8) plus
+# one doc-level join and a |sources|-row aggregate; the probe pins
+# that the composition adds nothing superlinear.
+FRONTIER_R9E = ("tokenizer_fertility",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -634,6 +640,7 @@ _FRONTIER_MODES = {
     "frontier_r9b": (FRONTIER_R9B, True, False),
     "frontier_r9c": (FRONTIER_R9C, True, False),
     "frontier_r9d": (FRONTIER_R9D, True, False),
+    "frontier_r9e": (FRONTIER_R9E, True, False),
 }
 
 

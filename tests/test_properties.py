@@ -2433,3 +2433,38 @@ def test_source_overlap_matrix_planted(spark):
         assert got[k].shared_grams == 1
         assert got[k].grams_a == 5
         assert got[k].contain_bp == 1 * 10000 // 5
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """Per-source fertility must be the exact roll-up of
+    bpe_encode_corpus's per-doc counts, and two sources holding
+    identical text must report identical fertility."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    texts = ["low low lower lowest", "new newer newest wide wider"]
+    rows = []
+    did = 0
+    for src in ("A", "B"):  # identical corpus per source
+        for t in texts:
+            rows.append((did, t, "en", src, len(t)))
+            did += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        per_doc = {r.doc_id: r for r in QUERIES["bpe_encode_corpus"](spark, tmp).collect()}
+        out = {r.source: r for r in QUERIES["tokenizer_fertility"](spark, tmp).collect()}
+
+    for src, ids in (("A", (0, 1)), ("B", (2, 3))):
+        exp_words = sum(per_doc[i].n_words for i in ids)
+        exp_tokens = sum(per_doc[i].n_tokens for i in ids)
+        assert out[src].n_words == exp_words
+        assert out[src].n_tokens == exp_tokens
+        assert out[src].fertility_bp == exp_tokens * 10000 // exp_words
+    assert out["A"].fertility_bp == out["B"].fertility_bp
+    assert out["A"].chars_per_token_centi == out["B"].chars_per_token_centi
