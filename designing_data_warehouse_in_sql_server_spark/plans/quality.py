@@ -4676,3 +4676,74 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phase construction (round 9; curriculum learning, Bengio
+# et al. 2009): partition the corpus into K training phases by model-
+# scored quality — phase 1 holds the cleanest quarter (fed first in a
+# clean-first curriculum), phase K the noisiest. The ordering key is
+# hash_classifier_score's exact-integer logit (descending, doc_id
+# tiebreak), so the phase assignment is bit-deterministic and the
+# report certifies the phase boundaries (logit range, feature volume)
+# a training job would consume.
+#
+# Scale: the classifier pass is one explode + one hash aggregate
+# (certified 6.4x at 100x); the global quartile is the size-adaptive
+# two-phase exact NTILE (range-partitioned rank via sampled offsets —
+# NEVER a single-partition window at scale; the footer row count is
+# the dispatch hint); the report is a 4-row aggregate with map-side
+# partials. No joins beyond the machinery's offset broadcast.
+# ---------------------------------------------------------------------------
+CURRICULUM_K = 4
+
+CURRICULUM_ORACLE = f"""
+WITH scored AS (
+{QC_ORACLE}
+), phased AS (
+  SELECT doc_id, n_feat, logit_centi,
+         NTILE({CURRICULUM_K}) OVER (ORDER BY logit_centi DESC, doc_id)
+           AS phase
+  FROM scored
+)
+SELECT CAST(phase AS INT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(logit_centi) AS BIGINT) AS logit_hi,
+       CAST(MIN(logit_centi) AS BIGINT) AS logit_lo,
+       CAST(SUM(n_feat) AS BIGINT) AS n_feat_total
+FROM phased GROUP BY phase ORDER BY phase
+"""
+
+
+@register("curriculum_phases", CURRICULUM_ORACLE)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import exact_ntile
+    from ..sources.parquet import table_row_count
+
+    scored = hash_classifier_score(spark, sf_dir)
+    n = table_row_count(sf_dir, "documents")
+    phased = exact_ntile(
+        scored,
+        CURRICULUM_K,
+        [F.col("logit_centi").desc(), F.col("doc_id")],
+        "phase",
+        n=n,
+        n_hint=n,
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("logit_centi").cast("long").alias("logit_hi"),
+            F.min("logit_centi").cast("long").alias("logit_lo"),
+            F.sum("n_feat").cast("long").alias("n_feat_total"),
+        )
+        .select(
+            F.col("phase").cast("int").alias("phase"),
+            "n_docs",
+            "logit_hi",
+            "logit_lo",
+            "n_feat_total",
+        )
+        .orderBy("phase")
+    )

@@ -624,6 +624,13 @@ FRONTIER_R9D = (
 # that the composition adds nothing superlinear.
 FRONTIER_R9E = ("tokenizer_fertility",)
 
+# Round-9f: curriculum_phases landed after the r9e run — the
+# classifier scan (6.4x at 100x in r9d) through the two-phase exact
+# NTILE (the forced-two-phase family certified in frontier_twophase);
+# the probe pins that the global quartile's sampled-offsets rank stays
+# scan-class on the 100x corpus.
+FRONTIER_R9F = ("curriculum_phases",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -641,6 +648,7 @@ _FRONTIER_MODES = {
     "frontier_r9c": (FRONTIER_R9C, True, False),
     "frontier_r9d": (FRONTIER_R9D, True, False),
     "frontier_r9e": (FRONTIER_R9E, True, False),
+    "frontier_r9f": (FRONTIER_R9F, True, False),
 }
 
 

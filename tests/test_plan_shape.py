@@ -1142,7 +1142,8 @@ SINGLE_PARTITION_BOUNDED = {
     "categorical_label_encode", "confusion_matrix_metrics",
     "contingency_chi_square", "covariance_matrix",
     "cumulative_distinct_users", "customer_rfm_segmentation",
-    "cusum_mean_shift", "data_quality_profile", "dsir_importance_weights",
+    "cusum_mean_shift", "curriculum_phases", "data_quality_profile",
+    "dsir_importance_weights",
     "equi_depth_histogram",
     "fk_integrity_audit", "funnel_conversion", "group_kfold",
     "heavy_hitter_users", "js_divergence_sources", "kaplan_meier_churn",

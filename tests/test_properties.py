@@ -2468,3 +2468,33 @@ def test_tokenizer_fertility_consistency(spark):
         assert out[src].fertility_bp == exp_tokens * 10000 // exp_words
     assert out["A"].fertility_bp == out["B"].fertility_bp
     assert out["A"].chars_per_token_centi == out["B"].chars_per_token_centi
+
+
+def test_curriculum_phases_planted(spark):
+    """Six docs, four phases: NTILE's exact bucket law gives sizes
+    2,2,1,1; phase logit ranges must be non-overlapping and descending
+    (phase 1 = cleanest)."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    rows = [
+        (i, f"w{i}a w{i}b w{i}c w{i}d", "en", "s0", 0) for i in range(6)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        out = sorted(
+            QUERIES["curriculum_phases"](spark, tmp).collect(),
+            key=lambda r: r.phase,
+        )
+
+    assert [r.phase for r in out] == [1, 2, 3, 4]
+    assert [r.n_docs for r in out] == [2, 2, 1, 1]  # 6 = 4*1 + 2 extras
+    assert sum(r.n_feat_total for r in out) == 6 * 7  # 4 unigrams + 3 bigrams
+    for a, b in zip(out, out[1:]):
+        assert a.logit_lo >= b.logit_hi  # descending, non-overlapping
