@@ -1236,6 +1236,22 @@ SHUFFLE_COUNT_TOP20 = {
     "winnow_fingerprint_pairs": 9,
     "semantic_dedup": 4,
     "semantic_dedup_ivf": 4,
+    # r9 late extension: the round's new/unpinned entries in the current
+    # bench top-20 (hilbert_layout_key is excluded — its dedicated test
+    # already pins ZERO exchanges). corpus_curation_funnel's 14 is the
+    # four-stage composition (scan filters + text-key window + the
+    # dup-span kernel + four per-source aggregates and their joins);
+    # source_overlap_matrix's 5 = gram dedup, per-gram source sets, the
+    # pair aggregate, totals, display sort; spearman's 5 = the grouped
+    # two-phase prefix-sum family's documented shape.
+    "source_overlap_matrix": 5,
+    "poisson_bootstrap_ci": 2,
+    "ngram_novelty_score": 3,
+    "quality_repetition": 1,
+    "quantile_cont": 1,
+    "range_join_event_pairs": 0,
+    "spearman_rank_corr": 5,
+    "corpus_curation_funnel": 14,
 }
 
 
