@@ -4534,11 +4534,19 @@ def hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # work is gram-bounded (corpus-linear).
 #
 # Scale: per-doc distinct grams (array_distinct BEFORE the explode — no
-# shuffle), dedup to (gram, source), then ONE hash aggregate on gram
-# collecting the source set — bounded by |sources| (20 here), NEVER by
-# documents, so collect_set cannot blow up — and an explode of the
-# per-gram source-pair cross (<= |sources|^2 per gram, in practice the
-# set is 1-2 long for non-boilerplate text). Per-source totals join back
+# shuffle), then ONE hash aggregate on gram collecting the source set —
+# collect_set dedups (source, gram) implicitly, and the set is bounded
+# by |sources| (20 here), NEVER by documents, so it cannot blow up. The
+# gram-level aggregate is materialized once (lazy localCheckpoint, the
+# boilerplate_removal pattern) and feeds BOTH the per-gram source-pair
+# cross (<= |sources|^2 per gram, in practice 1-2 for non-boilerplate
+# text) AND the per-source gram totals (explode of the small source
+# sets) — without the checkpoint, Catalyst re-evaluates the corpus
+# explode for the totals branch, doubling the dominant term (the
+# round-9 A/B measured the single-pass form faster at sf0.1 and the
+# saving grows with corpus size; cf. ngram_novelty's comment for the
+# opposite verdict when the re-derived branch is corpus-sized but the
+# shared relation is NOT smaller than its input). Totals join back
 # broadcast (|sources| rows). No doc-pair enumeration anywhere; the
 # quadratic term is over SOURCES, which a real lakehouse counts in
 # hundreds, not billions.
@@ -4579,9 +4587,18 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "source",
         F.explode(shingles_col(F.col("text"), k=_OVERLAP_K)).alias("gram"),
-    ).distinct()
-    src_tot = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
-    per_gram = sh.groupBy("gram").agg(F.collect_set("source").alias("srcs"))
+    )
+    # one gram-keyed aggregate, materialized once for both consumers
+    per_gram = (
+        sh.groupBy("gram")
+        .agg(F.collect_set("source").alias("srcs"))
+        .localCheckpoint(eager=False)
+    )
+    src_tot = (
+        per_gram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_grams"))
+    )
     pairs = (
         per_gram.filter(F.size("srcs") >= 2)
         .select(

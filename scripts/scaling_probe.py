@@ -631,6 +631,10 @@ FRONTIER_R9E = ("tokenizer_fertility",)
 # scan-class on the 100x corpus.
 FRONTIER_R9F = ("curriculum_phases",)
 
+# Round-9g: source_overlap_matrix RE-probed after the single-explode
+# rewrite (the r9d 7.2x row measured the two-explode form).
+FRONTIER_R9G = ("source_overlap_matrix",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -649,6 +653,7 @@ _FRONTIER_MODES = {
     "frontier_r9d": (FRONTIER_R9D, True, False),
     "frontier_r9e": (FRONTIER_R9E, True, False),
     "frontier_r9f": (FRONTIER_R9F, True, False),
+    "frontier_r9g": (FRONTIER_R9G, True, False),
 }
 
 
