@@ -4534,22 +4534,31 @@ def hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # work is gram-bounded (corpus-linear).
 #
 # Scale: per-doc distinct grams (array_distinct BEFORE the explode — no
-# shuffle), then ONE hash aggregate on gram collecting the source set —
-# collect_set dedups (source, gram) implicitly, and the set is bounded
-# by |sources| (20 here), NEVER by documents, so it cannot blow up. The
-# gram-level aggregate is materialized once (lazy localCheckpoint, the
-# boilerplate_removal pattern) and feeds BOTH the per-gram source-pair
-# cross (<= |sources|^2 per gram, in practice 1-2 for non-boilerplate
-# text) AND the per-source gram totals (explode of the small source
-# sets) — without the checkpoint, Catalyst re-evaluates the corpus
-# explode for the totals branch, doubling the dominant term (the
-# round-9 A/B measured the single-pass form faster at sf0.1 and the
-# saving grows with corpus size; cf. ngram_novelty's comment for the
-# opposite verdict when the re-derived branch is corpus-sized but the
-# shared relation is NOT smaller than its input). Totals join back
+# shuffle), dedup to (gram, source), then ONE hash aggregate on gram
+# collecting the source set — bounded by |sources| (20 here), NEVER by
+# documents, so collect_set cannot blow up — and an explode of the
+# per-gram source-pair cross (<= |sources|^2 per gram, in practice the
+# set is 1-2 long for non-boilerplate text). Per-source totals join back
 # broadcast (|sources| rows). No doc-pair enumeration anywhere; the
 # quadratic term is over SOURCES, which a real lakehouse counts in
 # hundreds, not billions.
+#
+# Adjudicated alternative (measured at TWO scales, kept OUT): a
+# single-corpus-explode rewrite — drop the distinct, let collect_set
+# dedup (source, gram) implicitly, localCheckpoint the gram-level
+# aggregate once and derive the per-source totals by exploding its
+# bounded source sets (5 exchanges -> 3). It measured ~7% faster at
+# sf0.1 (3.4-3.9 s vs 3.7-4.3 s, identical output) but 2.7x SLOWER at
+# the 100x frontier (159.3 s vs 58.4 s, frontier_r9g vs r9d): the
+# checkpoint must MATERIALIZE the whole gram relation — ~100x grams,
+# overwhelmingly singleton source sets — and that serialization
+# dominates exactly at the scale the saved re-scan was meant to help.
+# Two streaming hash-aggregate passes over the corpus beat one
+# materialized pass at web scale; the sf0.1 win was fixed-overhead
+# noise. (Opposite verdict to the same-shaped ngram_novelty
+# experiment, where the shared relation was NOT smaller than its
+# input — both A/Bs are why plan rewrites here get measured at the
+# frontier before they land.)
 # ---------------------------------------------------------------------------
 _OVERLAP_K = 5
 
@@ -4587,18 +4596,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "source",
         F.explode(shingles_col(F.col("text"), k=_OVERLAP_K)).alias("gram"),
-    )
-    # one gram-keyed aggregate, materialized once for both consumers
-    per_gram = (
-        sh.groupBy("gram")
-        .agg(F.collect_set("source").alias("srcs"))
-        .localCheckpoint(eager=False)
-    )
-    src_tot = (
-        per_gram.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_grams"))
-    )
+    ).distinct()
+    src_tot = sh.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    per_gram = sh.groupBy("gram").agg(F.collect_set("source").alias("srcs"))
     pairs = (
         per_gram.filter(F.size("srcs") >= 2)
         .select(

@@ -93,11 +93,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # single materialization of the quantized scan — semantic_dedup's
 # minimum dropped 4.72 -> 1.76 s). All committed rows now describe
 # current code.
-# Round-9 late FRESH: source_overlap_matrix rewritten to the single
-# corpus-explode form (gram-level collect_set checkpointed once for
-# both the pair cross and the per-source totals — 5 exchanges down to
-# 3); re-measure from post-change passes, clear after the refresh.
-FRESH: set[str] = {"source_overlap_matrix"}
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 

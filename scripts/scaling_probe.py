@@ -631,8 +631,15 @@ FRONTIER_R9E = ("tokenizer_fertility",)
 # scan-class on the 100x corpus.
 FRONTIER_R9F = ("curriculum_phases",)
 
-# Round-9g: source_overlap_matrix RE-probed after the single-explode
-# rewrite (the r9d 7.2x row measured the two-explode form).
+# Round-9g: the REJECTED source_overlap_matrix variant's probe (kept
+# for reproducibility). A single-corpus-explode rewrite (gram-level
+# collect_set checkpointed once for both the pair cross and the
+# per-source totals; 5 exchanges -> 3) measured ~7% faster at sf0.1
+# but 159.3 s vs 58.4 s at 100x: the checkpoint materializes the
+# full gram relation (~100x grams, mostly singleton source sets),
+# and that serialization dominates exactly where the saved re-scan
+# should have paid. The registered form keeps the two streaming
+# explodes; the full adjudication lives in the operator's comment.
 FRONTIER_R9G = ("source_overlap_matrix",)
 
 _FRONTIER_MODES = {

@@ -1241,13 +1241,10 @@ SHUFFLE_COUNT_TOP20 = {
     # already pins ZERO exchanges). corpus_curation_funnel's 14 is the
     # four-stage composition (scan filters + text-key window + the
     # dup-span kernel + four per-source aggregates and their joins);
-    # source_overlap_matrix's 3 = the single gram-keyed collect_set
-    # (its checkpoint feeds both consumers), the pair aggregate, and
-    # the display sort — the totals branch reads the checkpointed
-    # gram relation, so the r9-original distinct + second corpus
-    # explode (5 exchanges) are gone; spearman's 5 = the grouped
+    # source_overlap_matrix's 5 = gram dedup, per-gram source sets, the
+    # pair aggregate, totals, display sort; spearman's 5 = the grouped
     # two-phase prefix-sum family's documented shape.
-    "source_overlap_matrix": 3,
+    "source_overlap_matrix": 5,
     "poisson_bootstrap_ci": 2,
     "ngram_novelty_score": 3,
     "quality_repetition": 1,
