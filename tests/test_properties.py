@@ -2498,3 +2498,116 @@ def test_curriculum_phases_planted(spark):
     assert sum(r.n_feat_total for r in out) == 6 * 7  # 4 unigrams + 3 bigrams
     for a, b in zip(out, out[1:]):
         assert a.logit_lo >= b.logit_hi  # descending, non-overlapping
+
+
+def test_source_overlap_matrix_matches_python_reference(spark):
+    """Full-matrix replay on a randomized 30-doc / 4-source fixture: an
+    independent Python set-intersection computes every ordered pair's
+    shared distinct 5-grams and containment bp; the engine must match
+    cell for cell (including absent cells = no shared gram)."""
+    import os
+    import random
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    rng = random.Random(20260816)
+    # docs are concatenations of shared 5-word phrases, so sources
+    # genuinely share 5-grams (independent random words never collide
+    # at 5-gram granularity)
+    phrases = [
+        [f"p{i}w{j}" for j in range(5)] for i in range(12)
+    ]
+    rows, by_source = [], {}
+    for did in range(30):
+        src = f"s{did % 4}"
+        words = []
+        for _ in range(rng.randrange(2, 6)):
+            words.extend(phrases[rng.randrange(len(phrases))])
+        rows.append((did, " ".join(words), "en", src, 0))
+        grams = {
+            " ".join(words[i:i + 5]) for i in range(len(words) - 4)
+        } if len(words) >= 5 else set()
+        by_source.setdefault(src, set()).update(grams)
+
+    expected = {}
+    for a, ga in by_source.items():
+        for b, gb in by_source.items():
+            if a != b and ga & gb:
+                shared = len(ga & gb)
+                expected[(a, b)] = (shared, len(ga), shared * 10000 // len(ga))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            (r.src_a, r.src_b): (r.shared_grams, r.grams_a, r.contain_bp)
+            for r in QUERIES["source_overlap_matrix"](spark, tmp).collect()
+        }
+
+    assert got == expected, {
+        "missing": set(expected) - set(got),
+        "extra": set(got) - set(expected),
+    }
+    assert expected, "fixture produced no overlaps — vacuous test"
+
+
+def test_gopher_rules_match_python_reference(spark):
+    """Independent Python replay of every Gopher rule on 50 randomized
+    docs spanning all rule boundaries (word counts straddling 50,
+    single-char floods, digit words, symbol floods, variable stop-word
+    counts)."""
+    import os
+    import random
+    import re as _re
+    import tempfile
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    rng = random.Random(99)
+    pool = ["word", "a", "99", "#", "the", "be", "to", "longishword"]
+    rows = []
+    for did in range(50):
+        n = rng.randrange(40, 70)  # straddles the 50-word floor
+        words = [pool[rng.randrange(len(pool))] for _ in range(n)]
+        rows.append((did, " ".join(words), "en", "s0", 0))
+
+    def ref(text):
+        w = _re.split(r"\s+", text.strip().lower())
+        n_words = len(w)
+        sum_chars = len(_re.sub(r"\s+", "", text))
+        n_alpha = sum(1 for x in w if _re.search(r"[a-z]", x))
+        n_sym = len(_re.findall(r"#|\.\.\.", text))
+        n_stop = len(_re.findall(
+            r"\b(?:the|be|to|of|and|that|have|with)\b", text.lower()))
+        r1 = int(50 <= n_words <= 100000)
+        r2 = int(3 * n_words <= sum_chars <= 10 * n_words)
+        r3 = int(10 * n_alpha >= 8 * n_words)
+        r4 = int(10 * n_sym < n_words)
+        r5 = int(n_stop >= 2)
+        return (n_words, sum_chars, n_alpha, n_sym, n_stop,
+                r1, r2, r3, r4, r5, r1 * r2 * r3 * r4 * r5)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_words, r.sum_word_chars, r.n_alpha_words,
+                       r.n_symbols, r.n_stop_hits, r.r_word_count,
+                       r.r_mean_word_len, r.r_alpha_words, r.r_symbol_ratio,
+                       r.r_stopwords, r.pass_all)
+            for r in QUERIES["gopher_quality_rules"](spark, tmp).collect()
+        }
+
+    passes = 0
+    for did, (_, text, *_rest) in enumerate(rows):
+        expected = ref(text)
+        assert got[did] == expected, (did, got[did], expected)
+        passes += expected[-1]
+    assert 0 < passes < 50, f"fixture not discriminative: {passes}/50 pass"
