@@ -41,16 +41,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # pair HOF), wasserstein_1d / mannwhitney_u_test (DECIMAL(38,0)
 # accumulation, exact integers emitted as strings), and
 # hilbert_layout_key (oracle INT32-overflow fix — BIGINT offsets);
-# then (b) the 12 BRAND-NEW round-9 corpus-curation queries
+# then (b) the 13 BRAND-NEW round-9 corpus-curation queries
 # (dup_span_fraction, ngram_novelty_score, dsir_importance_weights,
 # ann_recall_at_k, corpus_curation_funnel, embedding_quantize_int8,
 # hard_negative_mining, gopher_quality_rules, hash_classifier_score,
-# source_overlap_matrix, tokenizer_fertility, curriculum_phases) — a
-# query's birth round is when the driver must certify it; then (c) 31
+# source_overlap_matrix, tokenizer_fertility, curriculum_phases,
+# lsh_recall_certification) — a query's birth round is when the
+# driver must certify it; then (c) 30
 # slots of STALE ROTATION: zorder_layout_key (the last
 # r3-latest row), then the r4-stale set with core-parity
 # flagship_revenue / json_extract_events first, then alphabetical.
-# Fourteen r4-stale queries (q4_order_priority,
+# Fifteen r4-stale queries (q3_shipping_priority, q4_order_priority,
 # q5_local_supplier_volume,
 # q7_volume_shipping, q8_market_share,
 # q9_product_profit, repeat_purchase_interval, rollup_aggregate,
@@ -82,6 +83,7 @@ _CHECK_FIRST = (
     "source_overlap_matrix",
     "tokenizer_fertility",
     "curriculum_phases",
+    "lsh_recall_certification",
     # (c) stale rotation: zorder_layout_key (r3), then the r4 set
     "zorder_layout_key",
     "flagship_revenue",
@@ -113,10 +115,10 @@ _CHECK_FIRST = (
     "q20_promotion_candidates",
     "q21_waiting_supplier",
     "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    # --- 50-query window boundary is here (7 new/changed + 12 new +
-    # 31 stale). Round-10 queue: the fourteen r4-stale rows that did
+    # --- 50-query window boundary is here (7 new/changed + 13 new +
+    # 30 stale). Round-10 queue: the fifteen r4-stale rows that did
     # not fit ---
+    "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",

@@ -4155,3 +4155,187 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("neg_label"),
         "cosine",
     ).orderBy("query_id", F.col("cosine").desc(), "neg_id")
+
+
+# ---------------------------------------------------------------------------
+# LSH recall certification (round 9): the measured quality contract of
+# the MinHash-LSH dedup path — for every TRUE near-duplicate pair
+# (exact Jaccard >= 1/2 over 3-word shingles, the same corpus + near-
+# copy fixture dedup_minhash_lsh runs on), did the banded 4x2 LSH
+# candidate generation surface it? Recall is reported per similarity
+# bucket (>=0.9 / 0.7-0.9 / 0.5-0.7) — the empirical S-curve that
+# decides band/row settings, certified through the driver's oracle the
+# same way ann_recall_at_k certifies the IVF index. The ground truth is
+# computed EXACTLY (prefix-filtered set-similarity join, the PPJoin
+# machinery — never all-pairs on the Spark side), while the DuckDB
+# oracle derives it by brute-force all-pairs intersection: the query is
+# therefore simultaneously an oracle-checked cross-formulation test of
+# the prefix join's exactness at every driver run.
+#
+# Scale: one shingle evaluation feeds both branches (doc-level
+# localCheckpoint, the dedup-family pattern); the truth side is the
+# certified prefix-pigeonhole + tau-length-filter pipeline (linear-
+# class, 78x solo at 100x for the lineitem twin); the LSH side is the
+# certified banded equi-join; the final comparison is one candidate-
+# bounded left join + a 3-row aggregate. Integer cross-multiplication
+# for every threshold — no doubles anywhere.
+# ---------------------------------------------------------------------------
+# Certification fixture: three mutation tiers per original — drop the
+# last word (J ~ 0.97, the dedup fixture's own near-copy), keep the
+# first 80% of words (J ~ 0.8), keep the first 60% (J ~ 0.6) — so the
+# truth set spans all three report buckets and the banded LSH's
+# theoretical S-curve (catch prob 1-(1-J^2)^4) is actually visible:
+# ~1.0 at J>=0.9, ~0.98 at 0.8, ~0.83 at 0.6. A fixture of only
+# high-J pairs certifies nothing (recall == 10000 everywhere was the
+# first draft's vacuous result).
+SQL_TIERED_COPIES = rf"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id,
+         array_to_string(words[1:len(words)-1], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM documents)
+  UNION ALL
+  SELECT doc_id + {2 * ID_OFFSET} AS doc_id,
+         array_to_string(words[1:GREATEST(8 * len(words) // 10, 3)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM documents)
+  UNION ALL
+  SELECT doc_id + {3 * ID_OFFSET} AS doc_id,
+         array_to_string(words[1:GREATEST(6 * len(words) // 10, 3)], ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM documents)
+"""
+
+
+def _with_tiered_copies(docs: DataFrame) -> DataFrame:
+    """Originals + the three mutation tiers of SQL_TIERED_COPIES."""
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", "text", w.alias("__w"))
+    out = docs.select("doc_id", "text")
+    for mult, keep_expr in (
+        (1, "size(__w) - 1"),
+        (2, "GREATEST(8 * size(__w) DIV 10, 3)"),
+        (3, "GREATEST(6 * size(__w) DIV 10, 3)"),
+    ):
+        out = out.unionAll(
+            base.select(
+                (F.col("doc_id") + mult * ID_OFFSET).alias("doc_id"),
+                F.array_join(
+                    F.slice(F.col("__w"), 1, F.expr(keep_expr)), " "
+                ).alias("text"),
+            )
+        )
+    return out
+
+
+LSH_RECALL_ORACLE = f"""
+WITH all_docs AS ({SQL_TIERED_COPIES}),
+sh AS ({SQL_SHINGLES}),
+truth AS (
+  SELECT id_a, id_b, n_common, n_a + n_b - n_common AS n_union
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+           CAST(len(a.shingles) AS BIGINT) AS n_a,
+           CAST(len(b.shingles) AS BIGINT) AS n_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  )
+  WHERE 2 * n_common >= n_a + n_b - n_common
+),
+sigs AS ({" UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))}),
+lsh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT CASE WHEN 10 * n_common >= 9 * n_union THEN 'hi_ge90'
+            WHEN 10 * n_common >= 7 * n_union THEN 'mid_70_90'
+            ELSE 'lo_50_70' END AS sim_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN lsh.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST(CAST(SUM(CASE WHEN lsh.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000 // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS recall_bp
+FROM truth LEFT JOIN lsh USING (id_a, id_b)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("lsh_recall_certification", LSH_RECALL_ORACLE)
+def lsh_recall_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup_text import lsh_candidate_pairs, minhash_from_shingles
+
+    docs = _with_tiered_copies(load_table(spark, sf_dir, "documents"))
+    shingled = shingle_docs(docs, "doc_id", "text", k=3).localCheckpoint(
+        eager=False
+    )
+    tok = shingled.select("doc_id", F.explode("__sh").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, "tok")
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "tok"))
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(5 * n + 9) div 10") + 1
+    ).select("doc_id", "tok", "n")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "tok", F.col("n").alias("na"))
+    b = prefix.select(F.col("doc_id").alias("id_b"), "tok", F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") <= 2 * F.col("na"))
+            & (F.col("na") <= 2 * F.col("nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
+    sizes = shingled.select("doc_id", F.size("__sh").cast("long").alias("n"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n").alias("n_b")), "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .filter(2 * F.col("n_common") >= F.col("n_union"))
+    )
+    lsh = lsh_candidate_pairs(
+        minhash_from_shingles(shingled, "doc_id", bands=BANDS,
+                              rows_per_band=ROWS_PER_BAND),
+        "doc_id",
+    ).select("id_a", "id_b", F.lit(1).alias("caught"))
+    bucket = (
+        F.when(10 * F.col("n_common") >= 9 * F.col("n_union"), "hi_ge90")
+        .when(10 * F.col("n_common") >= 7 * F.col("n_union"), "mid_70_90")
+        .otherwise("lo_50_70")
+    )
+    return (
+        truth.join(lsh, ["id_a", "id_b"], "left")
+        .groupBy(bucket.alias("sim_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0))).cast("long")
+            .alias("n_caught"),
+        )
+        .select(
+            "sim_bucket",
+            "n_truth",
+            "n_caught",
+            F.expr("n_caught * 10000 DIV n_truth").alias("recall_bp"),
+        )
+        .orderBy("sim_bucket")
+    )

@@ -642,6 +642,12 @@ FRONTIER_R9F = ("curriculum_phases",)
 # explodes; the full adjudication lives in the operator's comment.
 FRONTIER_R9G = ("source_overlap_matrix",)
 
+# Round-9h: lsh_recall_certification — the exact prefix-join truth
+# side (its lineitem twin measured linear-class 78x solo) composed
+# with the banded LSH candidates (12x) and a candidate-bounded left
+# join on the salted 100x corpus.
+FRONTIER_R9H = ("lsh_recall_certification",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -661,6 +667,7 @@ _FRONTIER_MODES = {
     "frontier_r9e": (FRONTIER_R9E, True, False),
     "frontier_r9f": (FRONTIER_R9F, True, False),
     "frontier_r9g": (FRONTIER_R9G, True, False),
+    "frontier_r9h": (FRONTIER_R9H, True, False),
 }
 
 

@@ -764,3 +764,30 @@ def test_semantic_dedup_planted_within_cluster_only(spark):
         3: (1, 1),  # cos(2,3)=0.952 >= tau, but cross-cluster: kept
         4: (0, 0),  # cos(2,4)=0.999, same cluster, higher id: dropped
     }, got
+
+
+def test_lsh_recall_certification_s_curve(spark):
+    """The certified recall must trace the banded-LSH S-curve: every
+    bucket populated (the tiered fixture guarantees truth pairs in all
+    three similarity ranges), recall monotone in similarity, >= 0.99 in
+    the >=0.9 bucket (catch prob 1-(1-J^2)^4 > 0.9999 there), and
+    caught <= truth everywhere."""
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    rows = {
+        r.sim_bucket: r
+        for r in QUERIES["lsh_recall_certification"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"hi_ge90", "mid_70_90", "lo_50_70"}
+    for r in rows.values():
+        assert 0 < r.n_caught <= r.n_truth
+        assert r.recall_bp == r.n_caught * 10000 // r.n_truth
+    assert rows["hi_ge90"].recall_bp >= 9900
+    assert (
+        rows["lo_50_70"].recall_bp
+        <= rows["mid_70_90"].recall_bp
+        <= rows["hi_ge90"].recall_bp
+    )
