@@ -46,15 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ann_recall_at_k, corpus_curation_funnel, embedding_quantize_int8,
 # hard_negative_mining, gopher_quality_rules, hash_classifier_score,
 # source_overlap_matrix, tokenizer_fertility, curriculum_phases,
-# lsh_recall_certification) — a query's birth round is when the
-# driver must certify it; then (c) 30
+# lsh_recall_certification), plus the late round-9 five
+# (bitext_margin_mining, knn_label_noise, frechet_embedding_distance,
+# stupid_backoff_lm, lexical_diversity) — a query's birth round is when
+# the driver must certify it; then (c) 25
 # slots of STALE ROTATION: zorder_layout_key (the last
 # r3-latest row), then the r4-stale set with core-parity
 # flagship_revenue / json_extract_events first, then alphabetical.
-# Fifteen r4-stale queries (q3_shipping_priority, q4_order_priority,
-# q5_local_supplier_volume,
-# q7_volume_shipping, q8_market_share,
-# q9_product_profit, repeat_purchase_interval, rollup_aggregate,
+# Twenty r4-stale queries (q18_large_orders through q9_product_profit,
+# repeat_purchase_interval, rollup_aggregate,
 # sessionize_events, set_operations, topk_orders, topk_per_group,
 # window_first_last, window_lag_lead_delta, window_running_sum) did
 # not fit the 50-slot window and head the round-10 queue below the
@@ -84,6 +84,14 @@ _CHECK_FIRST = (
     "tokenizer_fertility",
     "curriculum_phases",
     "lsh_recall_certification",
+    # (b2) late round-9 wave: margin-based bitext mining, kNN label-noise
+    # audit, diagonal Frechet embedding distance, bigram stupid-backoff
+    # LM scoring, per-source lexical diversity
+    "bitext_margin_mining",
+    "knn_label_noise",
+    "frechet_embedding_distance",
+    "stupid_backoff_lm",
+    "lexical_diversity",
     # (c) stale rotation: zorder_layout_key (r3), then the r4 set
     "zorder_layout_key",
     "flagship_revenue",
@@ -109,15 +117,15 @@ _CHECK_FIRST = (
     "q11_important_stock",
     "q15_top_supplier",
     "q16_supplier_relationship",
+    "q1_pricing_summary",
+    # --- 50-query window boundary is here (7 new/changed + 13 + 5 new +
+    # 25 stale). Round-10 queue: the twenty r4-stale rows that did
+    # not fit ---
     "q18_large_orders",
     "q19_brand_discounts",
-    "q1_pricing_summary",
     "q20_promotion_candidates",
     "q21_waiting_supplier",
     "q2_min_cost_supplier",
-    # --- 50-query window boundary is here (7 new/changed + 13 new +
-    # 30 stale). Round-10 queue: the fifteen r4-stale rows that did
-    # not fit ---
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",

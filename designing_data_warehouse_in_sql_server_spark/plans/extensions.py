@@ -4339,3 +4339,585 @@ def lsh_recall_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sim_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext margin mining (round 9c): margin-based parallel-pair mining
+# (Artetxe & Schwenk 2019, the `ratio` variant, forward direction) —
+# for each query vector on side A, the best side-B candidate scored by
+# cosine DIVIDED by the mean cosine of the query's k nearest B
+# neighbors. Raw cosine thresholds over-accept hubs (vectors close to
+# everything); the margin normalizes by the query's own neighborhood
+# density so only matches that BEAT the query's background similarity
+# are accepted. Sides are simulated by vec_id parity (A = even,
+# B = odd); the query panel is the standard bounded batch
+# (BITEXT_QUERIES even ids, the ann_recall_at_k pattern).
+#
+# Determinism: cosines quantize to exact integer micro-units
+# (cos_micro = round(cos * 1e6)), the k-NN mean stays an exact integer
+# sum, and the margin is one integer division of positive operands —
+# bit-identical cross-engine, no double accumulation anywhere.
+#
+# Scale: candidates x broadcast panel (panel is O(100) rows at any
+# corpus size — one linear pass over side B); per-query ranking is a
+# window over panel-bounded groups. At 100 TB mine in panel batches
+# against the same single corpus pass; the full-corpus form replaces
+# the panel with the banded sign-LSH candidate join
+# (embedding_neardup_pairs) and applies the same margin arithmetic to
+# its candidate set.
+# ---------------------------------------------------------------------------
+BITEXT_QUERIES, BITEXT_K, BITEXT_MARGIN_PPM = 20, 4, 1_050_000
+
+BITEXT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, {_RECALL_QUANT} AS qv
+  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < {2 * BITEXT_QUERIES}
+), cand AS (
+  SELECT vec_id, {_RECALL_QUANT} AS vv FROM embeddings WHERE vec_id % 2 = 1
+), scored AS (
+  SELECT q.qid, cand.vec_id,
+         CAST(ROUND({_sql_cosine_preq('cand.vv', 'q.qv')} * 1000000) AS BIGINT)
+           AS cos_micro
+  FROM cand CROSS JOIN q
+), ranked AS (
+  SELECT qid, vec_id, cos_micro,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_micro DESC, vec_id) AS rn
+  FROM scored
+), agg AS (
+  SELECT qid,
+         MAX(CASE WHEN rn = 1 THEN vec_id END) AS match_id,
+         MAX(CASE WHEN rn = 1 THEN cos_micro END) AS top_cos_micro,
+         CAST(SUM(cos_micro) AS BIGINT) AS sum_top_micro
+  FROM ranked WHERE rn <= {BITEXT_K} GROUP BY qid
+)
+SELECT qid AS query_id, match_id, top_cos_micro,
+       CASE WHEN top_cos_micro > 0 AND sum_top_micro > 0
+            THEN top_cos_micro * {BITEXT_K} * 1000000 // sum_top_micro
+            END AS margin_ppm,
+       CASE WHEN top_cos_micro > 0 AND sum_top_micro > 0
+                 AND top_cos_micro * {BITEXT_K} * 1000000 // sum_top_micro
+                     >= {BITEXT_MARGIN_PPM}
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS accepted
+FROM agg
+ORDER BY query_id
+"""
+
+
+@register("bitext_margin_mining", BITEXT_ORACLE)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_q, quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * BITEXT_QUERIES)
+    ).select(
+        F.col("vec_id").alias("__qid"), quantized(F.col("embedding")).alias("__qv")
+    )
+    cand = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", quantized(F.col("embedding")).alias("__v")
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "__qid",
+        "vec_id",
+        F.round(cosine_q(F.col("__v"), F.col("__qv")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    ranked = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("__qid").orderBy(F.col("cos_micro").desc(), "vec_id")
+        ),
+    ).filter(F.col("__rn") <= BITEXT_K)
+    agg = ranked.groupBy("__qid").agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("vec_id"))).alias("match_id"),
+        F.max(F.when(F.col("__rn") == 1, F.col("cos_micro"))).alias(
+            "top_cos_micro"
+        ),
+        F.sum("cos_micro").cast("bigint").alias("__sum_top"),
+    )
+    margin = F.when(
+        (F.col("top_cos_micro") > 0) & (F.col("__sum_top") > 0),
+        F.expr(f"top_cos_micro * {BITEXT_K} * 1000000 DIV __sum_top"),
+    )
+    return agg.select(
+        F.col("__qid").alias("query_id"),
+        "match_id",
+        "top_cos_micro",
+        margin.alias("margin_ppm"),
+        F.when(margin >= BITEXT_MARGIN_PPM, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("accepted"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# kNN label-noise audit (round 9c): for each audited vector, how many of
+# its k nearest neighbors (quantized cosine, any label) carry a DIFFERENT
+# label, and which foreign label dominates — the confident-learning-style
+# mislabel screen for supervised curation (a point whose neighborhood
+# votes supermajority-against its own label is a labeling-error
+# candidate; relabeling/pruning those is a standard dataset-quality
+# pass). Audit panel = first KNN_AUDIT vec_ids, the bounded-batch
+# pattern; every statistic is an exact integer count.
+#
+# Scale: corpus x broadcast panel (one linear pass, no corpus self-join);
+# neighbor ranking windows over panel-bounded groups; the majority-label
+# vote aggregates at most KNN_AUDIT * KNN_K rows. At 100 TB audit in
+# panels against one corpus pass per batch, or swap the panel for the
+# sign-LSH candidate join to audit the full corpus approximately.
+# ---------------------------------------------------------------------------
+KNN_AUDIT, KNN_K, KNN_FLAG_MIN = 60, 5, 5
+
+KNN_NOISE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, {_RECALL_QUANT} AS qv
+  FROM embeddings WHERE vec_id < {KNN_AUDIT}
+), v AS (
+  SELECT vec_id, label, {_RECALL_QUANT} AS vv FROM embeddings
+), scored AS (
+  SELECT q.qid, q.qlabel, v.vec_id, v.label,
+         CAST(ROUND({_sql_cosine_preq('v.vv', 'q.qv')} * 1000000) AS BIGINT)
+           AS cos_micro
+  FROM v CROSS JOIN q WHERE v.vec_id != q.qid
+), knn AS (
+  SELECT qid, qlabel, label FROM (
+    SELECT qid, qlabel, label,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_micro DESC, vec_id) AS rn
+    FROM scored)
+  WHERE rn <= {KNN_K}
+), votes AS (
+  SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM knn WHERE label != qlabel GROUP BY 1, 2
+), majority AS (
+  SELECT qid, label AS majority_other_label FROM (
+    SELECT qid, label,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rn
+    FROM votes)
+  WHERE rn = 1
+), per_q AS (
+  SELECT qid, qlabel,
+         CAST(SUM(CASE WHEN label != qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disagree
+  FROM knn GROUP BY 1, 2
+)
+SELECT p.qid AS vec_id, CAST(p.qlabel AS BIGINT) AS label, p.n_disagree,
+       CAST(m.majority_other_label AS BIGINT) AS majority_other_label,
+       CASE WHEN p.n_disagree >= {KNN_FLAG_MIN}
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS flagged
+FROM per_q p LEFT JOIN majority m ON p.qid = m.qid
+ORDER BY vec_id
+"""
+
+
+@register("knn_label_noise", KNN_NOISE_ORACLE)
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_q, quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_AUDIT).select(
+        F.col("vec_id").alias("__qid"),
+        F.col("label").alias("__qlabel"),
+        quantized(F.col("embedding")).alias("__qv"),
+    )
+    v = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("__v"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__qlabel",
+            "vec_id",
+            "label",
+            F.round(cosine_q(F.col("__v"), F.col("__qv")) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+    )
+    knn = scored.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy("__qid").orderBy(F.col("cos_micro").desc(), "vec_id")
+        ),
+    ).filter(F.col("__rn") <= KNN_K)
+    # Per-(query, neighbor-label) vote counts, materialized ONCE behind a
+    # lazy localCheckpoint: both downstream consumers (the disagree count
+    # and the majority-label window) read these <= KNN_AUDIT * KNN_K rows
+    # instead of re-running the corpus x panel scoring pass (the
+    # dedup-family single-evaluation pattern).
+    votes = (
+        knn.groupBy("__qid", "__qlabel", "label")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    other = votes.filter(F.col("label") != F.col("__qlabel"))
+    majority = (
+        other.withColumn(
+            "__vrn",
+            F.row_number().over(
+                W.partitionBy("__qid").orderBy(F.col("__n").desc(), "label")
+            ),
+        )
+        .filter(F.col("__vrn") == 1)
+        .select("__qid", F.col("label").alias("majority_other_label"))
+    )
+    per_q = votes.groupBy("__qid", "__qlabel").agg(
+        F.sum(
+            F.when(F.col("label") != F.col("__qlabel"), F.col("__n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_disagree")
+    )
+    return (
+        per_q.join(majority, "__qid", "left")
+        .select(
+            F.col("__qid").alias("vec_id"),
+            F.col("__qlabel").cast("bigint").alias("label"),
+            "n_disagree",
+            F.col("majority_other_label").cast("bigint").alias(
+                "majority_other_label"
+            ),
+            F.when(F.col("n_disagree") >= KNN_FLAG_MIN, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("flagged"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frechet embedding distance, diagonal form (round 9c): the FID-style
+# distribution distance between the reference label group and every
+# other label group over the embedding space — d^2 = ||mu_a - mu_b||^2 +
+# sum_i (var_a_i + var_b_i - 2*sqrt(var_a_i * var_b_i)) with diagonal
+# covariances (the full-covariance matrix-sqrt form needs an
+# eigendecomposition; the diagonal form is the standard closed-form
+# surrogate and is what per-dimension statistics can certify exactly).
+# Complements js_divergence_sources: JSD drifts over TOKEN distributions,
+# this drifts over the EMBEDDING manifold — the two standard axes of
+# corpus-mix monitoring.
+#
+# Determinism: per-(label, dim) sums of quantized int64 values are exact;
+# mean/variance derive from those integers through a FIXED double
+# expression tree (no double aggregation); each dimension's contribution
+# rounds to integer quantized-squared units before the final 64-term sum,
+# which is again exact int64. Bit-identical cross-engine.
+#
+# Scale: one posexplode pass (rows x 64) into a (labels x 64)-group hash
+# aggregate with map-side combine — linear scan shape, constant-size
+# aggregate state; everything downstream operates on <= labels*64 rows.
+# ---------------------------------------------------------------------------
+FRECHET_REF_LABEL = 0
+
+_FID_DIM_SQL = """
+WITH dims AS (
+  SELECT label, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+  FROM embeddings, range(1, 65) t(i)
+), stats AS (
+  SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q * q) AS BIGINT) AS s2
+  FROM dims GROUP BY 1, 2
+)
+"""
+
+FRECHET_ORACLE = f"""
+{_FID_DIM_SQL}
+SELECT CAST(d.label AS BIGINT) AS label,
+       MAX(d.n) AS n_vecs,
+       CAST(SUM(CAST(ROUND(
+         (ma - mb) * (ma - mb) + va + vb - 2 * SQRT(va * vb)
+       ) AS BIGINT)) AS BIGINT) AS fid_qunits
+FROM (
+  SELECT a.label AS alabel, b.label, b.n, a.i,
+         CAST(a.s1 AS DOUBLE) / a.n AS ma, CAST(b.s1 AS DOUBLE) / b.n AS mb,
+         GREATEST(CAST(a.s2 AS DOUBLE) / a.n
+                  - (CAST(a.s1 AS DOUBLE) / a.n) * (CAST(a.s1 AS DOUBLE) / a.n),
+                  0) AS va,
+         GREATEST(CAST(b.s2 AS DOUBLE) / b.n
+                  - (CAST(b.s1 AS DOUBLE) / b.n) * (CAST(b.s1 AS DOUBLE) / b.n),
+                  0) AS vb
+  FROM stats a JOIN stats b ON a.i = b.i
+  WHERE a.label = {FRECHET_REF_LABEL} AND b.label != {FRECHET_REF_LABEL}) d
+GROUP BY d.label
+ORDER BY label
+"""
+
+
+@register("frechet_embedding_distance", FRECHET_ORACLE)
+def frechet_embedding_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("__p", "__x"),
+    ).select(
+        "label",
+        (F.col("__p") + 1).alias("i"),
+        F.round(F.col("__x").cast("double") * 10000, 0).cast("bigint").alias("q"),
+    )
+    stats = dims.groupBy("label", "i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    a = stats.filter(F.col("label") == FRECHET_REF_LABEL).select(
+        "i",
+        F.col("n").alias("__na"),
+        F.col("s1").alias("__s1a"),
+        F.col("s2").alias("__s2a"),
+    )
+    b = stats.filter(F.col("label") != FRECHET_REF_LABEL)
+    mean_a = F.col("__s1a").cast("double") / F.col("__na")
+    mean_b = F.col("s1").cast("double") / F.col("n")
+    var_a = F.greatest(
+        F.col("__s2a").cast("double") / F.col("__na") - mean_a * mean_a, F.lit(0.0)
+    )
+    var_b = F.greatest(
+        F.col("s2").cast("double") / F.col("n") - mean_b * mean_b, F.lit(0.0)
+    )
+    d2 = (
+        (mean_a - mean_b) * (mean_a - mean_b)
+        + var_a
+        + var_b
+        - 2 * F.sqrt(var_a * var_b)
+    )
+    return (
+        b.join(F.broadcast(a), "i")
+        .select("label", "n", F.round(d2, 0).cast("bigint").alias("__c"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum("__c").cast("bigint").alias("fid_qunits"),
+        )
+        .select(F.col("label").cast("bigint").alias("label"), "n_vecs", "fid_qunits")
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram stupid-backoff LM scoring (round 9c): per-document mean token
+# score under a bigram model with stupid backoff (Brants et al. 2007,
+# "Large Language Models in Machine Translation" — the non-normalized
+# backoff that replaces Kneser-Ney at web scale BECAUSE it needs only
+# counts): score(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen in
+# training, else 0.4 * c(w2)/total, else 0 for OOV. The model trains on
+# the doc_id % 10 == 0 decile and scores ALL documents, so held-out docs
+# genuinely exercise the backoff and OOV paths (training and scoring on
+# the same corpus would never back off; a half-corpus model still saw
+# nearly every bigram of this fixture's shared vocabulary). Upgrades unigram_lm_score's
+# fluency proxy with local word-order sensitivity — scrambled text keeps
+# its unigram score but collapses here.
+#
+# Determinism: per-position scores are integer-ppm floor divisions of
+# positive operands (never a log, never a double sum); the per-document
+# mean is one exact integer sum and one final floor division —
+# bit-identical cross-engine.
+#
+# Scale: one bigram explode collapsed immediately to per-(doc, bigram)
+# counts (map-side combine eats within-doc repeats); corpus bigram and
+# unigram tables are hash aggregates of the training half; three
+# co-partitioned shuffle joins of the collapsed stream (bigram/unigram
+# vocabularies are unbounded — never broadcast); the corpus total is a
+# 1-row broadcast scalar. Linear scan shape throughout.
+# ---------------------------------------------------------------------------
+BACKOFF_ALPHA_PPM = 400_000  # 0.4 scaled to ppm
+
+BACKOFF_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS g
+        FROM w WHERE len(ws) >= 2)
+), grams AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM pos GROUP BY 1, 2, 3
+), bc AS (
+  SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS bc
+  FROM grams WHERE doc_id % 10 = 0 GROUP BY 1, 2
+), uc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS uc FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE doc_id % 10 = 0)
+  GROUP BY 1
+), total AS (SELECT CAST(SUM(uc) AS BIGINT) AS total FROM uc),
+scored AS (
+  SELECT g.doc_id, g.k,
+         CASE WHEN b.bc IS NOT NULL
+              THEN 1000000 * b.bc // u1.uc
+              WHEN u2.uc IS NOT NULL
+              THEN {BACKOFF_ALPHA_PPM} * u2.uc // t.total
+              ELSE 0 END AS s_ppm,
+         CASE WHEN b.bc IS NULL AND u2.uc IS NOT NULL THEN g.k ELSE 0 END
+           AS k_backoff,
+         CASE WHEN u2.uc IS NULL THEN g.k ELSE 0 END AS k_oov
+  FROM grams g
+  LEFT JOIN bc b ON g.w1 = b.w1 AND g.w2 = b.w2
+  LEFT JOIN uc u1 ON g.w1 = u1.term
+  LEFT JOIN uc u2 ON g.w2 = u2.term
+  CROSS JOIN total t
+)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       CAST(SUM(k_backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(k_oov) AS BIGINT) AS n_oov,
+       CAST(SUM(k * s_ppm) AS BIGINT) // CAST(SUM(k) AS BIGINT)
+         AS avg_score_ppm
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("stupid_backoff_lm", BACKOFF_ORACLE)
+def stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", words_col(F.col("text")).alias("__ws")).filter(
+        F.size("__ws") >= 2
+    )
+    pos = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> struct(element_at(__ws, i) AS w1,"
+                "             element_at(__ws, i + 1) AS w2))"
+            )
+        ).alias("__g"),
+    ).select("doc_id", F.col("__g.w1").alias("w1"), F.col("__g.w2").alias("w2"))
+    grams = pos.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    bc = (
+        grams.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.sum("k").cast("bigint").alias("__bc"))
+    )
+    uc = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(words_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__uc"))
+    )
+    total = uc.select(F.sum("__uc").cast("bigint").alias("__total"))
+    scored = (
+        grams.join(bc, ["w1", "w2"], "left")
+        .join(
+            uc.select(F.col("term").alias("w1"), F.col("__uc").alias("__uc1")),
+            "w1",
+            "left",
+        )
+        .join(
+            uc.select(F.col("term").alias("w2"), F.col("__uc").alias("__uc2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "k",
+            F.when(
+                F.col("__bc").isNotNull(),
+                F.expr("1000000 * __bc DIV __uc1"),
+            )
+            .when(
+                F.col("__uc2").isNotNull(),
+                F.expr(f"{BACKOFF_ALPHA_PPM} * __uc2 DIV __total"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("s_ppm"),
+            F.when(
+                F.col("__bc").isNull() & F.col("__uc2").isNotNull(), F.col("k")
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("k_backoff"),
+            F.when(F.col("__uc2").isNull(), F.col("k"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("k_oov"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum("k_backoff").cast("bigint").alias("n_backoff"),
+            F.sum("k_oov").cast("bigint").alias("n_oov"),
+            F.expr(
+                "CAST(SUM(k * s_ppm) AS BIGINT) DIV CAST(SUM(k) AS BIGINT)"
+            ).alias("avg_score_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per source (round 9c): type-token ratio, hapax-
+# legomenon share, and singleton-coverage — the corpus-linguistics
+# screens for template-generated or boilerplate-heavy sources (machine-
+# generated text shows abnormally LOW TTR — few types, many tokens —
+# while OCR noise and ID-dense dumps show abnormally HIGH hapax share).
+# Complements tokenizer_fertility (tokens per doc) and
+# token_entropy_quality (distribution shape) with the type-level axis.
+# All ratios are exact integer ppm floor divisions.
+#
+# Scale: one explode into a per-(source, term) hash aggregate (map-side
+# combine collapses the Zipf head before the shuffle), then a per-source
+# aggregate over the type table — linear scan shape, never a distinct on
+# the raw token stream.
+# ---------------------------------------------------------------------------
+LEXDIV_ORACLE = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), types AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS BIGINT) * 1000000 // CAST(SUM(cnt) AS BIGINT)
+         AS ttr_ppm,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(COUNT(*) AS BIGINT) AS hapax_ppm
+FROM types GROUP BY source
+ORDER BY source
+"""
+
+
+@register("lexical_diversity", LEXDIV_ORACLE)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    types = (
+        docs.select("source", F.explode(words_col(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        types.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("n_types * 1000000 DIV n_tokens").alias("ttr_ppm"),
+            F.expr("n_hapax * 1000000 DIV n_types").alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )

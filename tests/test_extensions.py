@@ -791,3 +791,170 @@ def test_lsh_recall_certification_s_curve(spark):
         <= rows["mid_70_90"].recall_bp
         <= rows["hi_ge90"].recall_bp
     )
+
+
+def _write_embeddings(tmp_path, rows):
+    """rows: (vec_id, 64-float list, label)."""
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+
+def _unit(dim, scale=1.0):
+    v = [0.0] * 64
+    v[dim] = scale
+    return v
+
+
+def test_bitext_margin_planted(spark, tmp_path):
+    """Margin semantics by hand: query 0's best candidate is an exact
+    copy while its other neighbors are orthogonal -> margin 4.0
+    (top * k / sum with the other three at 0), accepted. Query 2 is a
+    hub equidistant (cos 0.5) from four candidates -> top1/mean(top4)
+    = 1.0 < 1.05, rejected — exactly the over-accepted hub the margin
+    criterion exists to kill; raw-cosine thresholding would rank it
+    ABOVE a 0.4-cosine genuine pair."""
+    import math
+
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    hub = [0.0] * 64
+    for d in (2, 3, 4, 5):
+        hub[d] = 0.5
+    rows = [
+        (0, _unit(1), 0),
+        (2, hub, 0),
+        (1, _unit(1), 1),  # exact copy of query 0
+        (3, _unit(2), 1),
+        (5, _unit(3), 1),
+        (7, _unit(4), 1),
+        (9, _unit(5), 1),
+    ]
+    _write_embeddings(tmp_path, rows)
+    out = e.queries()["bitext_margin_mining"](spark, str(tmp_path))
+    got = {r.query_id: r for r in out.collect()}
+    assert set(got) == {0, 2}
+    assert (got[0].match_id, got[0].top_cos_micro, got[0].margin_ppm,
+            got[0].accepted) == (1, 1_000_000, 4_000_000, 1)
+    # hub: four-way cosine tie at 0.5 -> smallest vec_id wins, margin 1.0
+    assert (got[2].match_id, got[2].top_cos_micro, got[2].margin_ppm,
+            got[2].accepted) == (3, 500_000, 1_000_000, 0)
+    assert not compare(out, e.oracle_sql()["bitext_margin_mining"], str(tmp_path))
+
+
+def test_knn_label_noise_planted(spark, tmp_path):
+    """A planted mislabel: vec 0 carries label 9 but sits inside the
+    label-0 cluster -> all 5 neighbors disagree, majority label 0,
+    flagged. Its correctly-labeled cluster mates see at most one
+    disagreeing neighbor (vec 0 itself) -> never flagged. The far
+    label-1 cluster is 6 strong so its members' neighborhoods stay
+    in-cluster."""
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    rows = [(0, _unit(1, 1.0), 9)]
+    # label-0 cluster: distinct but tightly packed around e1
+    for i in range(1, 9):
+        v = _unit(1, 1.0)
+        v[10] = 0.001 * i
+        rows.append((i, v, 0))
+    # far label-1 cluster around e2
+    for i in range(9, 15):
+        v = _unit(2, 1.0)
+        v[11] = 0.001 * i
+        rows.append((i, v, 1))
+    _write_embeddings(tmp_path, rows)
+    out = e.queries()["knn_label_noise"](spark, str(tmp_path))
+    got = {r.vec_id: r for r in out.collect()}
+    assert set(got) == set(range(15))
+    assert (got[0].n_disagree, got[0].majority_other_label, got[0].flagged) == (5, 0, 1)
+    for i in range(1, 9):
+        assert got[i].n_disagree <= 1 and got[i].flagged == 0, (i, got[i])
+    for i in range(9, 15):
+        assert (got[i].n_disagree, got[i].flagged) == (0, 0), (i, got[i])
+    assert not compare(out, e.oracle_sql()["knn_label_noise"], str(tmp_path))
+
+
+def test_frechet_planted_shift(spark, tmp_path):
+    """Diagonal-FID by hand: label 1 duplicates the reference group's
+    distribution exactly -> distance 0; label 2 is the same two vectors
+    mean-shifted +0.25 in dim 1 (identical variance) -> the variance
+    terms cancel and fid = (0.25 * 1e4)^2 = 6_250_000 exactly in
+    quantized-squared units."""
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    def vec(x):
+        v = [0.0] * 64
+        v[0] = x
+        return v
+
+    rows = [
+        (0, vec(0.1), 0), (1, vec(0.3), 0),
+        (2, vec(0.1), 1), (3, vec(0.3), 1),
+        (4, vec(0.35), 2), (5, vec(0.55), 2),
+    ]
+    _write_embeddings(tmp_path, rows)
+    out = e.queries()["frechet_embedding_distance"](spark, str(tmp_path))
+    got = {r.label: (r.n_vecs, r.fid_qunits) for r in out.collect()}
+    assert got == {1: (2, 0), 2: (2, 6_250_000)}, got
+    assert not compare(
+        out, e.oracle_sql()["frechet_embedding_distance"], str(tmp_path)
+    )
+
+
+def _write_documents(tmp_path, rows):
+    """rows: (doc_id, text, source)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_stupid_backoff_planted(spark, tmp_path):
+    """Hand-computed stupid-backoff scores. Training decile = doc 0
+    ("a b a b c": bigrams ab x2, ba, bc; unigrams a2 b2 c1, total 5).
+    Doc 0 scores fully in-model: (2*ab + ba + bc) -> (2*1e6 + 5e5 +
+    5e5) // 4 = 750000. Doc 1 "a c x": bigram (a,c) unseen -> backoff
+    0.4*c(c)/total = 400000*1//5 = 80000; (c,x) has OOV w2 -> 0; avg
+    80000 // 2 = 40000. Doc 2 is a single word -> excluded (no
+    bigrams)."""
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    _write_documents(
+        tmp_path,
+        [(0, "a b a b c", "s0"), (1, "a c x", "s0"), (2, "z", "s0")],
+    )
+    out = e.queries()["stupid_backoff_lm"](spark, str(tmp_path))
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.n_oov, r.avg_score_ppm)
+        for r in out.collect()
+    }
+    assert got == {0: (4, 0, 0, 750_000), 1: (2, 1, 1, 40_000)}, got
+    assert not compare(out, e.oracle_sql()["stupid_backoff_lm"], str(tmp_path))
+
+
+def test_lexical_diversity_planted(spark, tmp_path):
+    """Hand counts: source s1 = "a a b" -> 3 tokens, 2 types, 1 hapax,
+    ttr 666666 ppm (floor), hapax share 500000; source s2 = "c d" ->
+    everything hapax, both ratios 1e6."""
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    _write_documents(tmp_path, [(0, "a a b", "s1"), (1, "c d", "s2")])
+    out = e.queries()["lexical_diversity"](spark, str(tmp_path))
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.n_hapax, r.ttr_ppm, r.hapax_ppm)
+        for r in out.collect()
+    }
+    assert got == {
+        "s1": (3, 2, 1, 666_666, 500_000),
+        "s2": (2, 2, 2, 1_000_000, 1_000_000),
+    }, got
+    assert not compare(out, e.oracle_sql()["lexical_diversity"], str(tmp_path))

@@ -1158,7 +1158,7 @@ SINGLE_PARTITION_BOUNDED = {
     "rolling_correlation", "rolling_median_7d", "rrf_hybrid_search",
     "rsi_indicator",
     "seasonal_decompose_cma", "sequence_pack_tokens", "share_of_parent",
-    "sliding_distinct_users",
+    "sliding_distinct_users", "stupid_backoff_lm",
     "systematic_sample", "temperature_mix_weights", "tfidf_top_terms",
     "triangle_count", "unigram_lm_score", "vocab_coverage",
     "wasserstein_1d", "welch_ttest",
@@ -1179,8 +1179,13 @@ SINGLE_PARTITION_BOUNDED = {
 BNLJ_CONSTANT_SIDE = {
     "ann_recall_at_k",  # fixed 20-row query panel + 16-row centroid build sides
     "approx_distinct_rollup", "association_rules", "bm25_search",
+    "bitext_margin_mining",  # fixed 20-row query-panel build side
     "dsir_importance_weights",  # 1-row feature-total aggregate
     "hard_negative_mining",  # fixed 20-row query-panel build side
+    "stupid_backoff_lm",  # 1-row training-corpus token-total aggregate
+    # (knn_label_noise's panel BNLJ executes eagerly behind the votes
+    # localCheckpoint — the semantic_dedup pattern — so its RETURNED
+    # plan carries no BNLJ and it is deliberately NOT in this set.)
 
     "heavy_hitter_users", "jl_projection_topk", "js_divergence_sources",
     "kaplan_meier_churn", "kmeans_embeddings", "kmv_distinct_intersection",
