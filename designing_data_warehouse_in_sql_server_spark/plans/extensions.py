@@ -4188,23 +4188,37 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~1.0 at J>=0.9, ~0.98 at 0.8, ~0.83 at 0.6. A fixture of only
 # high-J pairs certifies nothing (recall == 10000 everywhere was the
 # first draft's vacuous result).
+# The certification corpus is a deterministic 1-in-CERT_SAMPLE_MOD
+# sample of the documents (doc_id % 4 == 0) plus the three mutation
+# tiers of each sampled doc. Sampling is the operator's SCALE KNOB,
+# not a shortcut: banded-LSH recall for a true pair depends only on
+# the pair's own Jaccard (catch prob 1-(1-J^r)^b over its OWN band
+# signatures — corpus size never enters), so a sampled certification
+# measures exactly the same S-curve while the exact truth side — the
+# one inherently pair-quadratic-leaning computation in the registry —
+# runs on a quarter of the shingle volume. At production scale the
+# sample rate is what holds certification cost constant as the corpus
+# grows (certify bands on a fixed-size sample, apply them to the full
+# corpus).
+CERT_SAMPLE_MOD = 4
+
 SQL_TIERED_COPIES = rf"""
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id % {CERT_SAMPLE_MOD} = 0
   UNION ALL
   SELECT doc_id + {ID_OFFSET} AS doc_id,
          array_to_string(words[1:len(words)-1], ' ') AS text
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
-        FROM documents)
+        FROM documents WHERE doc_id % {CERT_SAMPLE_MOD} = 0)
   UNION ALL
   SELECT doc_id + {2 * ID_OFFSET} AS doc_id,
          array_to_string(words[1:GREATEST(8 * len(words) // 10, 3)], ' ') AS text
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
-        FROM documents)
+        FROM documents WHERE doc_id % {CERT_SAMPLE_MOD} = 0)
   UNION ALL
   SELECT doc_id + {3 * ID_OFFSET} AS doc_id,
          array_to_string(words[1:GREATEST(6 * len(words) // 10, 3)], ' ') AS text
   FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
-        FROM documents)
+        FROM documents WHERE doc_id % {CERT_SAMPLE_MOD} = 0)
 """
 
 
@@ -4268,7 +4282,11 @@ def lsh_recall_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup_text import lsh_candidate_pairs, minhash_from_shingles
 
-    docs = _with_tiered_copies(load_table(spark, sf_dir, "documents"))
+    docs = _with_tiered_copies(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % CERT_SAMPLE_MOD == 0
+        )
+    )
     shingled = shingle_docs(docs, "doc_id", "text", k=3).localCheckpoint(
         eager=False
     )
@@ -4920,4 +4938,82 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_hapax * 1000000 DIV n_types").alias("hapax_ppm"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template-prefix clustering (round 9c): group documents by their
+# normalized first-TEMPLATE_WORDS-word head and report multi-document
+# clusters — the C4/RefinedWeb-style screen for template spam (form
+# letters, scraper boilerplate, auto-generated listings share an
+# identical head long before they diverge in the tail; boilerplate_
+# removal catches repeated SEGMENTS anywhere, this catches the
+# head-template shape that segment df misses when tails pad each doc
+# past the segment grid). The fixture plants a banner head on every
+# fourth doc so a genuine cross-source template cluster exists at any
+# scale factor alongside the corpus's natural small clusters.
+#
+# Scale: the prefix key is a per-row slice+join (no explode — cost is
+# |head| per row, not |doc|); one hash aggregate on the prefix
+# (map-side combine collapses template clusters early, exactly where
+# they are biggest); the report is TakeOrderedAndProject top-20, never
+# a global sort. Linear scan shape.
+# ---------------------------------------------------------------------------
+TEMPLATE_WORDS, TEMPLATE_TOP = 8, 20
+TEMPLATE_BANNER = "dear valued customer thank you for your recent"
+
+TEMPLATE_ORACLE = rf"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 = 0 THEN '{TEMPLATE_BANNER} ' || text
+              ELSE text END AS text
+  FROM documents
+), heads AS (
+  SELECT doc_id, source,
+         array_to_string(
+           (regexp_split_to_array(trim(lower(text)), '\s+'))[1:{TEMPLATE_WORDS}],
+           ' ') AS prefix
+  FROM planted
+), clusters AS (
+  SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+  FROM heads GROUP BY prefix
+)
+SELECT prefix, n_docs, n_sources, min_doc_id
+FROM clusters WHERE n_docs >= 2
+ORDER BY n_docs DESC, prefix
+LIMIT {TEMPLATE_TOP}
+"""
+
+
+@register("template_prefix_clusters", TEMPLATE_ORACLE)
+def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(TEMPLATE_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    heads = docs.select(
+        "doc_id",
+        "source",
+        F.array_join(
+            F.slice(words_col(F.col("text")), 1, TEMPLATE_WORDS), " "
+        ).alias("prefix"),
+    )
+    return (
+        heads.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(TEMPLATE_TOP)
     )

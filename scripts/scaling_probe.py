@@ -648,6 +648,27 @@ FRONTIER_R9G = ("source_overlap_matrix",)
 # join on the salted 100x corpus.
 FRONTIER_R9H = ("lsh_recall_certification",)
 
+# Round-9i: the late-round curation five. stupid_backoff_lm is the
+# heavy one (bigram explode collapsed to per-doc gram counts, then
+# three vocabulary joins — salted vocab grows the bigram model 100x,
+# the worst case); lexical_diversity and frechet_embedding_distance
+# are scan+aggregate controls; bitext_margin_mining / knn_label_noise
+# are corpus x constant-panel passes (the hard_negative_mining shape,
+# certified 6.6x there) whose panels stay first-copy-bounded by
+# construction (vec_id < 40/60).
+FRONTIER_R9I = (
+    "stupid_backoff_lm",
+    "lexical_diversity",
+    "frechet_embedding_distance",
+    "bitext_margin_mining",
+    "knn_label_noise",
+)
+
+# Round-9j: template_prefix_clusters landed after the r9i run — a
+# per-row slice+join key (no explode) into one prefix hash aggregate;
+# the probe pins that the head-template scan tracks text volume.
+FRONTIER_R9J = ("template_prefix_clusters",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -668,6 +689,8 @@ _FRONTIER_MODES = {
     "frontier_r9f": (FRONTIER_R9F, True, False),
     "frontier_r9g": (FRONTIER_R9G, True, False),
     "frontier_r9h": (FRONTIER_R9H, True, False),
+    "frontier_r9i": (FRONTIER_R9I, True, False),
+    "frontier_r9j": (FRONTIER_R9J, True, False),
 }
 
 

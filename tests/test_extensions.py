@@ -958,3 +958,40 @@ def test_lexical_diversity_planted(spark, tmp_path):
         "s2": (2, 2, 2, 1_000_000, 1_000_000),
     }, got
     assert not compare(out, e.oracle_sql()["lexical_diversity"], str(tmp_path))
+
+
+def test_template_prefix_clusters_planted(spark, tmp_path):
+    """Two docs share a handcrafted 8-word head but diverge after word 8
+    -> one cluster spanning 2 sources (boilerplate segment-df would need
+    the whole 16-word segment to match; the head alone is enough here).
+    Docs 1 and 2 share only 7 head words -> NOT clustered. The planted
+    banner (doc_id % 4 == 0) creates its own cluster from docs 0 and 4.
+    Short docs (< 8 words) key on their full text."""
+    import __spark_entry__ as e
+    from oracle_diff import compare
+
+    head = "w1 w2 w3 w4 w5 w6 w7 w8"
+    _write_documents(
+        tmp_path,
+        [
+            (1, head + " tail one", "s1"),
+            (2, head + " tail two", "s2"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 DIFFERENT tail", "s1"),
+            (0, "zebra only", "s1"),   # banner-planted (0 % 4 == 0)
+            (4, "yak solo", "s2"),     # banner-planted (4 % 4 == 0)
+            (5, "short doc", "s1"),
+        ],
+    )
+    out = e.queries()["template_prefix_clusters"](spark, str(tmp_path))
+    got = {r.prefix: (r.n_docs, r.n_sources, r.min_doc_id) for r in out.collect()}
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        TEMPLATE_BANNER,
+    )
+
+    assert got == {
+        head: (2, 2, 1),
+        TEMPLATE_BANNER: (2, 2, 0),  # banner is exactly 8 words
+    }, got
+    assert not compare(
+        out, e.oracle_sql()["template_prefix_clusters"], str(tmp_path)
+    )

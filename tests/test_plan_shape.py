@@ -1257,6 +1257,17 @@ SHUFFLE_COUNT_TOP20 = {
     "range_join_event_pairs": 0,
     "spearman_rank_corr": 5,
     "corpus_curation_funnel": 14,
+    # r9 late wave: lsh_recall_certification's 8 = the certified truth
+    # pipeline (shingle spread, df/prefix windows, candidate distinct,
+    # intersection aggregate) + the banded-LSH side + the 3-row bucket
+    # aggregate — its corpus is the 1-in-4 certification sample;
+    # knn_label_noise's 4 = the panel-window rank, the vote aggregate
+    # (checkpoint-visible tail), the majority window and the final
+    # sort; stupid_backoff_lm's 9 = the gram collapse, the two model
+    # aggregates, three model joins, the per-doc aggregate and sort.
+    "lsh_recall_certification": 8,
+    "knn_label_noise": 4,
+    "stupid_backoff_lm": 9,
 }
 
 
