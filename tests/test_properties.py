@@ -2611,3 +2611,214 @@ def test_gopher_rules_match_python_reference(spark):
         assert got[did] == expected, (did, got[did], expected)
         passes += expected[-1]
     assert 0 < passes < 50, f"fixture not discriminative: {passes}/50 pass"
+
+
+# ---------------------------------------------------------------------------
+# Round-9c independent-formulation replays: each query recomputed from
+# the raw parquet in numpy/pure Python, independently of BOTH the Spark
+# expression tree and the DuckDB SQL (the oracle diff cannot catch an
+# algebra error the two engines share).
+# ---------------------------------------------------------------------------
+def _half_up(x: float, places: int) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal(1).scaleb(-places)
+    return float(Decimal(repr(float(x))).quantize(quantum, rounding=ROUND_HALF_UP))
+
+
+def _quantized_embeddings(spark):
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .toPandas()
+    )
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = emb["label"].to_numpy()[order]
+    V = np.stack(emb["embedding"].to_numpy())[order]
+    q = [[int(_half_up(float(v) * 10000.0, 0)) for v in row] for row in V]
+    return ids.tolist(), labels.tolist(), q
+
+
+def _cos_micro(qa, qb):
+    """Exact-integer dots, ONE double division, micro-quantized — the
+    shared contract of every embedding query, mirrored in plain Python
+    ints/floats."""
+    import math
+
+    dot = sum(a * b for a, b in zip(qa, qb))
+    daa = sum(a * a for a in qa)
+    dbb = sum(b * b for b in qb)
+    cos = float(dot) / math.sqrt(float(daa) * float(dbb))
+    return int(_half_up(cos * 1_000_000.0, 0))
+
+
+def test_bitext_margin_matches_pure_python(spark):
+    """bitext_margin_mining vs an independent replay: panel = even ids
+    < 40, candidates = odd ids, k=4 ratio margin in integer ppm."""
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        BITEXT_K,
+        BITEXT_MARGIN_PPM,
+        BITEXT_QUERIES,
+    )
+    from tests.conftest import SF_DIR
+
+    ids, _, q = _quantized_embeddings(spark)
+    byid = dict(zip(ids, q))
+    panel = [i for i in ids if i % 2 == 0 and i < 2 * BITEXT_QUERIES]
+    cands = [i for i in ids if i % 2 == 1]
+    want = {}
+    for qi in panel:
+        scored = sorted(
+            ((_cos_micro(byid[c], byid[qi]), -c) for c in cands), reverse=True
+        )[:BITEXT_K]
+        top, match = scored[0][0], -scored[0][1]
+        tot = sum(s for s, _ in scored)
+        margin = top * BITEXT_K * 1_000_000 // tot if top > 0 and tot > 0 else None
+        accepted = 1 if margin is not None and margin >= BITEXT_MARGIN_PPM else 0
+        want[qi] = (match, top, margin, accepted)
+    got = {
+        r.query_id: (r.match_id, r.top_cos_micro, r.margin_ppm, r.accepted)
+        for r in e.queries()["bitext_margin_mining"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_knn_label_noise_matches_pure_python(spark):
+    """knn_label_noise vs an independent replay: k=5 neighbors by
+    (cos_micro desc, vec_id), disagree counts, majority foreign label
+    with (count desc, label) tiebreak."""
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        KNN_AUDIT,
+        KNN_FLAG_MIN,
+        KNN_K,
+    )
+    from tests.conftest import SF_DIR
+
+    ids, labels, q = _quantized_embeddings(spark)
+    lab = dict(zip(ids, labels))
+    byid = dict(zip(ids, q))
+    want = {}
+    for qi in [i for i in ids if i < KNN_AUDIT]:
+        ranked = sorted(
+            ((-_cos_micro(byid[v], byid[qi]), v) for v in ids if v != qi)
+        )[:KNN_K]
+        nlabels = [lab[v] for _, v in ranked]
+        dis = [l for l in nlabels if l != lab[qi]]
+        counts = {}
+        for l in dis:
+            counts[l] = counts.get(l, 0) + 1
+        maj = min(counts, key=lambda l: (-counts[l], l)) if counts else None
+        want[qi] = (
+            lab[qi],
+            len(dis),
+            maj,
+            1 if len(dis) >= KNN_FLAG_MIN else 0,
+        )
+    got = {
+        r.vec_id: (r.label, r.n_disagree, r.majority_other_label, r.flagged)
+        for r in e.queries()["knn_label_noise"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_frechet_matches_pure_python(spark):
+    """frechet_embedding_distance vs an independent replay: exact
+    integer per-(label, dim) sums, the fixed double expression tree for
+    mean/variance, per-dim HALF_UP to integer q-units, exact final sum."""
+    import math
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        FRECHET_REF_LABEL,
+    )
+    from tests.conftest import SF_DIR
+
+    ids, labels, q = _quantized_embeddings(spark)
+    dims = len(q[0])
+    stats = {}  # (label, dim) -> [n, s1, s2]
+    for lb, row in zip(labels, q):
+        for d in range(dims):
+            st_ = stats.setdefault((lb, d), [0, 0, 0])
+            st_[0] += 1
+            st_[1] += row[d]
+            st_[2] += row[d] * row[d]
+
+    def mv(lb, d):
+        n, s1, s2 = stats[(lb, d)]
+        m = float(s1) / n
+        return m, max(float(s2) / n - m * m, 0.0), n
+
+    want = {}
+    for lb in sorted({l for l in labels if l != FRECHET_REF_LABEL}):
+        tot, n_vecs = 0, 0
+        for d in range(dims):
+            ma, va, _ = mv(FRECHET_REF_LABEL, d)
+            mb, vb, n = mv(lb, d)
+            n_vecs = n
+            d2 = (ma - mb) * (ma - mb) + va + vb - 2 * math.sqrt(va * vb)
+            tot += int(_half_up(d2, 0))
+        want[lb] = (n_vecs, tot)
+    got = {
+        r.label: (r.n_vecs, r.fid_qunits)
+        for r in e.queries()["frechet_embedding_distance"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_stupid_backoff_matches_pure_python(spark):
+    """stupid_backoff_lm vs an independent replay: the decile-trained
+    bigram/unigram model and the integer-ppm scoring recomputed with
+    plain dicts and floor division."""
+    import re as _re
+
+    import __spark_entry__ as e
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        BACKOFF_ALPHA_PPM,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    toks = {
+        int(r.doc_id): _re.split(r"\s+", r.text.strip().lower())
+        for r in docs.itertuples()
+    }
+    bc, uc = {}, {}
+    for did, ws in toks.items():
+        if did % 10 == 0:
+            for w in ws:
+                uc[w] = uc.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bc[(a, b)] = bc.get((a, b), 0) + 1
+    total = sum(uc.values())
+    want = {}
+    for did, ws in toks.items():
+        if len(ws) < 2:
+            continue
+        n = len(ws) - 1
+        ssum = backoff = oov = 0
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in bc:
+                ssum += 1_000_000 * bc[(a, b)] // uc[a]
+            elif b in uc:
+                ssum += BACKOFF_ALPHA_PPM * uc[b] // total
+                backoff += 1
+            else:
+                oov += 1
+        want[did] = (n, backoff, oov, ssum // n)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.n_oov, r.avg_score_ppm)
+        for r in e.queries()["stupid_backoff_lm"](spark, SF_DIR).collect()
+    }
+    assert got == want
