@@ -669,6 +669,43 @@ FRONTIER_R9I = (
 # the probe pins that the head-template scan tracks text volume.
 FRONTIER_R9J = ("template_prefix_clusters",)
 
+# Round-9k: the remaining bench-heavy FACT kernels never individually
+# pushed to 100x — the bucketed event range join, the two exact
+# quantile forms (size-adaptive dispatch flips at this scale), the
+# 30-row rolling correlation window, the recursive month spine (depth
+# grows with the key-offset copies' 10-year shifts), MAD outliers'
+# double median, and read_skipping's footer-stats pruning measured on
+# a 100x TableStore write. basket_brand_pairs is deliberately NOT
+# here: the shared recipe passes `part` through with offset partkeys,
+# emptying its lineitem JOIN part — the documented association_rules
+# trap; its pair kernel is association_rules' certified 19.7x class.
+FRONTIER_R9K = (
+    "range_join_event_pairs",
+    "quantile_cont",
+    "quantile_disc",
+    "rolling_correlation",
+    "recursive_month_spine",
+    "mad_outliers",
+    "read_skipping",
+)
+
+# Round-9l: minhash_jaccard_estimate — the signature-based estimate
+# join (the frontier_dedup wave certified the banded candidate path;
+# this is the estimate-only variant sharing one signature evaluation).
+FRONTIER_R9L = ("minhash_jaccard_estimate",)
+
+# Round-9m: the last three bench-heavy queries without their own
+# frontier row — incremental_agg_refresh (watermark-pruned partition
+# recompute must track the INCREMENT, not the table), the one-scan
+# Poisson bootstrap (B-replicate shuffle bounded by B x groups), and
+# table_restore_roundtrip (hard-link O(files) RESTORE + CLONE around a
+# scan-shaped write).
+FRONTIER_R9M = (
+    "incremental_agg_refresh",
+    "poisson_bootstrap_ci",
+    "table_restore_roundtrip",
+)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -691,6 +728,9 @@ _FRONTIER_MODES = {
     "frontier_r9h": (FRONTIER_R9H, True, False),
     "frontier_r9i": (FRONTIER_R9I, True, False),
     "frontier_r9j": (FRONTIER_R9J, True, False),
+    "frontier_r9k": (FRONTIER_R9K, False),
+    "frontier_r9l": (FRONTIER_R9L, True, False),
+    "frontier_r9m": (FRONTIER_R9M, False),
 }
 
 
