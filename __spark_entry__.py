@@ -46,14 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ann_recall_at_k, corpus_curation_funnel, embedding_quantize_int8,
 # hard_negative_mining, gopher_quality_rules, hash_classifier_score,
 # source_overlap_matrix, tokenizer_fertility, curriculum_phases,
-# lsh_recall_certification), plus the late round-9 six
+# lsh_recall_certification), plus the late round-9 seven
 # (bitext_margin_mining, knn_label_noise, frechet_embedding_distance,
-# stupid_backoff_lm, lexical_diversity, template_prefix_clusters) — a
-# query's birth round is when the driver must certify it; then (c) 24
+# stupid_backoff_lm, lexical_diversity, template_prefix_clusters,
+# schema_evolution_roundtrip) — a
+# query's birth round is when the driver must certify it; then (c) 23
 # slots of STALE ROTATION: zorder_layout_key (the last
 # r3-latest row), then the r4-stale set with core-parity
 # flagship_revenue / json_extract_events first, then alphabetical.
-# Twenty-one r4-stale queries (q16_supplier_relationship through q9_product_profit,
+# Twenty-two r4-stale queries (q15_top_supplier through q9_product_profit,
 # repeat_purchase_interval, rollup_aggregate,
 # sessionize_events, set_operations, topk_orders, topk_per_group,
 # window_first_last, window_lag_lead_delta, window_running_sum) did
@@ -93,6 +94,7 @@ _CHECK_FIRST = (
     "stupid_backoff_lm",
     "lexical_diversity",
     "template_prefix_clusters",
+    "schema_evolution_roundtrip",
     # (c) stale rotation: zorder_layout_key (r3), then the r4 set
     "zorder_layout_key",
     "flagship_revenue",
@@ -116,12 +118,12 @@ _CHECK_FIRST = (
     "ntile_quartiles",
     "q10_returned_items",
     "q11_important_stock",
-    "q15_top_supplier",
     "q1_pricing_summary",
-    # --- 50-query window boundary is here (7 new/changed + 13 + 6 new +
-    # 24 stale; q1_pricing_summary kept inside over the alphabetical
-    # order — core TPC-H parity outranks q16). Round-10 queue: the
-    # twenty-one r4-stale rows that did not fit ---
+    # --- 50-query window boundary is here (7 new/changed + 13 + 7 new +
+    # 23 stale; q1_pricing_summary kept inside over the alphabetical
+    # order — core TPC-H parity outranks q15/q16). Round-10 queue: the
+    # twenty-two r4-stale rows that did not fit ---
+    "q15_top_supplier",
     "q16_supplier_relationship",
     "q18_large_orders",
     "q19_brand_discounts",

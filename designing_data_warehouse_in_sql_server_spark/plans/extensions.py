@@ -5017,3 +5017,64 @@ def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "prefix")
         .limit(TEMPLATE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution round-trip (round 9): TableStore's
+# append(merge_schema=True) — the Delta mergeSchema / ALTER TABLE ADD
+# COLUMNS analog — certified through the driver's oracle. Flow: write
+# per-customer aggregates, then append an increment carrying a NEW
+# `segment` column; the read back must null-fill the pre-evolution rows
+# and carry the increment's values, through the real store read path
+# (the logged per-version schema, never footer merging).
+#
+# Scale: evolution costs ONE JSON write — no table rewrite, no
+# mergeSchema footer job over every file (at 100 TB that distinction is
+# the whole feature); the append stays O(increment) hard-link
+# versioning; the certified read is one scan. Output localCheckpointed
+# before the tmp store is removed (the snapshot_diff pattern).
+# ---------------------------------------------------------------------------
+SCHEMA_EVO_ORACLE = """
+WITH v1 AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT k, cents, CAST(NULL AS VARCHAR) AS segment FROM v1
+UNION ALL
+SELECT k + 10000000 AS k, cents, 'evolved' AS segment
+FROM v1 WHERE k % 3 = 0
+"""
+
+
+@register("schema_evolution_roundtrip", SCHEMA_EVO_ORACLE)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.table_store import TableStore
+
+    v1_df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("cents")
+        )
+    )
+    inc = v1_df.filter(F.col("k") % 3 == 0).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        "cents",
+        F.lit("evolved").alias("segment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ddw_evo_")
+    try:
+        store = TableStore(spark, tmp)
+        store.overwrite("t", v1_df)
+        store.append("t", inc, merge_schema=True)
+        return (
+            store.read("t")
+            .select("k", "cents", "segment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

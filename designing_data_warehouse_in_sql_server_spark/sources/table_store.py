@@ -63,6 +63,21 @@ CDC_UPDATE_PRE = "update_preimage"
 CDC_UPDATE_POST = "update_postimage"
 CDC_DELETE = "delete"
 
+# _commit(schema=...) sentinel: carry the previous version's logged
+# schema forward (the default for schema-preserving operations).
+_SCHEMA_INHERIT = object()
+
+
+def _nullable(schema):
+    """All-nullable copy of a StructType: the schema LOG describes what a
+    reader may assume, and post-evolution files legitimately omit new
+    columns, so every logged field must admit nulls."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+
 _DUP_KEY_MARK = "MERGE_DUPLICATE_SOURCE_KEYS"
 _CHECK_MARK = "CHECK_CONSTRAINT_VIOLATION"
 
@@ -267,12 +282,63 @@ class TableStore:
         version: int,
         op: str = "write",
         stats: tuple[int, int] | None = None,
+        schema=_SCHEMA_INHERIT,
     ) -> None:
+        # schema log BEFORE the pointer swap: a committed version must
+        # never be visible without the schema a reader needs for it
+        self._log_schema(name, version, schema)
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(version))
         os.replace(tmp, self._pointer(name))  # atomic pointer swap
         self._log_history(name, version, op, stats)
+
+    # -- schema log (ALTER TABLE ADD COLUMNS / mergeSchema analog) -------------
+    def _schema_dir(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_schema")
+
+    def _schema_path(self, name: str, version: int) -> str:
+        return os.path.join(self._schema_dir(name), f"v{version}.json")
+
+    def _log_schema(self, name: str, version: int, schema) -> None:
+        """Maintain the per-version schema log. A table enters
+        schema-logged mode at its first evolution; before that no files
+        exist and reads infer from (uniform) parquet footers exactly as
+        always — zero behavior change for never-evolved tables.
+        ``schema`` is a StructType (log it), None (explicitly no schema
+        for this version — e.g. a restore to a pre-evolution target), or
+        the _SCHEMA_INHERIT sentinel (carry v-1's log forward, if any)."""
+        if schema is _SCHEMA_INHERIT:
+            prev = self._schema_path(name, version - 1)
+            if os.path.exists(prev):
+                shutil.copyfile(prev, self._schema_path(name, version))
+            return
+        if schema is None:
+            return
+        os.makedirs(self._schema_dir(name), exist_ok=True)
+        tmp = self._schema_path(name, version) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(schema.json())
+        os.replace(tmp, self._schema_path(name, version))
+
+    def table_schema(self, name: str, version: int | None = None):
+        """The LOGGED schema of a version (None when the version predates
+        any evolution — readers then infer from the uniform files). The
+        log, not parquet footers, is what makes evolved reads O(1)
+        metadata at 100 TB: Spark's mergeSchema option would distribute
+        a footer-reading job over every file of every version."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        v = version if version is not None else self.current_version(name)
+        if v is None:
+            return None
+        try:
+            with open(self._schema_path(name, v)) as fh:
+                return StructType.fromJson(_json.loads(fh.read()))
+        except FileNotFoundError:
+            return None
 
     # -- history (DESCRIBE HISTORY analog) -------------------------------------
     def _history_path(self, name: str) -> str:
@@ -337,8 +403,14 @@ class TableStore:
 
     def time_travel(self, name: str, version: int) -> DataFrame:
         """Read a specific historical version (Delta time-travel analog;
-        covers the reference's system-versioned dim history, README.md:91)."""
-        return self.spark.read.parquet(os.path.join(self._dir(name), f"v{version}"))
+        covers the reference's system-versioned dim history, README.md:91).
+        Post-evolution versions read with the LOGGED schema (files written
+        before a column existed simply yield nulls for it — the parquet
+        reader resolves by name); pre-evolution versions read by footer
+        inference exactly as before."""
+        sch = self.table_schema(name, version)
+        reader = self.spark.read if sch is None else self.spark.read.schema(sch)
+        return reader.parquet(os.path.join(self._dir(name), f"v{version}"))
 
     def row_count(self, name: str) -> int:
         """Exact row count of the current version from parquet FOOTERS —
@@ -618,7 +690,16 @@ class TableStore:
         if link_untouched and self.partition_spec(name):
             linked = self._link_untouched(name, vdir)
             stats = (stats[0] + linked[0], stats[1] + linked[1])
-        self._commit(name, v, op, stats=stats)
+        # In schema-logged mode every full-content write re-logs the
+        # written shape (an overwrite may legitimately RESHAPE the
+        # table; inheriting the old log would impose phantom columns).
+        # Never-evolved tables stay out of schema-logged mode entirely.
+        schema = (
+            _nullable(df.schema)
+            if self.exists(name) and self.table_schema(name) is not None
+            else _SCHEMA_INHERIT
+        )
+        self._commit(name, v, op, stats=stats, schema=schema)
         return v
 
     def _link_untouched(self, name: str, vdir: str) -> tuple[int, int]:
@@ -701,28 +782,71 @@ class TableStore:
             self._append_changes(name, changes, v)
         return v
 
-    def append(self, name: str, df: DataFrame, capture_cdc: bool = True) -> int:
+    def append(
+        self,
+        name: str,
+        df: DataFrame,
+        capture_cdc: bool = True,
+        merge_schema: bool = False,
+    ) -> int:
         """Batch append (replaces the reference's row-at-a-time INSERT loop,
         extract_weather.py:57-67). O(increment): writes only ``df``'s rows;
-        all previous files are hard-linked into the new version."""
+        all previous files are hard-linked into the new version.
+
+        ``merge_schema=True`` is the Delta ``mergeSchema`` analog (schema
+        EVOLUTION): new columns in the increment are appended to the
+        table schema (previous files simply yield nulls for them — the
+        logged schema, not footer merging, drives every later read, so
+        evolution costs one small JSON write, never a table scan);
+        columns the increment omits are allowed and read back as null
+        for its rows. Type changes on an existing column are always an
+        error — evolution adds columns, it never rewrites history."""
         if not self.exists(name):
             return self._write_version(name, df, op="append")
         # align column order with the stored layout (metadata-only select);
         # fail loud first — a silent select() would drop misnamed/extra
         # increment columns without any error
-        stored = self.read(name).columns
+        prev_schema = self.table_schema(name) or _nullable(self.read(name).schema)
+        stored = [f.name for f in prev_schema.fields]
         extra = set(df.columns) - set(stored)
         missing = set(stored) - set(df.columns)
+        schema = _SCHEMA_INHERIT
+        inc_by_name = {f.name: f for f in _nullable(df.schema).fields}
+        if merge_schema:
+            # evolution adds columns; it never retypes an existing one —
+            # checked for EVERY shared column, not only when the shape
+            # changed (a same-shape increment with a retyped column
+            # would otherwise stage unreadable files)
+            for f in prev_schema.fields:
+                g = inc_by_name.get(f.name)
+                if g is not None and g.dataType != f.dataType:
+                    raise ValueError(
+                        f"append to '{name}': column {f.name!r} type change "
+                        f"{f.dataType.simpleString()} -> "
+                        f"{g.dataType.simpleString()} (evolution adds "
+                        "columns, it never retypes them)"
+                    )
         if extra or missing:
-            raise ValueError(
-                f"append to '{name}': increment schema mismatch "
-                f"(extra columns {sorted(extra)}, missing columns {sorted(missing)})"
+            if not merge_schema:
+                raise ValueError(
+                    f"append to '{name}': increment schema mismatch "
+                    f"(extra columns {sorted(extra)}, missing columns "
+                    f"{sorted(missing)}); pass merge_schema=True to evolve"
+                )
+            from pyspark.sql.types import StructType
+
+            new_fields = [inc_by_name[c] for c in df.columns if c in extra]
+            schema = StructType(list(prev_schema.fields) + new_fields)
+            df = df.select(
+                *[c for c in stored if c not in missing],
+                *[f.name for f in new_fields],
             )
-        df = df.select(*stored)
+        else:
+            df = df.select(*stored)
         v, vdir = self._stage_version(name, df)
         stats = self._staged_append_stats(name, vdir)  # before linking
         self._link_prev_files(name, vdir)
-        self._commit(name, v, "append", stats=stats)
+        self._commit(name, v, "append", stats=stats, schema=schema)
         if capture_cdc and self._feed_exists(name):
             self._append_changes(name, df.withColumn("_change_type", F.lit(CDC_INSERT)), v)
         return v
@@ -801,8 +925,14 @@ class TableStore:
         # restored content is byte-identical to the target: carry its
         # memoized stats, or the counts accumulated during the link walk
         # just performed (never a second post-commit walk)
+        # the restored version adopts the TARGET's schema state — the
+        # logged schema of v_target if it had one, or none at all for a
+        # pre-evolution target (a restore across an evolution boundary
+        # rolls the schema back with the content, as Delta RESTORE does)
         stats = self._vstats.get((name, version), (n_files, n_rows))
-        self._commit(name, v, "restore", stats=stats)
+        self._commit(
+            name, v, "restore", stats=stats, schema=self.table_schema(name, version)
+        )
         if want_cdc:
             changes = pre.unionByName(
                 self.time_travel(name, version).withColumn(
@@ -859,7 +989,7 @@ class TableStore:
             self._write_constraints(dst, cons)
         stats = self._vstats.get((src, v_src), (n_files, n_rows))
         self._vstats[(dst, 1)] = stats
-        self._commit(dst, 1, "clone", stats=stats)
+        self._commit(dst, 1, "clone", stats=stats, schema=self.table_schema(src, v_src))
         return 1
 
     def update(
@@ -1339,11 +1469,35 @@ class TableStore:
         changes = changes.withColumn("_commit_version", F.lit(version))
         cdc = self._cdc_table(name)
         if self.exists(cdc):
-            changes = changes.select(*self.read(cdc).columns)
+            # the feed follows the source table's evolution: change rows
+            # carrying columns the feed has not seen evolve the feed's
+            # logged schema the same way merge_schema evolves the table
+            feed_schema = self.table_schema(cdc) or _nullable(self.read(cdc).schema)
+            feed_cols = [f.name for f in feed_schema.fields]
+            extra = [c for c in changes.columns if c not in feed_cols]
+            schema = _SCHEMA_INHERIT
+            if extra:
+                from pyspark.sql.types import StructType
+
+                inc_by_name = {f.name: f for f in _nullable(changes.schema).fields}
+                schema = StructType(
+                    list(feed_schema.fields) + [inc_by_name[c] for c in extra]
+                )
+                changes = changes.select(
+                    *[c for c in feed_cols if c in changes.columns], *extra
+                )
+            elif self.table_schema(cdc) is not None:
+                # schema-logged feed: rows may omit evolved columns (the
+                # logged schema nulls them on read)
+                changes = changes.select(
+                    *[c for c in feed_cols if c in changes.columns]
+                )
+            else:
+                changes = changes.select(*feed_cols)
             v, vdir = self._stage_version(cdc, changes)
             stats = self._staged_append_stats(cdc, vdir)  # before linking
             self._link_prev_files(cdc, vdir)
-            self._commit(cdc, v, "cdc-append", stats=stats)
+            self._commit(cdc, v, "cdc-append", stats=stats, schema=schema)
         else:
             self._write_version(cdc, changes, op="cdc-append")
         # append-only copy for streaming consumers (file source sees only

@@ -1101,3 +1101,139 @@ def test_no_commit_ever_rewalks_the_finished_version(spark, tmp_path, monkeypatc
         }
         for v, got in hist.items():
             assert got == real(cold, name, v), (name, v)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (round 9): append(merge_schema=True), the Delta
+# mergeSchema / ALTER TABLE ADD COLUMNS analog. The logged per-version
+# schema — not footer merging — drives every read, so evolution costs
+# one JSON write and old files yield nulls for new columns.
+# ---------------------------------------------------------------------------
+def test_schema_evolution_append_nulls_old_rows(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a"), (2, "b")]))
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        store.append("t", _df(spark, [(3, "c", 30)], "k int, v string, score int"))
+    store.append(
+        "t", _df(spark, [(3, "c", 30)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    got = {r.k: (r.v, r.score) for r in store.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    assert store.read("t").columns == ["k", "v", "score"]
+
+
+def test_schema_evolution_increment_may_omit_columns(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    # post-evolution increments may omit evolved (or any) columns
+    store.append("t", _df(spark, [(3,)], "k int"), merge_schema=True)
+    got = {r.k: (r.v, r.score) for r in store.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("b", 20), 3: (None, None)}
+
+
+def test_schema_evolution_never_retypes(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="never retypes"):
+        store.append("t", _df(spark, [(2, 5)], "k int, v int"), merge_schema=True)
+    # same-shape increments are checked too, not only shape changes
+    store.append(
+        "t", _df(spark, [(2, "b", 1)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError, match="never retypes"):
+        store.append(
+            "t",
+            _df(spark, [(3, "c", "oops")], "k int, v string, score string"),
+            merge_schema=True,
+        )
+
+
+def test_schema_evolution_time_travel_keeps_old_shape(spark, store):
+    v1 = store.overwrite("t", _df(spark, [(1, "a")]))
+    v2 = store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    assert store.time_travel("t", v1).columns == ["k", "v"]
+    assert store.time_travel("t", v2).columns == ["k", "v", "score"]
+
+
+def test_schema_evolution_restore_rolls_schema_back_and_forward(spark, store):
+    v1 = store.overwrite("t", _df(spark, [(1, "a")]))
+    v2 = store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    store.restore("t", v1)
+    assert store.read("t").columns == ["k", "v"]  # schema rolled back
+    assert store.read("t").count() == 1
+    store.restore("t", v2)
+    assert store.read("t").columns == ["k", "v", "score"]  # and forward
+    assert store.read("t").count() == 2
+
+
+def test_schema_evolution_clone_carries_evolved_schema(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    store.clone("t", "t2")
+    got = {r.k: r.score for r in store.read("t2").collect()}
+    assert got == {1: None, 2: 20}
+
+
+def test_schema_evolution_overwrite_reshapes(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    # an overwrite DEFINES the new shape; the evolved log must not
+    # impose a phantom score column afterwards
+    store.overwrite("t", _df(spark, [(9, "z")]))
+    assert store.read("t").columns == ["k", "v"]
+
+
+def test_schema_evolution_cdc_feed_follows(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.enable_cdc("t")
+    store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    store.append("t", _df(spark, [(3, "c")]), merge_schema=True)
+    feed = store.read_changes("t")
+    assert "score" in feed.columns
+    got = {r.k: r.score for r in feed.collect()}
+    assert got == {2: 20, 3: None}
+
+
+def test_schema_evolution_update_and_merge_still_work(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a"), (2, "b")]))
+    store.append(
+        "t", _df(spark, [(3, "c", 30)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    store.update("t", {"score": F.lit(99)}, where=F.col("k") == 1)
+    store.merge("t", _df(spark, [(2, "B", 22), (4, "d", 44)],
+                         "k int, v string, score int"), on=["k"])
+    got = {r.k: (r.v, r.score) for r in store.read("t").collect()}
+    assert got == {1: ("a", 99), 2: ("B", 22), 3: ("c", 30), 4: ("d", 44)}
+
+
+def test_schema_evolution_partitioned_table(spark, store):
+    store.overwrite(
+        "t", _df(spark, [(1, "a"), (2, "b")]), partition_by=["k"]
+    )
+    store.append(
+        "t", _df(spark, [(3, "c", 30)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    got = {r.k: r.score for r in store.read("t").collect()}
+    assert got == {1: None, 2: None, 3: 30}
+    # partition pruning still works on the evolved table
+    assert store.read("t").filter(F.col("k") == 3).count() == 1
