@@ -311,7 +311,13 @@ class TableStore:
         if schema is _SCHEMA_INHERIT:
             prev = self._schema_path(name, version - 1)
             if os.path.exists(prev):
-                shutil.copyfile(prev, self._schema_path(name, version))
+                # tmp + os.replace like the explicit branch: a crash
+                # mid-copy must never leave a truncated v{N}.json that
+                # poisons every later read of the table
+                dst = self._schema_path(name, version)
+                tmp = dst + ".tmp"
+                shutil.copyfile(prev, tmp)
+                os.replace(tmp, dst)
             return
         if schema is None:
             return
@@ -336,9 +342,19 @@ class TableStore:
             return None
         try:
             with open(self._schema_path(name, v)) as fh:
-                return StructType.fromJson(_json.loads(fh.read()))
+                raw = fh.read()
         except FileNotFoundError:
             return None
+        try:
+            return StructType.fromJson(_json.loads(raw))
+        except (ValueError, KeyError, TypeError) as exc:
+            # a present-but-unparseable log entry is corruption, not
+            # "no schema" — surface it explicitly rather than letting a
+            # bare JSONDecodeError bubble from deep inside a read
+            raise RuntimeError(
+                f"corrupt schema log for table {name!r} version {v}: "
+                f"{self._schema_path(name, v)} is not valid schema JSON"
+            ) from exc
 
     # -- history (DESCRIBE HISTORY analog) -------------------------------------
     def _history_path(self, name: str) -> str:
@@ -1121,6 +1137,13 @@ class TableStore:
                 stats = self._stats_path(name, v)
                 if os.path.exists(stats):
                     os.remove(stats)
+                # the schema log entry exists only to serve reads /
+                # time-travel of THIS version — both now impossible, so
+                # reclaim it too (vacuum frees everything no retained
+                # version references; only the CDC feed is exempt)
+                slog = self._schema_path(name, v)
+                if os.path.exists(slog):
+                    os.remove(slog)
         if freed_inos:
             # evict only reclaimed inodes — the cache stays O(live files)
             # without paying a full re-read on the next commit's stats
@@ -1489,6 +1512,18 @@ class TableStore:
             elif self.table_schema(cdc) is not None:
                 # schema-logged feed: rows may omit evolved columns (the
                 # logged schema nulls them on read)
+                changes = changes.select(
+                    *[c for c in feed_cols if c in changes.columns]
+                )
+            elif any(c not in changes.columns for c in feed_cols):
+                # never-evolved feed receiving an OMITTING batch (a
+                # merge_schema append may legally drop existing columns):
+                # enter schema-logged mode so the logged schema nulls the
+                # omitted columns on read — selecting all feed_cols here
+                # would raise UNRESOLVED_COLUMN *after* the source table's
+                # version committed, permanently losing the change batch
+                # (ADVICE r9 #1)
+                schema = _nullable(feed_schema)
                 changes = changes.select(
                     *[c for c in feed_cols if c in changes.columns]
                 )

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1210,6 +1212,64 @@ def test_schema_evolution_cdc_feed_follows(spark, store):
     assert "score" in feed.columns
     got = {r.k: r.score for r in feed.collect()}
     assert got == {2: 20, 3: None}
+
+
+def test_schema_evolution_cdc_feed_omitting_batch_on_fresh_feed(spark, store):
+    """ADVICE r9 #1: a merge_schema append whose increment OMITS an
+    existing column, against a CDC feed that exists but has never been
+    schema-logged, must not crash in _append_changes (the table version
+    has already committed — a crash there permanently loses the change
+    batch). The feed enters schema-logged mode and nulls the omitted
+    column instead."""
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.enable_cdc("t")
+    # feed exists (the enable_cdc snapshot) but is NOT schema-logged;
+    # this increment omits v entirely
+    store.append("t", _df(spark, [(2,)], "k int"), merge_schema=True)
+    got = {r.k: r.v for r in store.read("t").collect()}
+    assert got == {1: "a", 2: None}
+    feed = store.read_changes("t")
+    assert set(feed.columns) >= {"k", "v", "_change_type", "_commit_version"}
+    rows = {r.k: r.v for r in feed.filter(F.col("_change_type") == "insert").collect()}
+    assert rows.get(2, "missing") is None
+    # and a later full-shape change batch still lands fine
+    store.append("t", _df(spark, [(3, "c")]), merge_schema=True)
+    rows = {r.k: r.v for r in store.read_changes("t")
+            .filter(F.col("_change_type") == "insert").collect()}
+    assert rows[3] == "c"
+
+
+def test_vacuum_reclaims_schema_log(spark, store):
+    """ADVICE r9 #4: vacuum removes the _schema/v*.json of vacuumed
+    versions (time-travel to them is already impossible)."""
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    store.append("t", _df(spark, [(3, "c", 30)], "k int, v string, score int"))
+    store.append("t", _df(spark, [(4, "d", 40)], "k int, v string, score int"))
+    removed = store.vacuum("t", keep_last=1)
+    assert removed
+    sdir = os.path.join(store.root, "t", "_schema")
+    left = sorted(os.listdir(sdir))
+    for v in removed:
+        assert f"v{v}.json" not in left
+    # the surviving version still reads with its logged schema
+    assert store.read("t").columns == ["k", "v", "score"]
+
+
+def test_schema_log_corruption_is_explicit(spark, store):
+    store.overwrite("t", _df(spark, [(1, "a")]))
+    store.append(
+        "t", _df(spark, [(2, "b", 20)], "k int, v string, score int"),
+        merge_schema=True,
+    )
+    v = store.current_version("t")
+    with open(os.path.join(store.root, "t", "_schema", f"v{v}.json"), "w") as fh:
+        fh.write('{"truncat')  # simulate a crash mid-write
+    with pytest.raises(RuntimeError, match="corrupt schema log"):
+        store.table_schema("t")
 
 
 def test_schema_evolution_update_and_merge_still_work(spark, store):
