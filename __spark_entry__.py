@@ -30,99 +30,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 9 priorities (VERDICT r8
-# items 1-8): (a) the 7 queries whose implementation, output type, or
-# oracle changed this round — the new semantic_dedup_ivf (IVF-pruned
-# web-scale SemDeDup, the registered fix for the one superlinear plan),
-# sequence_pack_tokens (budget-exact packing of the BPE-encoded
-# corpus), table_restore_roundtrip (RESTORE + SHALLOW CLONE +
-# CDC-on-restore through the driver's oracle), the rewritten
-# winnow_fingerprint_pairs (single-exchange collect_set + array-side
-# pair HOF), wasserstein_1d / mannwhitney_u_test (DECIMAL(38,0)
-# accumulation, exact integers emitted as strings), and
-# hilbert_layout_key (oracle INT32-overflow fix — BIGINT offsets);
-# then (b) the 13 BRAND-NEW round-9 corpus-curation queries
-# (dup_span_fraction, ngram_novelty_score, dsir_importance_weights,
-# ann_recall_at_k, corpus_curation_funnel, embedding_quantize_int8,
-# hard_negative_mining, gopher_quality_rules, hash_classifier_score,
-# source_overlap_matrix, tokenizer_fertility, curriculum_phases,
-# lsh_recall_certification), plus the late round-9 seven
-# (bitext_margin_mining, knn_label_noise, frechet_embedding_distance,
-# stupid_backoff_lm, lexical_diversity, template_prefix_clusters,
-# schema_evolution_roundtrip) — a
-# query's birth round is when the driver must certify it; then (c) 23
-# slots of STALE ROTATION: zorder_layout_key (the last
-# r3-latest row), then the r4-stale set with core-parity
-# flagship_revenue / json_extract_events first, then alphabetical.
-# Twenty-two r4-stale queries (q15_top_supplier through q9_product_profit,
-# repeat_purchase_interval, rollup_aggregate,
-# sessionize_events, set_operations, topk_orders, topk_per_group,
-# window_first_last, window_lag_lead_delta, window_running_sum) did
-# not fit the 50-slot window and head the round-10 queue below the
-# boundary. Every query
-# is also oracle-diffed locally in tests/test_oracle_parity.py on
-# every run.
+# the official oracle check each round. Round 10 priorities (VERDICT r9
+# items 1-8): (a) the queries whose implementation or oracle CHANGED
+# this round — the three brand-new operators
+# (semantic_dedup_incremental_store: store-probing IVF SemDeDup for
+# continuous ingest; packed_sequence_roundtrip: the packed-dataset
+# WRITER materializing sequence_pack_tokens' manifest through the
+# TableStore with an order-sensitive stream checksum;
+# image_near_dup_phash: banded dHash over the multimodal byte grid —
+# the image member of the dedup family), the truth-side-fingerprinted
+# lsh_recall_certification (40-bit polynomial prints replace raw
+# shingle strings in every truth shuffle; recall integers unchanged),
+# the symmetric-double-rounding bitext_margin_mining / knn_label_noise
+# (ADVICE r9 #2), and semantic_dedup_ivf after the helper extraction
+# its incremental twin reuses; then (b) the ENTIRE 22-query r4-stale
+# set (the drafted r9 queue — clearing it makes every row <= r5);
+# then (c) 21 slots of r5-stale rotation, alphabetical. The 23
+# remaining r5 rows head the round-11 queue below the boundary. Every
+# query is also oracle-diffed locally in tests/test_oracle_parity.py
+# on every run.
 _CHECK_FIRST = (
-    # (a) new / changed earlier this round
-    "semantic_dedup_ivf",
-    "sequence_pack_tokens",
-    "table_restore_roundtrip",
-    "winnow_fingerprint_pairs",
-    "wasserstein_1d",
-    "mannwhitney_u_test",
-    "hilbert_layout_key",
-    # (b) new round-9 corpus-curation wave
-    "dup_span_fraction",
-    "ngram_novelty_score",
-    "dsir_importance_weights",
-    "ann_recall_at_k",
-    "corpus_curation_funnel",
-    "embedding_quantize_int8",
-    "hard_negative_mining",
-    "gopher_quality_rules",
-    "hash_classifier_score",
-    "source_overlap_matrix",
-    "tokenizer_fertility",
-    "curriculum_phases",
+    # (a) new / changed this round
+    "semantic_dedup_incremental_store",
+    "packed_sequence_roundtrip",
+    "image_near_dup_phash",
     "lsh_recall_certification",
-    # (b2) late round-9 wave: margin-based bitext mining, kNN label-noise
-    # audit, diagonal Frechet embedding distance, bigram stupid-backoff
-    # LM scoring, per-source lexical diversity, template-prefix clusters
     "bitext_margin_mining",
     "knn_label_noise",
-    "frechet_embedding_distance",
-    "stupid_backoff_lm",
-    "lexical_diversity",
-    "template_prefix_clusters",
-    "schema_evolution_roundtrip",
-    # (c) stale rotation: zorder_layout_key (r3), then the r4 set
-    "zorder_layout_key",
-    "flagship_revenue",
-    "json_extract_events",
-    "dedup_exact_hash",
-    "dedup_minhash_lsh",
-    "approx_distinct",
-    "approx_percentiles",
-    "basket_brand_pairs",
-    "corpus_bigram_topk",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dyadic_ewma",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "fuzzy_name_pairs",
-    "grouping_sets_aggregate",
-    "last_touch_attribution",
-    "late_event_ratio",
-    "mad_outliers",
-    "ntile_quartiles",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q1_pricing_summary",
-    # --- 50-query window boundary is here (7 new/changed + 13 + 7 new +
-    # 23 stale; q1_pricing_summary kept inside over the alphabetical
-    # order — core TPC-H parity outranks q15/q16). Round-10 queue: the
-    # twenty-two r4-stale rows that did not fit ---
+    "semantic_dedup_ivf",
+    # (b) the complete r4-stale set
     "q15_top_supplier",
     "q16_supplier_relationship",
     "q18_large_orders",
@@ -145,6 +81,53 @@ _CHECK_FIRST = (
     "window_first_last",
     "window_lag_lead_delta",
     "window_running_sum",
+    # (c) r5-stale rotation, alphabetical
+    "approx_distinct_rollup",
+    "asof_join_attribution",
+    "asof_join_forward",
+    "categorical_label_encode",
+    "chunk_documents",
+    "cohort_retention",
+    "collect_set_sorted",
+    "correlated_subquery",
+    "cube_aggregate",
+    "customer_rfm_segmentation",
+    "dataset_mix_shards",
+    "date_dimension",
+    "date_enrichment",
+    "decontaminate_ngrams",
+    "dedup_connected_components",
+    "dedup_incremental_lsh",
+    "dedup_keep_best",
+    "dedup_row_number",
+    "dedup_segments",
+    "distinct_count",
+    "distinct_dimension",
+    # --- 50-query window boundary is here (7 changed/new + 22 r4 + 21
+    # r5). Round-11 queue: the remaining r5-stale rows ---
+    "doc_fingerprint",
+    "embedding_centroids",
+    "events_session_window",
+    "feature_minmax_scale",
+    "fk_integrity_audit",
+    "histogram_totalprice",
+    "inverted_index_postings",
+    "k_anonymity_audit",
+    "linear_interpolate",
+    "pivot_event_counts",
+    "quantile_disc",
+    "recursive_month_spine",
+    "reservoir_sample_per_group",
+    "revenue_gini",
+    "rolling_range_window",
+    "scd2_dimension",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "similarity_topk_cosine",
+    "string_functions",
+    "topk_per_group_with_ties",
+    "triangle_count",
+    "unpivot_event_counts",
 )
 
 

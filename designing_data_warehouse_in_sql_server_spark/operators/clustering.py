@@ -264,32 +264,55 @@ def semantic_dedup_ivf(
     coarse = q.filter(F.col(id_col) < m).select(
         F.col(id_col).alias("__ccid"), F.col("__qv").alias("__ccv")
     )
+    cells = _ivf_cells(fine, coarse)
+    assigned = _ivf_assign(q, cells, coarse, n_probe, id_col)
+    member = (
+        assigned.join(q, id_col)
+        .withColumn("__n2", dot_q(F.col("__qv"), F.col("__qv")))
+        .localCheckpoint(eager=True)
+    )
+    return _prune_within_clusters(member, id_col, threshold)
 
-    def d(av, bv):
-        return dot_q(av, av) - 2 * dot_q(av, bv) + dot_q(bv, bv)
 
-    # fine centroid -> its coarse cell (k x m rows, both tiny)
+def _sq_dist(av, bv):
+    """Exact int64 squared L2 via the dot-product identity."""
+    return dot_q(av, av) - 2 * dot_q(av, bv) + dot_q(bv, bv)
+
+
+def _ivf_cells(fine: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(cid, __ccid, __cv): each fine centroid mapped to its nearest
+    coarse cell (lowest-ccid ties) — k x m rows, both relations tiny."""
     fc = (
         fine.crossJoin(F.broadcast(coarse))
         .select(
             "cid",
             F.struct(
-                d(F.col("__cv"), F.col("__ccv")).alias("__d"), F.col("__ccid")
+                _sq_dist(F.col("__cv"), F.col("__ccv")).alias("__d"),
+                F.col("__ccid"),
             ).alias("__s"),
         )
         .groupBy("cid")
         .agg(F.min("__s").alias("__m"))
         .select("cid", F.col("__m.__ccid").alias("__ccid"))
     )
-    cells = fc.join(fine, "cid")  # (cid, __ccid, __cv) — k rows
-    # vector -> its n_probe nearest coarse cells: one hash aggregate,
-    # never a window over the n*m scored relation
+    return fc.join(fine, "cid")
+
+
+def _ivf_assign(
+    q: DataFrame, cells: DataFrame, coarse: DataFrame, n_probe: int, id_col: str
+) -> DataFrame:
+    """IVF-pruned assignment of (id, __qv) rows against a built index:
+    score each vector against the m coarse centroids (broadcast), keep
+    its n_probe nearest cells via ONE hash aggregate (never a window
+    over the n*m relation), then argmin over only those cells' fine
+    centroids. Returns (id_col, cid)."""
     probes = (
         q.crossJoin(F.broadcast(coarse))
         .select(
             F.col(id_col),
             F.struct(
-                d(F.col("__qv"), F.col("__ccv")).alias("__d"), F.col("__ccid")
+                _sq_dist(F.col("__qv"), F.col("__ccv")).alias("__d"),
+                F.col("__ccid"),
             ).alias("__s"),
         )
         .groupBy(id_col)
@@ -298,22 +321,162 @@ def semantic_dedup_ivf(
         )
         .select(F.col(id_col), F.explode("__t.__ccid").alias("__ccid"))
     )
-    assigned = (
+    return (
         probes.join(q, id_col)
         .join(F.broadcast(cells), "__ccid")
         .select(
             F.col(id_col),
             F.struct(
-                d(F.col("__qv"), F.col("__cv")).alias("__d"), F.col("cid")
+                _sq_dist(F.col("__qv"), F.col("__cv")).alias("__d"), F.col("cid")
             ).alias("__s"),
         )
         .groupBy(id_col)
         .agg(F.min("__s").alias("__m"))
         .select(F.col(id_col), F.col("__m.cid").alias("cid"))
     )
-    member = (
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    fine_bound: int,
+    coarse_bound: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index relations for incremental
+    semantic dedup (VERDICT r9 #3): returns (coarse, cells, members)
+    ready for TableStore writes —
+      coarse  (ccid, ccv)          m rows
+      cells   (cid, ccid, cv)      k rows (fine centroid -> coarse cell)
+      members (vec_id, cid, ccid, qv, n2)  one row per corpus vector
+
+    Seed selection is an ID-RANGE rule (corpus vectors with id below
+    the bound), NOT a rank: a rank-based "first k" would need a global
+    sort at build time, and an id range is just a pushed-down scan
+    predicate. Callers size the bounds so the expected seed count hits
+    their k target (the oracle replays the identical rule).
+
+    Members carry their coarse cell so the table can be PARTITIONED BY
+    ccid: a probing batch touches only its probed cells' partitions
+    (m ~ sqrt(k) directories — bounded), so the per-increment read is
+    O(probed members), never the whole corpus table."""
+    q = _rebalanced(
+        corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    )
+    fine = q.filter(F.col(id_col) < fine_bound).select(
+        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+    )
+    coarse = q.filter(F.col(id_col) < coarse_bound).select(
+        F.col(id_col).alias("__ccid"), F.col("__qv").alias("__ccv")
+    )
+    cells = _ivf_cells(fine, coarse)
+    assigned = _ivf_assign(q, cells, coarse, n_probe, id_col)
+    members = (
         assigned.join(q, id_col)
+        .join(cells.select("cid", "__ccid"), "cid")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.col("__ccid").alias("ccid"),
+            F.col("__qv").alias("qv"),
+            dot_q(F.col("__qv"), F.col("__qv")).alias("n2"),
+        )
+    )
+    return (
+        coarse.select(F.col("__ccid").alias("ccid"), F.col("__ccv").alias("ccv")),
+        cells.select("cid", F.col("__ccid").alias("ccid"), F.col("__cv").alias("cv")),
+        members,
+    )
+
+
+def semantic_dedup_probe(
+    batch: DataFrame,
+    coarse: DataFrame,
+    cells: DataFrame,
+    members: DataFrame,
+    n_probe: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental (store-probing) SemDeDup: assign a NEW batch against
+    a STORED IVF index and prune it against (a) the stored members of
+    its own assigned clusters and (b) lower-id batch vectors in the
+    same cluster — the semantic analog of the MinHash
+    dedup_incremental_lsh_store probe. The corpus is never re-embedded,
+    re-clustered, or re-pruned: per increment this costs
+    O(|batch| * (m + p*k/m)) assignment dots off broadcasts plus ONE
+    equi-join on cid against the probed clusters' stored members
+    (cluster-size-bounded candidates), with the members read
+    partition-pruned by ccid when the store table is partitioned so.
+
+    Keep rule (matches semantic_dedup's deterministic variant with the
+    corpus ordered before the batch): a batch vector is dropped iff any
+    CORPUS member of its cluster, or any LOWER-ID batch vector of its
+    cluster, has rounded cosine >= threshold with it. Returns
+    (id_col, cluster, kept) for the batch only."""
+    coarse = coarse.select(
+        F.col("ccid").alias("__ccid"), F.col("ccv").alias("__ccv")
+    )
+    cells = cells.select(
+        "cid", F.col("ccid").alias("__ccid"), F.col("cv").alias("__cv")
+    )
+    qb = _rebalanced(
+        batch.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    )
+    assigned = _ivf_assign(qb, cells, coarse, n_probe, id_col)
+    # bm is referenced three times (corpus prune, both batch-prune
+    # sides, keep-flag join) — same single-materialization discipline
+    # as semantic_dedup's member relation
+    bm = (
+        assigned.join(qb, id_col)
         .withColumn("__n2", dot_q(F.col("__qv"), F.col("__qv")))
         .localCheckpoint(eager=True)
     )
-    return _prune_within_clusters(member, id_col, threshold)
+
+    def cos(qa, n2a, qb_, n2b):
+        return F.round(
+            dot_q(qa, qb_).cast("double")
+            / F.sqrt(n2a.cast("double") * n2b.cast("double")),
+            6,
+        )
+
+    corp = members.select(
+        "cid", F.col("qv").alias("__qc"), F.col("n2").alias("__n2c")
+    )
+    dropped_corpus = (
+        bm.join(corp, "cid")
+        .filter(
+            cos(F.col("__qc"), F.col("__n2c"), F.col("__qv"), F.col("__n2"))
+            >= threshold
+        )
+        .select(F.col(id_col))
+    )
+    a = bm.select(
+        F.col(id_col).alias("__ida"), "cid",
+        F.col("__qv").alias("__qa"), F.col("__n2").alias("__n2a"),
+    )
+    b = bm.select(
+        F.col(id_col).alias("__idb"), "cid",
+        F.col("__qv").alias("__qb"), F.col("__n2").alias("__n2b"),
+    )
+    dropped_batch = (
+        a.join(b, "cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            cos(F.col("__qa"), F.col("__n2a"), F.col("__qb"), F.col("__n2b"))
+            >= threshold
+        )
+        .select(F.col("__idb").alias(id_col))
+    )
+    dropped = (
+        dropped_corpus.unionByName(dropped_batch)
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return bm.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("cid").alias("cluster"),
+        F.when(F.col("__dup").isNull(), 1).otherwise(0).alias("kept"),
+    )

@@ -157,6 +157,60 @@ def resize_assets(
     return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
+PHASH_SCHEMA = "asset_id long, phash string, n_bytes int"
+
+
+def perceptual_hash(
+    df: DataFrame,
+    grid_w: int = 9,
+    grid_h: int = 8,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """dHash-style perceptual fingerprint over the resized byte grid —
+    the image member of the dedup family (text has MinHash/SimHash/
+    winnowing/n-gram; embeddings have sign-LSH/SemDeDup; images get
+    this). Classic dHash (difference hash): resample to a
+    grid_w x grid_h grayscale grid, emit one bit per horizontally
+    adjacent pixel pair (left < right), giving (grid_w-1)*grid_h bits
+    (9x8 -> the standard 64). Near-duplicate images — recompressions,
+    small edits, watermarks — move few grid pixels and so few bits;
+    Hamming distance over the hash is the dedup signal.
+
+    The resample goes through ``resizer`` (fake_resize here: the
+    container ships no image codecs — swapping in a real
+    decode+resample is the same one-function swap as extract_features);
+    the bit extraction itself is REAL dHash arithmetic and runs in the
+    same Arrow-batched mapInPandas pass, so one Python worker per
+    partition computes hash + resize together, no second pass over the
+    (large) binary payloads.
+
+    Pairs come from banding the returned ``phash`` exactly like SimHash
+    (operators/dedup_text.simhash_near_pairs: pigeonhole segments ->
+    equi-join, never all-pairs)."""
+    n_bits = (grid_w - 1) * grid_h
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes, sizes = [], []
+            for c in pdf["content"]:
+                g = resizer(c, grid_w, grid_h)
+                bits = []
+                for r in range(grid_h):
+                    row = r * grid_w
+                    for cx in range(grid_w - 1):
+                        bits.append("1" if g[row + cx] < g[row + cx + 1] else "0")
+                assert len(bits) == n_bits
+                hashes.append("".join(bits))
+                sizes.append(len(c) if c else 0)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "phash": hashes, "n_bytes": sizes}
+            )
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
 FRAME_SCHEMA = "asset_id long, frame_idx int, ts_ms int, frame binary"
 
 

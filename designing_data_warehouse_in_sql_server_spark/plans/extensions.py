@@ -938,6 +938,100 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Image near-dup via dHash perceptual fingerprints (round 10, VERDICT
+# r9 #5): the IMAGE member of the dedup family — text has four schemes
+# and embeddings two, but the multimodal binary columns had none. The
+# pipeline is real dHash: resample each asset to a 9x8 byte grid (the
+# resample goes through the stubbed multimodal resizer — fake_resize's
+# tile/truncate here, Pillow at production; the hash arithmetic around
+# it is the real thing), emit 64 bits of horizontally-adjacent pixel
+# comparisons, then band the fingerprint EXACTLY like SimHash
+# (pigeonhole segments -> equi-join, operators/dedup_text.py:366 —
+# never all-pairs) and verify candidates by full Hamming distance.
+#
+# Fixture: a 1-in-2 sample of documents-as-assets plus one PIXEL-LEVEL
+# MUTATION of each (first byte replaced) — a mutated copy moves at most
+# a few grid bytes, each grid byte at most 2 dHash bits, so every
+# planted pair sits within MAX_HAMMING and must be caught; unrelated
+# assets differ in ~32 bits. The oracle recomputes grids byte-for-byte
+# in SQL (ASCII testdata: codepoints == bytes, the multimodal_features
+# precedent) and brute-forces all pairs — a cross-formulation check of
+# the banded join's exactness, like the winnowing oracle.
+#
+# Scale: hashing is one Arrow-batched mapInPandas pass (hash + resize
+# share the single pass over the payload bytes); banding is the
+# certified SimHash pigeonhole (5 segments of >= 12 bits — segment
+# collision odds 2^-12 keep candidates linear); verification is 64
+# integer comparisons per CANDIDATE. The oracle's quadratic form exists
+# only driver-side at sf0.01.
+# ---------------------------------------------------------------------------
+PHASH_MAX_HAMMING = 4
+_PHASH_GRID_W, _PHASH_GRID_H = 9, 8
+_PHASH_BITS = (_PHASH_GRID_W - 1) * _PHASH_GRID_H
+
+SQL_PIXEL_MUTATIONS = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id, 'Q' || substr(text, 2) AS text
+  FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _phash_oracle() -> str:
+    B = PHASH_MAX_HAMMING
+    W, H, NB = _PHASH_GRID_W, _PHASH_GRID_H, _PHASH_BITS
+    return f"""
+WITH all_docs AS ({SQL_PIXEL_MUTATIONS}),
+grids AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range({W * H}),
+           i -> ascii(substr(text, CAST((i % length(text)) + 1 AS BIGINT), 1))) AS g
+  FROM all_docs
+),
+ph AS (
+  SELECT asset_id,
+         array_to_string(list_transform(range({NB}),
+           b -> CASE WHEN g[CAST((b // {W - 1}) * {W} + (b % {W - 1}) + 1 AS BIGINT)]
+                        < g[CAST((b // {W - 1}) * {W} + (b % {W - 1}) + 2 AS BIGINT)]
+                     THEN '1' ELSE '0' END), '') AS phash
+  FROM grids
+),
+pairs AS (
+  SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         CAST(len(list_filter(range({NB}),
+           i -> substr(a.phash, CAST(i + 1 AS BIGINT), 1)
+             <> substr(b.phash, CAST(i + 1 AS BIGINT), 1))) AS INT) AS hamming
+  FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {B}
+"""
+
+
+PHASH_NEAR_DUP_ORACLE = _phash_oracle()
+
+
+@register("image_near_dup_phash", PHASH_NEAR_DUP_ORACLE)
+def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup_text import simhash_near_pairs
+    from ..operators.multimodal import perceptual_hash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit("Q"), F.expr("substr(text, 2)")).alias("text"),
+    )
+    assets = documents_as_assets(docs.select("doc_id", "text").unionByName(mutated))
+    fp = perceptual_hash(
+        assets, grid_w=_PHASH_GRID_W, grid_h=_PHASH_GRID_H
+    ).select("asset_id", F.col("phash").alias("simhash"))
+    return simhash_near_pairs(
+        fp, "asset_id", max_hamming=PHASH_MAX_HAMMING, n_bits=_PHASH_BITS
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# ---------------------------------------------------------------------------
 # Salted skew join (extension): result must be row-identical to the plain
 # inner join — the salt is invisible to consumers.
 # ---------------------------------------------------------------------------
@@ -1811,6 +1905,150 @@ def semantic_dedup_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=SEMDEDUP_IVF_NPROBE,
         threshold=SEMDEDUP_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup, STORE-PROBING form (round 10, VERDICT r9
+# #3): the production regime of SemDeDup for a pipeline that ingests
+# CONTINUOUSLY — the IVF index (coarse centroids, fine cells, member
+# assignments with quantized vectors and norms) is persisted in the
+# TableStore at ingest, and each new batch (vec_id % 10 == 0 plays the
+# new crawl; the corpus is the rest) IVF-assigns against the STORED
+# centroids and prunes only against ITS OWN clusters' stored members
+# plus lower-id batch peers. The semantic analog of
+# dedup_incremental_lsh_store: signatures/centroids computed once per
+# vector ever, each increment pays O(|batch|) assignment dots off
+# broadcasts + one cluster-bounded equi-join — never a corpus
+# re-cluster, never a corpus-wide prune.
+#
+# Seed selection is an ID-RANGE rule (corpus ids below a bound sized
+# so the expected seed count hits the k/m targets: corpus keeps 9 of
+# every 10 dense ids, so bound = ceil(target * 10/9), exact integer
+# arithmetic on both engines) — a rank-based "first k" would cost a
+# global sort at build time; the id range is a pushed-down scan
+# predicate. Deterministic end-to-end (exact int64 distances,
+# lowest-id ties, 6dp-rounded cosines) -> FULL hash-match oracle that
+# replays the index build + probe in SQL.
+#
+# Scale: members persist PARTITIONED BY ccid (m ~ sqrt(k) coarse
+# cells), so a batch's members read prunes to its probed cells'
+# partitions; the store read is O(probed members) per increment and
+# the index grows by append as batches commit (the accepted batch's
+# own assignments append with the same schema — exercised by the
+# companion test, not re-run per driver check).
+# ---------------------------------------------------------------------------
+SEMDEDUP_INC_ORACLE = f"""
+WITH q AS (SELECT vec_id, {SQL_QUANT.format(v='embedding')} AS qv FROM embeddings),
+corpus AS (SELECT * FROM q WHERE vec_id % 10 != 0),
+batch AS (SELECT * FROM q WHERE vec_id % 10 = 0),
+kp AS (SELECT GREATEST(8, (COUNT(*) + {SEMDEDUP_IVF_CLUSTER_SIZE - 1})
+                          // {SEMDEDUP_IVF_CLUSTER_SIZE}) AS k FROM corpus),
+bp AS (SELECT (k * 10 + 8) // 9 AS bf,
+              (GREATEST(2, CAST(FLOOR(SQRT(k)) AS BIGINT)) * 10 + 8) // 9 AS bc
+       FROM kp),
+fine AS (SELECT vec_id AS cid, qv AS cv FROM corpus
+         WHERE vec_id < (SELECT bf FROM bp)),
+coarse AS (SELECT vec_id AS ccid, qv AS ccv FROM corpus
+           WHERE vec_id < (SELECT bc FROM bp)),
+fc AS (
+  SELECT cid, ccid FROM (
+    SELECT f.cid, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY f.cid
+                              ORDER BY {_sql_dist('f.cv', 'c.ccv')}, c.ccid) AS rn
+    FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+),
+cells AS (SELECT fc.cid, fc.ccid, f2.cv FROM fc JOIN fine f2 ON fc.cid = f2.cid),
+probes_c AS (
+  SELECT vec_id, ccid FROM (
+    SELECT v.vec_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_dist('v.qv', 'c.ccv')}, c.ccid) AS rn
+    FROM corpus v CROSS JOIN coarse c) WHERE rn <= {SEMDEDUP_IVF_NPROBE}
+),
+members AS (
+  SELECT vec_id, cid, qv FROM (
+    SELECT p.vec_id, cells.cid, v.qv,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_sql_dist('v.qv', 'cells.cv')}, cells.cid) AS rn
+    FROM probes_c p
+    JOIN corpus v ON p.vec_id = v.vec_id
+    JOIN cells ON p.ccid = cells.ccid) WHERE rn = 1
+),
+probes_b AS (
+  SELECT vec_id, ccid FROM (
+    SELECT v.vec_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_dist('v.qv', 'c.ccv')}, c.ccid) AS rn
+    FROM batch v CROSS JOIN coarse c) WHERE rn <= {SEMDEDUP_IVF_NPROBE}
+),
+bmem AS (
+  SELECT vec_id, cid, qv FROM (
+    SELECT p.vec_id, cells.cid, v.qv,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_sql_dist('v.qv', 'cells.cv')}, cells.cid) AS rn
+    FROM probes_b p
+    JOIN batch v ON p.vec_id = v.vec_id
+    JOIN cells ON p.ccid = cells.ccid) WHERE rn = 1
+),
+dropped AS (
+  SELECT b.vec_id
+  FROM bmem b JOIN members m ON m.cid = b.cid
+  WHERE {_sql_cosine_preq('m.qv', 'b.qv')} >= {SEMDEDUP_THRESHOLD}
+  UNION
+  SELECT b.vec_id
+  FROM bmem a JOIN bmem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine_preq('a.qv', 'b.qv')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT b.vec_id, b.cid AS cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM bmem b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+"""
+
+
+@register("semantic_dedup_incremental_store", SEMDEDUP_INC_ORACLE)
+def semantic_dedup_incremental_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+    import shutil
+    import tempfile
+
+    from ..operators.clustering import ivf_index_build, semantic_dedup_probe
+    from ..sources.parquet import table_row_count
+    from ..sources.table_store import TableStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    n = table_row_count(sf_dir, "embeddings")
+    n_corpus = n - -(-n // 10)  # dense ids: batch takes ceil(n/10)
+    k = max(8, -(-n_corpus // SEMDEDUP_IVF_CLUSTER_SIZE))
+    bf = (k * 10 + 8) // 9
+    bc = (max(2, math.isqrt(k)) * 10 + 8) // 9
+    tmp = tempfile.mkdtemp(prefix="ddw_semdedup_store_")
+    try:
+        store = TableStore(spark, tmp)
+        # ingest-time index build, persisted once; at production scale
+        # these writes happen per historical batch via store.append
+        coarse, cells, members = ivf_index_build(
+            corpus, fine_bound=bf, coarse_bound=bc,
+            n_probe=SEMDEDUP_IVF_NPROBE,
+        )
+        store.overwrite("ivf_coarse", coarse)
+        store.overwrite("ivf_cells", cells)
+        store.overwrite("ivf_members", members, partition_by=["ccid"])
+        out = semantic_dedup_probe(
+            batch,
+            store.read("ivf_coarse"),
+            store.read("ivf_cells"),
+            store.read("ivf_members"),
+            n_probe=SEMDEDUP_IVF_NPROBE,
+            threshold=SEMDEDUP_THRESHOLD,
+        )
+        # detach from the temp files (block-manager copy) before cleanup
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -4202,6 +4440,36 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus).
 CERT_SAMPLE_MOD = 4
 
+# 40-bit polynomial shingle fingerprints for the exact truth side
+# (VERDICT r9 #2 / What's-wrong #3): the truth computation previously
+# shuffled raw 3-word shingle STRINGS (~25-40 bytes each) through the
+# document-frequency aggregate, the prefix join, and the intersection
+# join — the one plan in the registry whose 100x frontier run exceeded
+# this host's spill disk even under the 1-in-4 sample. Hashing each
+# shingle to h = fold((acc*131 + cp%256) mod 2^40) — the SAME
+# polynomial/modulus discipline winnow_fingerprint_pairs documents —
+# cuts every truth-side shuffle payload to one BIGINT. Collision bound:
+# the sampled sf0.01 cert corpus carries ~2e5 distinct shingles, so
+# expected colliding pairs ~ (2e5)^2 / 2^41 ~ 0.02 << 1 (birthday
+# bound); even at the 100x frontier (~2e7 shingles) expected collisions
+# ~ 180 out of 4e14 pairs — a per-pair Jaccard perturbation far below
+# the 10000-bp report resolution. The ORACLE applies the identical
+# fold, so the two engines agree BIT-FOR-BIT regardless of collisions;
+# the recall integers at sf0.01 are unchanged vs the string form
+# (verified at the swap).
+_CERT_FP_MOD = 1 << 40
+_CERT_FP_SPARK = (
+    "aggregate(transform(sequence(1, length({s})), "
+    "i -> CAST(ascii(substr({s}, i, 1)) % 256 AS BIGINT)), "
+    f"CAST(0 AS BIGINT), (acc, c) -> (acc * 131 + c) % {_CERT_FP_MOD})"
+)
+_CERT_FP_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({s}) + 1), "
+    "i -> CAST(ascii(substr({s}, i, 1)) % 256 AS BIGINT))), "
+    f"(acc, c) -> (acc * 131 + c) % {_CERT_FP_MOD})"
+)
+
 SQL_TIERED_COPIES = rf"""
   SELECT doc_id, text FROM documents WHERE doc_id % {CERT_SAMPLE_MOD} = 0
   UNION ALL
@@ -4246,14 +4514,20 @@ def _with_tiered_copies(docs: DataFrame) -> DataFrame:
 LSH_RECALL_ORACLE = f"""
 WITH all_docs AS ({SQL_TIERED_COPIES}),
 sh AS ({SQL_SHINGLES}),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+           s -> {_CERT_FP_SQL.format(s='s')})) AS fp
+  FROM sh
+),
 truth AS (
   SELECT id_a, id_b, n_common, n_a + n_b - n_common AS n_union
   FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
-           CAST(len(a.shingles) AS BIGINT) AS n_a,
-           CAST(len(b.shingles) AS BIGINT) AS n_b
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           CAST(len(list_intersect(a.fp, b.fp)) AS BIGINT) AS n_common,
+           CAST(len(a.fp) AS BIGINT) AS n_a,
+           CAST(len(b.fp) AS BIGINT) AS n_b
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
   )
   WHERE 2 * n_common >= n_a + n_b - n_common
 ),
@@ -4290,7 +4564,20 @@ def lsh_recall_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = shingle_docs(docs, "doc_id", "text", k=3).localCheckpoint(
         eager=False
     )
-    tok = shingled.select("doc_id", F.explode("__sh").alias("tok"))
+    # truth side runs entirely on 40-bit shingle fingerprints (8-byte
+    # BIGINTs in every shuffle instead of 25-40 byte strings — see
+    # _CERT_FP_SPARK header); the dedup is array-side (array_distinct
+    # before the explode) so fp-set semantics cost no extra exchange
+    tok = shingled.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(__sh, s -> "
+                + _CERT_FP_SPARK.format(s="s")
+                + "))"
+            )
+        ).alias("tok"),
+    )
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         tok.join(dfreq, "tok")
@@ -4304,6 +4591,9 @@ def lsh_recall_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "tok", "n")
     a = prefix.select(F.col("doc_id").alias("id_a"), "tok", F.col("n").alias("na"))
     b = prefix.select(F.col("doc_id").alias("id_b"), "tok", F.col("n").alias("nb"))
+    # na/nb (the fp-set sizes the prefix rows already carry) ride along
+    # through the candidate set — the old separate `sizes` relation and
+    # its two join-backs are gone (two fewer joins, same integers)
     cand = (
         a.join(b, "tok")
         .filter(
@@ -4311,23 +4601,16 @@ def lsh_recall_certification(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("nb") <= 2 * F.col("na"))
             & (F.col("na") <= 2 * F.col("nb"))
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", F.col("na").alias("n_a"), F.col("nb").alias("n_b"))
         .distinct()
     )
     ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
     tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
-    sizes = shingled.select("doc_id", F.size("__sh").cast("long").alias("n"))
-    inter = (
+    truth = (
         cand.join(ta, "id_a")
         .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
-                                F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"),
-                           F.col("n").alias("n_b")), "id_b")
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
         .filter(2 * F.col("n_common") >= F.col("n_union"))
     )
@@ -4438,7 +4721,11 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.crossJoin(F.broadcast(q)).select(
         "__qid",
         "vec_id",
-        F.round(cosine_q(F.col("__v"), F.col("__qv")) * 1_000_000, 0)
+        # double rounding MIRRORS the oracle exactly (ADVICE r9 #2):
+        # _sql_cosine_preq embeds a 6-decimal round, then the micro
+        # scaling rounds again — same expression tree on both engines,
+        # no ulp-level argument about either engine's round()
+        F.round(F.round(cosine_q(F.col("__v"), F.col("__qv")), 6) * 1_000_000, 0)
         .cast("bigint")
         .alias("cos_micro"),
     )
@@ -4550,7 +4837,9 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__qlabel",
             "vec_id",
             "label",
-            F.round(cosine_q(F.col("__v"), F.col("__qv")) * 1_000_000, 0)
+            # double rounding mirrors the oracle's ROUND(ROUND(c,6)*1e6)
+            # exactly (ADVICE r9 #2; see bitext_margin_mining)
+            F.round(F.round(cosine_q(F.col("__v"), F.col("__qv")), 6) * 1_000_000, 0)
             .cast("bigint")
             .alias("cos_micro"),
         )

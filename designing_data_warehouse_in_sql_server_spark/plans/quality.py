@@ -3626,6 +3626,174 @@ def sequence_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Packed-dataset WRITER + roundtrip (round 10, VERDICT r9 #4): the
+# manifest says where pieces go; a trainer reads SEQUENCES. This
+# operator materializes the actual per-sequence token streams —
+# sequence_pack_tokens' concat-then-chunk layout applied to the REAL
+# BPE symbol stream (bpe_encode_corpus's merged vocabulary gives each
+# word its token array; documents concatenate in the manifest's
+# (n_tokens DESC, doc_id) order; every SEQ_PACK_BUDGET-token window
+# becomes one stored row (seq_id, tokens array, n_tokens)) — written
+# through the TableStore, read back, and verified by re-deriving the
+# fill accounting from the STORED table: per-sequence token count plus
+# an ORDER-SENSITIVE integer checksum sum((pos+1) * fp40(token)) that
+# pins the exact token stream, not just its length. fp40 is the
+# repo's shared 40-bit polynomial fold (see extensions._CERT_FP_SPARK)
+# computed identically in DuckDB, so the roundtrip hash-matches
+# bit-for-bit; checksum headroom: 512 * 512 * 2^40 < 2^58.
+#
+# Scale: the write path is O(total tokens) with exactly ONE ordered
+# pass — the doc-level two-phase prefix sum the manifest already uses;
+# per-word token offsets come from a per-DOC window (document-length
+# bounded, the winnowing discipline), global token position is
+# closed-form g0 + word_offset + index, and sequence assembly is one
+# hash aggregate whose per-group state is budget-bounded (<= 512
+# tokens). Nothing iterates on the driver; the encoder's vocabulary
+# map stays vocabulary-sized.
+# ---------------------------------------------------------------------------
+def _packed_roundtrip_oracle() -> str:
+    from .extensions import _CERT_FP_SQL
+
+    B = SEQ_PACK_BUDGET
+    fp = _CERT_FP_SQL.format(s="w.toks[CAST(ti AS BIGINT)]")
+    return (
+        _bpe_chain(BPE_TRAIN_MERGES, carry_word=True)
+        + rf""",
+enc AS (
+  SELECT w, string_split(trim(s), '  ') AS toks,
+         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tok
+  FROM v{BPE_TRAIN_MERGES}
+),
+docw AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS wpos, words[CAST(p AS BIGINT)] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM documents),
+       UNNEST(generate_series(1, len(words))) AS t(p)
+  WHERE length(words[CAST(p AS BIGINT)]) >= 1
+),
+wtok AS (
+  SELECT d.doc_id, d.wpos, e.toks, e.n_tok
+  FROM docw d JOIN enc e USING (w)
+),
+woff AS (
+  SELECT doc_id, wpos, toks, n_tok,
+         SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY wpos) - n_tok AS woff
+  FROM wtok
+),
+doctok AS (SELECT doc_id, SUM(n_tok) AS n_tokens FROM wtok GROUP BY doc_id),
+g AS (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id) - n_tokens AS g0
+  FROM doctok
+),
+tokens AS (
+  SELECT g.g0 + w.woff + (ti - 1) AS gpos, {fp} AS tfp
+  FROM woff w JOIN g USING (doc_id),
+       UNNEST(generate_series(1, len(w.toks))) AS t(ti)
+)
+SELECT CAST(gpos // {B} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(((gpos % {B}) + 1) * tfp) AS BIGINT) AS checksum
+FROM tokens GROUP BY 1"""
+    )
+
+
+PACKED_ROUNDTRIP_ORACLE = _packed_roundtrip_oracle()
+
+
+def _packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seq_id, tokens array<string>) — the materialized packed
+    sequences, exactly the manifest's layout over the real BPE symbol
+    stream."""
+    from ..operators.ids import prefix_sum
+
+    B = SEQ_PACK_BUDGET
+    docs = load_table(spark, sf_dir, "documents")
+    _, merged = _bpe_merge_loop(
+        _bpe_symbolized_vocab(docs, carry_word=True), BPE_TRAIN_MERGES
+    )
+    enc = merged.select(
+        "w",
+        F.split(F.trim(F.col("s")), "  ").alias("toks"),
+        F.size(F.split(F.trim(F.col("s")), "  ")).cast("long").alias("n_tok"),
+    )
+    docw = docs.select(
+        "doc_id", F.posexplode(words_col(F.col("text"))).alias("wpos", "w")
+    ).filter(F.length("w") >= 1)
+    # per-(doc, word) token offset: per-DOC window, document-bounded
+    wtok = docw.join(enc, "w").withColumn(
+        "woff",
+        F.sum("n_tok").over(W.partitionBy("doc_id").orderBy("wpos"))
+        - F.col("n_tok"),
+    )
+    doctok = wtok.groupBy("doc_id").agg(F.sum("n_tok").alias("n_tokens"))
+    g0 = prefix_sum(
+        doctok,
+        "n_tokens",
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        "cum",
+        n_hint=table_row_count(sf_dir, "documents"),
+    ).select("doc_id", (F.col("cum") - F.col("n_tokens")).alias("g0"))
+    # posexplode first, then the closed-form global position
+    tokens = (
+        wtok.join(g0, "doc_id")
+        .select("g0", "woff", F.posexplode("toks").alias("ti", "token"))
+        .select(
+            (F.col("g0") + F.col("woff") + F.col("ti")).alias("gpos"),
+            "token",
+        )
+    )
+    return (
+        tokens.groupBy(F.expr(f"gpos div {B}").alias("seq_id"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.expr(f"gpos % {B}").alias("p"), F.col("token"))
+                    )
+                ),
+                lambda s: s["token"],
+            ).alias("tokens")
+        )
+    )
+
+
+@register("packed_sequence_roundtrip", PACKED_ROUNDTRIP_ORACLE)
+def packed_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.table_store import TableStore
+    from .extensions import _CERT_FP_SPARK
+
+    B = SEQ_PACK_BUDGET
+    tmp = tempfile.mkdtemp(prefix="ddw_packed_store_")
+    try:
+        store = TableStore(spark, tmp)
+        packed = _packed_token_stream(spark, sf_dir).withColumn(
+            "n_tokens", F.size("tokens").cast("long")
+        )
+        store.overwrite("packed_sequences", packed)
+        # the accounting is derived from the STORED table — the read
+        # path a trainer would take, not the in-flight relation
+        back = store.read("packed_sequences")
+        fp = _CERT_FP_SPARK.format(s="t")
+        checksum = F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)), "
+            f"(t, i) -> CAST(i AS BIGINT) * ({fp})), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        out = back.select(
+            "seq_id",
+            F.col("n_tokens"),
+            checksum.alias("checksum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Spearman rank correlation of quantity vs price per return flag
 # (round 8): the robust, monotonic-association companion to
 # corr_regression_stats' Pearson (outlier-insensitive; detects any

@@ -93,7 +93,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # single materialization of the quantized scan — semantic_dedup's
 # minimum dropped 4.72 -> 1.76 s). All committed rows now describe
 # current code.
-FRESH: set[str] = set()
+# Round-10 FRESH set: lsh_recall_certification's truth side rewritten
+# onto 40-bit polynomial shingle fingerprints (performance-class change
+# — the prior minimum describes the raw-string-shuffle plan, and the
+# rewrite also dropped the two sizes join-backs); the four quiet-pass
+# >2x entries VERDICT r9 #6 flagged for re-measure on unchanged code
+# (winsorize_percentile, zipf_law_fit, yoy_growth, triangle_count).
+# Clear after the r10 refresh.
+FRESH: set[str] = {
+    "lsh_recall_certification",
+    "winsorize_percentile",
+    "zipf_law_fit",
+    "yoy_growth",
+    "triangle_count",
+}
 
 BASELINE = "BASELINE.md"
 

@@ -354,6 +354,10 @@ def write_scaled_text_tables(spark, out_dir: str, n_copies: int) -> None:
     ).repartition(_probe_files(spark)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
+    write_scaled_embeddings(spark, out_dir, n_copies)
+
+
+def write_scaled_embeddings(spark, out_dir: str, n_copies: int) -> None:
     emb = load_table(spark, SF_DIR, "embeddings")
     copies = spark.range(n_copies).select(F.col("id").alias("__copy"))
     dim = len(emb.select("embedding").first()[0])
@@ -706,6 +710,13 @@ FRONTIER_R9M = (
     "table_restore_roundtrip",
 )
 
+# Round-10: lsh_recall_certification AFTER the truth-side fingerprint
+# rewrite (VERDICT r9 #2): raw string shingles -> 40-bit polynomial
+# BIGINTs in every truth-side shuffle. The r9h run exceeded this host's
+# ~80 GB spill disk at 100x even under the 1-in-4 sample; the ~5-10x
+# shuffle-byte cut is exactly what should bring the probe home.
+FRONTIER_R10 = ("lsh_recall_certification",)
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -731,10 +742,92 @@ _FRONTIER_MODES = {
     "frontier_r9k": (FRONTIER_R9K, False),
     "frontier_r9l": (FRONTIER_R9L, True, False),
     "frontier_r9m": (FRONTIER_R9M, False),
+    "frontier_r10": (FRONTIER_R10, True, False),
 }
 
 
+# ---------------------------------------------------------------------------
+# Round-10 IVF crossover (VERDICT r9 #7): semantic_dedup_ivf's docstring
+# claims "production deepens the hierarchy" because the flat two-level
+# form's ASSIGNMENT term is O(n * (m + p*k/m)) = O(n^1.25) while the
+# prune is O(n*S) linear — this probe turns that prose into a measured
+# crossover table. At each scale it times (a) the assignment sub-DAG
+# alone (rebalance -> coarse scoring -> probe cells -> fine argmin, the
+# exact stages the registered query runs) and (b) the full registered
+# operator, and reports the assignment share. The scale where
+# t_assign > t_total/2 is where a third level starts paying.
+# ---------------------------------------------------------------------------
+def main_ivf_crossover() -> None:
+    import math
+    import tempfile
+
+    from designing_data_warehouse_in_sql_server_spark.operators import (
+        clustering as C,
+    )
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+        quantized,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        SEMDEDUP_IVF_CLUSTER_SIZE,
+        SEMDEDUP_IVF_NPROBE,
+        SEMDEDUP_THRESHOLD,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import (
+        table_row_count,
+    )
+
+    spark = get_spark("ddw-ivf-crossover")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    rows = []
+    for scale in (1, 10, 30, 100):
+        with tempfile.TemporaryDirectory(prefix="ddw_ivf_xover_") as tmp:
+            write_scaled_embeddings(spark, tmp, scale)
+            n = table_row_count(tmp, "embeddings")
+            k = max(8, -(-n // SEMDEDUP_IVF_CLUSTER_SIZE))
+            m = max(2, math.isqrt(k))
+            emb = load_table(spark, tmp, "embeddings")
+
+            def assign_only():
+                q = C._rebalanced(
+                    emb.select(
+                        "vec_id", quantized(F.col("embedding")).alias("__qv")
+                    )
+                )
+                fine = q.filter(F.col("vec_id") < k).select(
+                    F.col("vec_id").alias("cid"), F.col("__qv").alias("__cv")
+                )
+                coarse = q.filter(F.col("vec_id") < m).select(
+                    F.col("vec_id").alias("__ccid"), F.col("__qv").alias("__ccv")
+                )
+                cells = C._ivf_cells(fine, coarse)
+                return C._ivf_assign(
+                    q, cells, coarse, SEMDEDUP_IVF_NPROBE, "vec_id"
+                )
+
+            t0 = time.perf_counter()
+            assign_only().write.format("noop").mode("overwrite").save()
+            t_assign = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            C.semantic_dedup_ivf(
+                emb, k=k, m=m, n_probe=SEMDEDUP_IVF_NPROBE,
+                threshold=SEMDEDUP_THRESHOLD,
+            ).write.format("noop").mode("overwrite").save()
+            t_total = round(time.perf_counter() - t0, 2)
+            row = {
+                "scale": scale, "n": n, "k": k, "m": m,
+                "t_assign": t_assign, "t_total": t_total,
+                "assign_share": round(t_assign / t_total, 3) if t_total else None,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"mode": "ivf_crossover", "rows": rows}), flush=True)
+    spark.stop()
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "ivf_crossover":
+        main_ivf_crossover()
+        return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()
         return

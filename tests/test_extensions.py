@@ -766,6 +766,148 @@ def test_semantic_dedup_planted_within_cluster_only(spark):
     }, got
 
 
+def test_semantic_dedup_probe_planted(spark):
+    """Planted incremental-probe semantics (operators direct): build an
+    IVF index over a 2-cluster corpus, then probe a batch containing
+    (a) a near-copy of a corpus member -> dropped by the STORED members,
+    (b) a near-dup PAIR inside the batch -> lower id kept, higher
+    dropped, (c) a vector near cluster 1's corpus member but distinct
+    -> kept. The corpus relations never re-enter the probe except
+    through the built index."""
+    from designing_data_warehouse_in_sql_server_spark.operators.clustering import (
+        ivf_index_build,
+        semantic_dedup_probe,
+    )
+
+    corpus_rows = [
+        (1, [10.0, 0.0]),   # seed / member of cluster 1 (x-axis)
+        (2, [0.0, 10.0]),   # seed / member of cluster 2 (y-axis)
+        (3, [9.0, 1.0]),    # cluster 1 member
+    ]
+    batch_rows = [
+        (10, [9.9, 0.1]),   # (a) near-copy of corpus id 1 -> dropped
+        (20, [7.0, 7.1]),   # (b) diagonal: cos ~0.70 to both corpus dirs -> kept
+        (30, [7.05, 7.1]),  # (b) near-dup of 20, higher id -> dropped
+        (40, [0.0, -10.0]), # (c) anti-parallel to cluster 2: cosine < 0 -> kept
+    ]
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    coarse, cells, members = ivf_index_build(
+        corpus, fine_bound=3, coarse_bound=3, n_probe=2
+    )
+    out = semantic_dedup_probe(
+        batch, coarse, cells, members, n_probe=2, threshold=0.95
+    )
+    got = {r.vec_id: r.kept for r in out.collect()}
+    assert got == {10: 0, 20: 1, 30: 0, 40: 1}, got
+    # output covers the batch only — corpus ids never appear
+    assert set(got) == {10, 20, 30, 40}
+
+
+def test_semantic_dedup_probe_index_appends(spark, tmp_path):
+    """The accepted batch's own assignments append into the stored
+    members table with the same schema (the continuous-ingest loop):
+    a SECOND batch then probes the grown index and is caught by a
+    FIRST-batch vector that only entered via the append."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.operators.clustering import (
+        ivf_index_build,
+        semantic_dedup_probe,
+    )
+    from designing_data_warehouse_in_sql_server_spark.operators.similarity import (
+        dot_q,
+        quantized,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        TableStore,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        [(1, [10.0, 0.0]), (2, [0.0, 10.0])], schema
+    )
+    batch1 = spark.createDataFrame([(10, [7.0, 7.1])], schema)  # novel dir
+    batch2 = spark.createDataFrame([(20, [7.05, 7.1])], schema)  # ~ batch1
+    store = TableStore(spark, str(tmp_path))
+    coarse, cells, members = ivf_index_build(
+        corpus, fine_bound=3, coarse_bound=3, n_probe=2
+    )
+    store.overwrite("ivf_coarse", coarse)
+    store.overwrite("ivf_cells", cells)
+    store.overwrite("ivf_members", members, partition_by=["ccid"])
+
+    def probe(b):
+        return semantic_dedup_probe(
+            b, store.read("ivf_coarse"), store.read("ivf_cells"),
+            store.read("ivf_members"), n_probe=2, threshold=0.95,
+        ).localCheckpoint(eager=True)
+
+    out1 = probe(batch1)
+    assert {r.vec_id: r.kept for r in out1.collect()} == {10: 1}
+    # append the accepted batch-1 vector: re-derive its member row
+    # (assignment + quantized vector + norm) and store.append it
+    qb = batch1.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    newrows = (
+        out1.filter(F.col("kept") == 1)
+        .select("vec_id", F.col("cluster").alias("cid"))
+        .join(qb, "vec_id")
+        .join(
+            store.read("ivf_cells").select("cid", "ccid"), "cid"
+        )
+        .select("vec_id", "cid", "ccid", "qv",
+                dot_q(F.col("qv"), F.col("qv")).alias("n2"))
+    )
+    store.append("ivf_members", newrows)
+    out2 = probe(batch2)
+    # batch-2's near-copy of the APPENDED vector is dropped: the grown
+    # index, not the original corpus, caught it
+    assert {r.vec_id: r.kept for r in out2.collect()} == {20: 0}
+
+
+def test_image_near_dup_phash_planted(spark):
+    """dHash near-dup semantics (operators direct): a byte-level
+    mutation of an asset (one grid byte moved) lands within the Hamming
+    budget and is caught by the BANDED join; an unrelated asset is not.
+    The banded result equals the brute-force all-pairs reference on the
+    same fingerprints (the pigeonhole's no-false-negative guarantee)."""
+    from pyspark.sql import functions as F
+
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        simhash_near_pairs,
+        simhash_near_pairs_allpairs,
+    )
+    from designing_data_warehouse_in_sql_server_spark.operators.multimodal import (
+        documents_as_assets,
+        perceptual_hash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3  # > 72 bytes
+    rows = [
+        (1, base),
+        (2, "Q" + base[1:]),       # pixel-level mutation of 1
+        (3, "z" * 40 + "a" * 40),  # unrelated ramp-free grid
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = perceptual_hash(documents_as_assets(docs)).select(
+        "asset_id", F.col("phash").alias("simhash")
+    ).localCheckpoint(eager=True)
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(fp, "asset_id", max_hamming=4, n_bits=64).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs_allpairs(
+            fp, "asset_id", max_hamming=4, n_bits=64
+        ).collect()
+    }
+    assert banded == brute
+    assert (1, 2) in banded and banded[(1, 2)] <= 4  # mutation caught
+    assert (1, 3) not in banded and (2, 3) not in banded  # unrelated not
+
+
 def test_lsh_recall_certification_s_curve(spark):
     """The certified recall must trace the banded-LSH S-curve: every
     bucket populated (the tiered fixture guarantees truth pairs in all
