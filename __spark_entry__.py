@@ -38,7 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # WRITER materializing sequence_pack_tokens' manifest through the
 # TableStore with an order-sensitive stream checksum;
 # image_near_dup_phash: banded dHash over the multimodal byte grid —
-# the image member of the dedup family), the truth-side-fingerprinted
+# the image member of the dedup family; video_near_dup_frames:
+# frame-fingerprint voting over the mapInPandas frame sampler — the
+# video member), the truth-side-fingerprinted
 # lsh_recall_certification (40-bit polynomial prints replace raw
 # shingle strings in every truth shuffle; recall integers unchanged),
 # the symmetric-double-rounding bitext_margin_mining / knn_label_noise
@@ -54,10 +56,12 @@ _CHECK_FIRST = (
     "semantic_dedup_incremental_store",
     "packed_sequence_roundtrip",
     "image_near_dup_phash",
+    "video_near_dup_frames",
     "lsh_recall_certification",
     "bitext_margin_mining",
     "knn_label_noise",
     "semantic_dedup_ivf",
+    "semantic_dedup_ivf3",
     # (b) the complete r4-stale set
     "q15_top_supplier",
     "q16_supplier_relationship",
@@ -101,10 +105,10 @@ _CHECK_FIRST = (
     "dedup_keep_best",
     "dedup_row_number",
     "dedup_segments",
+    # --- 50-query window boundary is here (9 changed/new + 22 r4 + 19
+    # r5). Round-11 queue: the remaining r5-stale rows ---
     "distinct_count",
     "distinct_dimension",
-    # --- 50-query window boundary is here (7 changed/new + 22 r4 + 21
-    # r5). Round-11 queue: the remaining r5-stale rows ---
     "doc_fingerprint",
     "embedding_centroids",
     "events_session_window",

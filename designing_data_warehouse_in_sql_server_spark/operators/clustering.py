@@ -247,7 +247,13 @@ def semantic_dedup_ivf(
     one-equi-join kernel. With cluster size fixed at S (k = n/S):
     O(n * p * sqrt(n/S)) ~ O(n^1.25) total vs the exact form's
     O(n^1.5) — the remaining superlinearity is the flat two-level
-    IVF; production systems cap it by deepening the hierarchy.
+    IVF. MEASURED (BASELINE.md "IVF assignment-vs-prune crossover",
+    round 10): assignment is 86-88% of this operator's cost from 30x
+    data on, its 100->300x growth matches the per-row
+    m + p*k/m ~ 3*sqrt(k) scoring model, and the prune stays S-bounded
+    linear — deepening the hierarchy attacks nearly all of the cost;
+    semantic_dedup_ivf3 below is that third level (per-row scoring
+    O(k^(1/3))).
 
     Returns (id_col, cluster, kept) — same contract as semantic_dedup.
     """
@@ -334,6 +340,153 @@ def _ivf_assign(
         .agg(F.min("__s").alias("__m"))
         .select(F.col(id_col), F.col("__m.cid").alias("cid"))
     )
+
+
+def _ivf_top_cells(
+    q: DataFrame, cents: DataFrame, n_probe: int, id_col: str,
+    cent_id: str, cent_vec: str, out_col: str,
+) -> DataFrame:
+    """(id, out_col): each vector's n_probe nearest centroids from the
+    broadcast ``cents`` (cent_id, cent_vec) — ONE hash aggregate
+    (slice(array_sort(collect_list))), never a window over the scored
+    relation. The shared probe step of every IVF level."""
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.struct(
+                _sq_dist(F.col("__qv"), F.col(cent_vec)).alias("__d"),
+                F.col(cent_id),
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__s")), 1, n_probe).alias("__t")
+        )
+        .select(F.col(id_col), F.explode(f"__t.{cent_id}").alias(out_col))
+    )
+
+
+def semantic_dedup_ivf3(
+    embeddings: DataFrame,
+    k: int,
+    m2: int,
+    c: int,
+    n_probe: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THREE-level IVF SemDeDup — the deeper hierarchy the two-level
+    form's crossover measurement calls for (BASELINE.md round 10:
+    assignment is 86-88% of semantic_dedup_ivf's cost and grows as its
+    per-row m + p*k/m ~ 3*sqrt(k) scoring term). Levels: c coarse
+    cells -> m2 mid cells -> k fine centroids with c = icbrt(k) and
+    m2 = c^2, so per-row scoring is c + p*(m2/c) + p*(k/m2) ~
+    (1+2p)*k^(1/3) instead of ~3*sqrt(k) — with cluster size fixed at
+    S (k = n/S), total assignment O(n^(7/6)) vs the flat form's
+    O(n^1.25). The trade, stated: two pruned probe layers can mis-route
+    more vectors than one (recall of the CLUSTERING, not determinism —
+    the construction stays exact-integer end-to-end, lowest-id ties,
+    so the oracle replays it bit-for-bit; the planted-quality test pins
+    agreement with the two-level form on near-dup structure).
+
+    Assignment guarantee (same nesting argument as the two-level form,
+    applied twice): seed ids are nested (coarse ids < c are also mid
+    seeds < m2 are also fine seeds < k), mid j's nearest coarse cell is
+    j itself (distance 0, lowest-id tie), fine j's nearest mid cell is
+    j — so every probed coarse cell contains its own mid centroid,
+    every probed mid cell its own fine centroid: no vector's candidate
+    set is ever empty and the output keeps one row per vector.
+
+    Scale shape per stage: every centroid relation is a genuinely-small
+    broadcast (c, m2, k rows); both probe layers are the shared
+    hash-aggregate top-p (never a window over a scored relation); the
+    mid->coarse (m2 x c) and fine->mid (k x m2) maps are exact argmins
+    over tiny products; the prune is the shared one-equi-join kernel
+    over S-bounded clusters."""
+    q = _rebalanced(
+        embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
+    )
+    fine = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+    )
+    mid = q.filter(F.col(id_col) < m2).select(
+        F.col(id_col).alias("__mid"), F.col("__qv").alias("__mv")
+    )
+    coarse = q.filter(F.col(id_col) < c).select(
+        F.col(id_col).alias("__ccid"), F.col("__qv").alias("__ccv")
+    )
+    # mid centroid -> its coarse cell (m2 x c, exact argmin)
+    mc = (
+        mid.crossJoin(F.broadcast(coarse))
+        .select(
+            "__mid",
+            "__mv",
+            F.struct(
+                _sq_dist(F.col("__mv"), F.col("__ccv")).alias("__d"),
+                F.col("__ccid"),
+            ).alias("__s"),
+        )
+        .groupBy("__mid", "__mv")
+        .agg(F.min("__s").alias("__m"))
+        .select("__mid", "__mv", F.col("__m.__ccid").alias("__ccid"))
+    )
+    # fine centroid -> its mid cell (k x m2, exact argmin)
+    fm = (
+        fine.crossJoin(F.broadcast(mid))
+        .select(
+            "cid",
+            "__cv",
+            F.struct(
+                _sq_dist(F.col("__cv"), F.col("__mv")).alias("__d"),
+                F.col("__mid"),
+            ).alias("__s"),
+        )
+        .groupBy("cid", "__cv")
+        .agg(F.min("__s").alias("__m"))
+        .select("cid", "__cv", F.col("__m.__mid").alias("__mid"))
+    )
+    # layer 1: vector -> top-p coarse cells
+    p1 = _ivf_top_cells(q, coarse, n_probe, id_col, "__ccid", "__ccv", "__ccid")
+    # layer 2: vector -> top-p mid cells among the probed coarse cells'
+    # mid centroids (broadcast of the m2-row mid->coarse map)
+    scored_mid = (
+        p1.join(q, id_col)
+        .join(F.broadcast(mc), "__ccid")
+        .select(
+            F.col(id_col),
+            F.struct(
+                _sq_dist(F.col("__qv"), F.col("__mv")).alias("__d"),
+                F.col("__mid"),
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("__s")), 1, n_probe).alias("__t")
+        )
+        .select(F.col(id_col), F.explode("__t.__mid").alias("__mid"))
+    )
+    # layer 3: fine argmin among the probed mid cells' fine centroids
+    assigned = (
+        scored_mid.join(q, id_col)
+        .join(F.broadcast(fm), "__mid")
+        .select(
+            F.col(id_col),
+            F.struct(
+                _sq_dist(F.col("__qv"), F.col("__cv")).alias("__d"), F.col("cid")
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__m"))
+        .select(F.col(id_col), F.col("__m.cid").alias("cid"))
+    )
+    member = (
+        assigned.join(q, id_col)
+        .withColumn("__n2", dot_q(F.col("__qv"), F.col("__qv")))
+        .localCheckpoint(eager=True)
+    )
+    return _prune_within_clusters(member, id_col, threshold)
 
 
 def ivf_index_build(

@@ -1908,6 +1908,109 @@ def semantic_dedup_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup, THREE-level IVF (round 10, VERDICT r9 #7 — the "deepen the
+# hierarchy" option, chosen over a crossover-table-only answer because
+# the crossover table demanded it: BASELINE.md's ivf_crossover
+# measurement shows assignment at 86-88% of the two-level operator's
+# cost from 30x data on, growing as its per-row ~3*sqrt(k) scoring
+# term). c = icbrt(k) coarse cells -> m2 = c^2 mid cells -> k fine
+# centroids; per-row scoring (1+2p)*k^(1/3); totals O(n^(7/6)) vs the
+# flat form's O(n^1.25) with cluster size fixed at S. Deterministic
+# end-to-end (nested id-range seeds, exact int64 distances, lowest-id
+# ties) -> full hash-match oracle. icbrt is exact-integer on the Spark
+# side; the oracle's FLOOR(POWER(k + 0.5, 1/3)) equals it because the
+# +0.5 offset keeps the cube root ~0.5/(3c^2) away from any integer —
+# orders of magnitude above double rounding error at any realistic k.
+# ---------------------------------------------------------------------------
+def _icbrt(n: int) -> int:
+    c = round(n ** (1.0 / 3.0))
+    while c**3 > n:
+        c -= 1
+    while (c + 1) ** 3 <= n:
+        c += 1
+    return c
+
+
+SEMDEDUP_IVF3_ORACLE = f"""
+WITH q AS (SELECT vec_id, {SQL_QUANT.format(v='embedding')} AS qv FROM embeddings),
+kp AS (SELECT GREATEST(8, (COUNT(*) + {SEMDEDUP_IVF_CLUSTER_SIZE - 1})
+                          // {SEMDEDUP_IVF_CLUSTER_SIZE}) AS k FROM q),
+cp AS (SELECT GREATEST(2, CAST(FLOOR(POWER(k + 0.5, 1.0/3.0)) AS BIGINT)) AS c FROM kp),
+mp AS (SELECT GREATEST(4, c * c) AS m2 FROM cp),
+fine AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < (SELECT k FROM kp)),
+mid AS (SELECT vec_id AS mid, qv AS mv FROM q WHERE vec_id < (SELECT m2 FROM mp)),
+coarse AS (SELECT vec_id AS ccid, qv AS ccv FROM q WHERE vec_id < (SELECT c FROM cp)),
+mc AS (
+  SELECT mid, mv, ccid FROM (
+    SELECT m.mid, m.mv, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY m.mid
+                              ORDER BY {_sql_dist('m.mv', 'c.ccv')}, c.ccid) AS rn
+    FROM mid m CROSS JOIN coarse c) WHERE rn = 1
+),
+fm AS (
+  SELECT cid, cv, mid FROM (
+    SELECT f.cid, f.cv, m.mid,
+           ROW_NUMBER() OVER (PARTITION BY f.cid
+                              ORDER BY {_sql_dist('f.cv', 'm.mv')}, m.mid) AS rn
+    FROM fine f CROSS JOIN mid m) WHERE rn = 1
+),
+p1 AS (
+  SELECT vec_id, ccid FROM (
+    SELECT v.vec_id, c.ccid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_dist('v.qv', 'c.ccv')}, c.ccid) AS rn
+    FROM q v CROSS JOIN coarse c) WHERE rn <= {SEMDEDUP_IVF_NPROBE}
+),
+p2 AS (
+  SELECT vec_id, mid FROM (
+    SELECT p.vec_id, mc.mid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_sql_dist('v.qv', 'mc.mv')}, mc.mid) AS rn
+    FROM p1 p
+    JOIN q v ON p.vec_id = v.vec_id
+    JOIN mc ON p.ccid = mc.ccid) WHERE rn <= {SEMDEDUP_IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, fm.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_sql_dist('v.qv', 'fm.cv')}, fm.cid) AS rn
+    FROM p2 p
+    JOIN q v ON p.vec_id = v.vec_id
+    JOIN fm ON p.mid = fm.mid) WHERE rn = 1
+),
+member AS (SELECT a.vec_id, a.cid, q.qv FROM assign a JOIN q ON a.vec_id = q.vec_id),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM member a JOIN member b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_cosine_preq('a.qv', 'b.qv')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT m.vec_id, m.cid AS cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM member m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+
+@register("semantic_dedup_ivf3", SEMDEDUP_IVF3_ORACLE)
+def semantic_dedup_ivf3_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semantic_dedup_ivf3
+    from ..sources.parquet import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings")
+    k = max(8, -(-n // SEMDEDUP_IVF_CLUSTER_SIZE))
+    c = max(2, _icbrt(k))
+    m2 = max(4, c * c)
+    return semantic_dedup_ivf3(
+        load_table(spark, sf_dir, "embeddings"),
+        k=k,
+        m2=m2,
+        c=c,
+        n_probe=SEMDEDUP_IVF_NPROBE,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental semantic dedup, STORE-PROBING form (round 10, VERDICT r9
 # #3): the production regime of SemDeDup for a pipeline that ingests
 # CONTINUOUSLY — the IVF index (coarse centroids, fine cells, member
@@ -2311,6 +2414,148 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "ts_ms",
         F.md5("frame").alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup via frame-fingerprint voting (round 10): the VIDEO
+# member of the dedup family, completing the multimodal set beside
+# image_near_dup_phash — two videos are near-duplicates when they share
+# a supermajority of their sampled frames' fingerprints (the standard
+# production shape: per-frame signatures into an inverted index,
+# re-encoded/trimmed copies share almost every frame). The pipeline
+# runs the REAL multimodal path: sample_frames' Arrow mapInPandas
+# fan-out (the stubbed fake sampler's byte slices here; ffmpeg frames
+# at production — one function swap), per-frame md5 fingerprints, then
+# EXACTLY the winnowing single-exchange algebra over them
+# (groupBy(fingerprint).collect_set with map-side dedup -> df <= 50
+# boilerplate cap -> array-side pair HOF -> containment filter) — the
+# frame relation is exchanged once and no self-join exists. Fixture: a
+# 1-in-2 asset sample plus a first-byte mutation of each (only frame 0
+# moves, so a copy with n sampled frames shares (n-1)/n). The oracle
+# deliberately keeps the distinct + COUNT-window + self-join
+# formulation over RAW byte slices — same answer through different
+# machinery on both axes (algebra and fingerprinting).
+#
+# Scale: frames per asset are duration-bounded; the df cap bounds any
+# fingerprint's pair fan-out at 50^2/2 (identical intros/outros are
+# boilerplate, not evidence); containment thresholds are integer
+# cross-multiplications.
+# ---------------------------------------------------------------------------
+VIDEO_NEAR_DUP_MIN_BP = 6000  # min shared-frame containment (bp)
+VIDEO_FRAME_MAX_DF = 50
+
+VIDEO_NEAR_DUP_ORACLE = f"""
+WITH all_docs AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id, 'Q' || substr(text, 2) AS text, n_chars
+  FROM documents WHERE doc_id % 2 = 0
+),
+stepped AS (
+  SELECT doc_id, text, n, GREATEST(1, length(text) // n) AS step
+  FROM (SELECT doc_id, text,
+               GREATEST(1, (n_chars * 10) // 1000) AS n
+        FROM all_docs)
+),
+frames AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i * step + 1 AS INT), 16) AS fr
+  FROM (SELECT doc_id, text, step, unnest(range(0, n)) AS i FROM stepped)
+),
+capped AS (
+  SELECT doc_id, fr FROM (
+    SELECT doc_id, fr, COUNT(*) OVER (PARTITION BY fr) AS df FROM frames
+  ) WHERE df <= {VIDEO_FRAME_MAX_DF}
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fr FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_frames
+  FROM capped a JOIN capped b ON a.fr = b.fr AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_frames,
+       CAST(shared_frames * 10000 // LEAST(sa.n_fr, sb.n_fr) AS BIGINT)
+         AS containment_bp
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared_frames * 10000 >= {VIDEO_NEAR_DUP_MIN_BP} * LEAST(sa.n_fr, sb.n_fr)
+"""
+
+
+@register("video_near_dup_frames", VIDEO_NEAR_DUP_ORACLE)
+def video_near_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    ).select("doc_id", "text", "n_chars")
+    mutated = docs.select(
+        (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit("Q"), F.expr("substr(text, 2)")).alias("text"),
+        "n_chars",
+    )
+    assets = docs.unionByName(mutated).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(assets, every_ms=1000)
+    # one exchange for the whole frame-fingerprint relation (the
+    # winnowing pattern): collect_set dedups (asset, fingerprint)
+    # map-side, the set size is the df for the boilerplate cap, and the
+    # surviving sorted sets feed sizes AND the array-side pair expansion
+    fr_g = (
+        frames.select("asset_id", F.md5("frame").alias("fr"))
+        .groupBy("fr")
+        .agg(F.array_sort(F.collect_set("asset_id")).alias("docs"))
+        .filter(F.size("docs") <= VIDEO_FRAME_MAX_DF)
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        fr_g.select(F.explode("docs").alias("asset_id"))
+        .groupBy("asset_id")
+        .agg(F.count("*").cast("long").alias("n_fr"))
+    )
+    pairs = (
+        fr_g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> named_struct('id_a', x, 'id_b', y))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.id_a", "pr.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("asset_id").alias("id_a"), F.col("n_fr").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("asset_id").alias("id_b"), F.col("n_fr").alias("__nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("shared_frames") * 10000
+            >= VIDEO_NEAR_DUP_MIN_BP * F.least("__na", "__nb")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_frames",
+            F.expr("shared_frames * 10000 DIV least(__na, __nb)").alias(
+                "containment_bp"
+            ),
+        )
     )
 
 

@@ -757,6 +757,33 @@ _FRONTIER_MODES = {
 # operator, and reports the assignment share. The scale where
 # t_assign > t_total/2 is where a third level starts paying.
 # ---------------------------------------------------------------------------
+def write_dense_scaled_embeddings(spark, out_dir: str, n_copies: int) -> None:
+    """Crossover-probe variant of write_scaled_embeddings with DENSE ids
+    (new_id = orig_id * n_copies + copy): the registered operators
+    derive seed centroids from an id-range filter (vec_id < k), which
+    assumes the production contract of dense surrogate ids — the shared
+    offset scaling (copy * 10M) leaves only the 2000 original ids below
+    any k, silently shrinking the effective centroid count and growing
+    cluster size with scale (the measured 300x prune blowup that led to
+    this fixture). Copies of one original are cyclic rotations, so the
+    densely-interleaved seeds are distinct directions."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    copies = spark.range(n_copies).select(F.col("id").alias("__copy"))
+    dim = len(emb.select("embedding").first()[0])
+    rot = F.col("__copy") % dim
+    rotated = F.concat(
+        F.slice(F.col("embedding"), rot + 1, F.lit(dim) - rot),
+        F.slice(F.col("embedding"), 1, rot),
+    )
+    emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") * n_copies + F.col("__copy")).alias("vec_id"),
+        rotated.alias("embedding"),
+        "label",
+    ).repartition(_probe_files(spark)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
 def main_ivf_crossover() -> None:
     import math
     import tempfile
@@ -778,10 +805,19 @@ def main_ivf_crossover() -> None:
 
     spark = get_spark("ddw-ivf-crossover")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def timed_min(thunk, trials: int = 2) -> float:
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2)
+
     rows = []
-    for scale in (1, 10, 30, 100):
+    for scale in (1, 10, 30, 100, 300):
         with tempfile.TemporaryDirectory(prefix="ddw_ivf_xover_") as tmp:
-            write_scaled_embeddings(spark, tmp, scale)
+            write_dense_scaled_embeddings(spark, tmp, scale)
             n = table_row_count(tmp, "embeddings")
             k = max(8, -(-n // SEMDEDUP_IVF_CLUSTER_SIZE))
             m = max(2, math.isqrt(k))
@@ -804,15 +840,16 @@ def main_ivf_crossover() -> None:
                     q, cells, coarse, SEMDEDUP_IVF_NPROBE, "vec_id"
                 )
 
-            t0 = time.perf_counter()
-            assign_only().write.format("noop").mode("overwrite").save()
-            t_assign = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            C.semantic_dedup_ivf(
-                emb, k=k, m=m, n_probe=SEMDEDUP_IVF_NPROBE,
-                threshold=SEMDEDUP_THRESHOLD,
-            ).write.format("noop").mode("overwrite").save()
-            t_total = round(time.perf_counter() - t0, 2)
+            # best-of-2 each, TOTAL first: the first execution at a
+            # scale pays one-time codegen that must not be billed to
+            # the assignment sub-DAG
+            t_total = timed_min(
+                lambda: C.semantic_dedup_ivf(
+                    emb, k=k, m=m, n_probe=SEMDEDUP_IVF_NPROBE,
+                    threshold=SEMDEDUP_THRESHOLD,
+                )
+            )
+            t_assign = timed_min(assign_only)
             row = {
                 "scale": scale, "n": n, "k": k, "m": m,
                 "t_assign": t_assign, "t_total": t_total,
@@ -824,9 +861,137 @@ def main_ivf_crossover() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# Round-10 second wave: the four new operators at the 100x frontier.
+# semantic_dedup_incremental_store's claim is O(|batch|) per increment
+# against the stored index — batch and corpus both scale 100x here, so
+# the honest expectation is the IVF assignment class plus the
+# store-write term; its embeddings are DENSE-id scaled (the id-range
+# seed rule is the operator's documented production contract — the
+# offset scaling would silently shrink the centroid count, see
+# write_dense_scaled_embeddings). packed_sequence_roundtrip is the BPE
+# encode class (42.5x certified in frontier_r8) plus the one doc-level
+# ordered pass and a token-linear store write.
+# image_near_dup_phash / video_near_dup_frames are mapInPandas scans
+# into banded/df-capped pair joins over the salted corpus (disjoint
+# texts -> planted pairs only within a copy, linear by construction).
+# ---------------------------------------------------------------------------
+def main_frontier_r10b() -> None:
+    import tempfile
+
+    spark = get_spark("ddw-scaling-probe-frontier-r10b")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    names = (
+        "packed_sequence_roundtrip",
+        "image_near_dup_phash",
+        "video_near_dup_frames",
+        "semantic_dedup_incremental_store",
+    )
+    base = run_heavies_named(spark, SF_DIR, 1, names)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_r10b_") as tmp:
+        # documents: salted vocab (disjoint copies); embeddings: dense
+        # ids (the seed-rule contract) — built directly, no fact tables
+        salted_docs(spark, SCALE).join(
+            F.broadcast(
+                load_table(spark, SF_DIR, "documents").select(
+                    F.col("doc_id").alias("__orig"), "lang", "source"
+                )
+            ),
+            F.col("doc_id") % 10_000_000 == F.col("__orig"),
+        ).drop("__orig").withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).repartition(_probe_files(spark)).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        write_dense_scaled_embeddings(spark, tmp, SCALE)
+        scaled = run_heavies_named(spark, tmp, SCALE, names)
+    summary = {
+        "mode": "frontier_r10b",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None
+                   for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ivf3 A/B: the three-level hierarchy against the flat
+# two-level form at the dense-id frontier scales where the crossover
+# table showed assignment dominating (86-88%). The claim under test:
+# per-row scoring (1+2p)*k^(1/3) vs ~3*sqrt(k) turns into a measured
+# wall-clock gap that WIDENS with scale.
+# ---------------------------------------------------------------------------
+def main_ivf3_ab() -> None:
+    import math
+    import tempfile
+
+    from designing_data_warehouse_in_sql_server_spark.operators import (
+        clustering as C,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        SEMDEDUP_IVF_CLUSTER_SIZE,
+        SEMDEDUP_IVF_NPROBE,
+        SEMDEDUP_THRESHOLD,
+        _icbrt,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import (
+        table_row_count,
+    )
+
+    spark = get_spark("ddw-ivf3-ab")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def timed_min(thunk, trials: int = 2) -> float:
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2)
+
+    rows = []
+    for scale in (100, 300):
+        with tempfile.TemporaryDirectory(prefix="ddw_ivf3_ab_") as tmp:
+            write_dense_scaled_embeddings(spark, tmp, scale)
+            n = table_row_count(tmp, "embeddings")
+            k = max(8, -(-n // SEMDEDUP_IVF_CLUSTER_SIZE))
+            m = max(2, math.isqrt(k))
+            c = max(2, _icbrt(k))
+            m2 = max(4, c * c)
+            emb = load_table(spark, tmp, "embeddings")
+            t2 = timed_min(
+                lambda: C.semantic_dedup_ivf(
+                    emb, k=k, m=m, n_probe=SEMDEDUP_IVF_NPROBE,
+                    threshold=SEMDEDUP_THRESHOLD,
+                )
+            )
+            t3 = timed_min(
+                lambda: C.semantic_dedup_ivf3(
+                    emb, k=k, m2=m2, c=c, n_probe=SEMDEDUP_IVF_NPROBE,
+                    threshold=SEMDEDUP_THRESHOLD,
+                )
+            )
+            row = {
+                "scale": scale, "n": n, "k": k, "m": m, "c": c, "m2": m2,
+                "t_ivf2": t2, "t_ivf3": t3,
+                "speedup": round(t2 / t3, 2) if t3 else None,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"mode": "ivf3_ab", "rows": rows}), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "ivf_crossover":
         main_ivf_crossover()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "ivf3_ab":
+        main_ivf3_ab()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r10b":
+        main_frontier_r10b()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()

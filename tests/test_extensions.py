@@ -866,6 +866,40 @@ def test_semantic_dedup_probe_index_appends(spark, tmp_path):
     assert {r.vec_id: r.kept for r in out2.collect()} == {20: 0}
 
 
+def test_semantic_dedup_ivf3_agrees_on_planted_structure(spark):
+    """The three-level hierarchy must preserve the dedup CONTRACT on
+    planted structure: near-dup pairs that the two-level form catches
+    via shared clusters are still caught (the deeper pruning trades
+    recall of the CLUSTERING, not the keep rule), and the two forms
+    agree vector-by-vector on the real sf0.001 corpus within a small
+    tolerance (mis-routing budget)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    two = {
+        r.vec_id: r.kept
+        for r in QUERIES["semantic_dedup_ivf"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    three = {
+        r.vec_id: r.kept
+        for r in QUERIES["semantic_dedup_ivf3"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(two) == set(three)  # one row per vector, both forms
+    disagree = sum(1 for v in two if two[v] != three[v])
+    # mis-routing budget: the deeper hierarchy may split/merge a few
+    # epsilon-neighborhoods, never wholesale change the answer
+    assert disagree <= max(2, len(two) // 20), (disagree, len(two))
+    # and both forms drop SOMETHING (non-vacuous at this SF)
+    assert any(k == 0 for k in two.values())
+    assert any(k == 0 for k in three.values())
+
+
 def test_image_near_dup_phash_planted(spark):
     """dHash near-dup semantics (operators direct): a byte-level
     mutation of an asset (one grid byte moved) lands within the Hamming
@@ -906,6 +940,42 @@ def test_image_near_dup_phash_planted(spark):
     assert banded == brute
     assert (1, 2) in banded and banded[(1, 2)] <= 4  # mutation caught
     assert (1, 3) not in banded and (2, 3) not in banded  # unrelated not
+
+
+def test_video_near_dup_frames_planted(spark, tmp_path):
+    """Frame-voting semantics on a controlled corpus: a first-byte
+    mutation of a LONG asset (many sampled frames) shares all but frame
+    0 and is caught; an unrelated asset shares nothing; a SHORT asset
+    (one frame) whose single frame moved shares 0% and is correctly NOT
+    a near-dup. Run through the registered query so the mapInPandas
+    sampler, df cap, and containment filter are all on the path."""
+    import pandas as pd
+
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        ID_OFFSET,
+    )
+
+    # doc_id % 2 == 0 enters the fixture; mutation gets doc_id+OFFSET
+    long_text = "".join("%04d" % i for i in range(500))  # 2000 chars, 20 frames
+    rows = [
+        (2, long_text, "en", "s0", len(long_text)),
+        (4, "completely different payload " * 70, "en", "s1", 29 * 70),
+        (6, "tiny", "en", "s2", 4),  # 1 frame only
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.id_a, r.id_b): (r.shared_frames, r.containment_bp)
+        for r in QUERIES["video_near_dup_frames"](spark, str(tmp_path)).collect()
+    }
+    assert (2, 2 + ID_OFFSET) in out  # long mutated copy caught
+    shared, bp = out[(2, 2 + ID_OFFSET)]
+    assert bp >= 9000 and shared >= 19
+    assert (6, 6 + ID_OFFSET) not in out  # single-frame copy: 0 shared
+    assert all({a % ID_OFFSET, b % ID_OFFSET} != {2, 4} for a, b in out)
 
 
 def test_lsh_recall_certification_s_curve(spark):
