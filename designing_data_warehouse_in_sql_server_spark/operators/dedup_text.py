@@ -379,7 +379,32 @@ def simhash_near_pairs(
     fingerprint is n_bits chars); the self-join shuffles on short
     segment keys; distinct() collapses pairs that collide in several
     segments before verification. Carrying the fingerprint through the
-    join keeps verification join-free."""
+    join keeps verification join-free. Key-width regime: segments are
+    n_bits/(max_hamming+1) bits, so this form degenerates toward
+    n²/2^width candidates once the corpus outgrows 2^width docs — use
+    simhash_near_pairs_multitable past that (see its header for the
+    measured cliff)."""
+    n_seg = max_hamming + 1
+    base, rem = divmod(n_bits, n_seg)
+    segs, start = [], 1
+    for i in range(n_seg):
+        ln = base + (1 if i < rem else 0)
+        segs.append(
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.substring("simhash", start, ln).alias("val"),
+            )
+        )
+        start += ln
+    return _banded_hamming_pairs(fingerprints, id_col, segs, max_hamming, n_bits)
+
+
+def _banded_hamming_pairs(
+    fingerprints: DataFrame, id_col: str, segs: list, max_hamming: int, n_bits: int
+) -> DataFrame:
+    """Shared candidate-join + verify tail of both banded Hamming
+    forms: explode each fingerprint into its (table, key) rows, bucket
+    equi-join, distinct pairs, full Hamming verification."""
     # Guard against a caller passing an n_bits that disagrees with how
     # the fingerprint was actually built (e.g. bits=32 fingerprints with
     # the default n_bits=16): segments and Hamming would silently be
@@ -393,7 +418,7 @@ def simhash_near_pairs(
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"simhash_near_pairs: n_bits={n_bits} does not match "
+                        f"banded hamming pairs: n_bits={n_bits} does not match "
                         "fingerprint length "
                     ),
                     F.length("simhash").cast("string"),
@@ -401,18 +426,6 @@ def simhash_near_pairs(
             )
         ),
     )
-    n_seg = max_hamming + 1
-    base, rem = divmod(n_bits, n_seg)
-    segs, start = [], 1
-    for i in range(n_seg):
-        ln = base + (1 if i < rem else 0)
-        segs.append(
-            F.struct(
-                F.lit(i).alias("seg"),
-                F.substring("simhash", start, ln).alias("val"),
-            )
-        )
-        start += ln
     # checkpoint before the self-join: exchange reuse does not fire across
     # aliased self-join sides, so without this the (expensive) fingerprint
     # aggregation under `fingerprints` runs twice (same measured fix as
@@ -447,6 +460,60 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs_multitable(
+    fingerprints: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    n_bits: int = 64,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Wide-corpus form of ``simhash_near_pairs`` (Manku, Jain & Das
+    Sarma, WWW'07 §3): the contiguous-segment pigeonhole's key width is
+    n_bits/(max_hamming+1) — 13 bits for a 64-bit hash at h=4 — so once
+    the corpus outgrows 2^key_width, EVERY bucket holds n/2^13 docs and
+    candidate volume degenerates toward n²/2^13 (measured: the 100×
+    image corpus, 500k assets, drove the segment form to 2 873 s —
+    460× over its 1× run — almost entirely candidate-join work).
+
+    Fix: split the hash into ``n_blocks`` blocks and build one table
+    per COMBINATION of (n_blocks − max_hamming) blocks, keyed by those
+    blocks' concatenated bits. A pair within ``max_hamming`` corrupts
+    at most max_hamming blocks, so at least (n_blocks − max_hamming)
+    blocks are clean and SOME table's whole key matches — the same
+    no-false-negative guarantee, but with C(8,4)=70 tables of 32-bit
+    keys: random-collision candidates fall from n²/2^13 to 70·n²/2^32
+    (negligible below ~10^8 docs) at the price of a 70-row-per-doc
+    explode (vs 5). The explode overtakes the segment form's candidate
+    volume only below n ≈ (tables·2^seg_width)/(h+1) ≈ 115k docs —
+    callers dispatch on the corpus size (the repo's size-adaptive
+    pattern; see image_near_dup_phash).
+
+    Same verification tail as the segment form — the candidate set may
+    differ, the verified RESULT is identical (both are exact
+    generate-and-verify schemes)."""
+    from itertools import combinations
+
+    assert n_blocks > max_hamming, "need at least one clean block"
+    base, rem = divmod(n_bits, n_blocks)
+    bounds, start = [], 1
+    for i in range(n_blocks):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+    segs = [
+        F.struct(
+            F.lit(t).alias("seg"),
+            F.concat(
+                *[F.substring("simhash", bounds[b][0], bounds[b][1]) for b in combo]
+            ).alias("val"),
+        )
+        for t, combo in enumerate(
+            combinations(range(n_blocks), n_blocks - max_hamming)
+        )
+    ]
+    return _banded_hamming_pairs(fingerprints, id_col, segs, max_hamming, n_bits)
 
 
 def simhash_near_pairs_allpairs(

@@ -1010,10 +1010,25 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {B}
 PHASH_NEAR_DUP_ORACLE = _phash_oracle()
 
 
+# Size-adaptive candidate-join dispatch: the contiguous-segment
+# pigeonhole's 13-bit keys degenerate toward n²/2^13 candidates once
+# the asset count outgrows the key space (MEASURED: 500k assets drove
+# it to 2 873 s at the 100× frontier — 460× over 1× — nearly all
+# candidate-join work); past this bound the Manku-style multi-table
+# form (C(8,4)=70 tables of 32-bit keys) generates near-zero random
+# candidates for a 14× wider explode. Crossover where the explode
+# overtakes the segment form's collision volume: n ≈ 70·2^13/5 ≈ 115k.
+PHASH_MULTITABLE_MIN_ASSETS = 100_000
+
+
 @register("image_near_dup_phash", PHASH_NEAR_DUP_ORACLE)
 def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup_text import simhash_near_pairs
+    from ..operators.dedup_text import (
+        simhash_near_pairs,
+        simhash_near_pairs_multitable,
+    )
     from ..operators.multimodal import perceptual_hash
+    from ..sources.parquet import table_row_count
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 0
@@ -1026,7 +1041,14 @@ def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = perceptual_hash(
         assets, grid_w=_PHASH_GRID_W, grid_h=_PHASH_GRID_H
     ).select("asset_id", F.col("phash").alias("simhash"))
-    return simhash_near_pairs(
+    # free footer hint: assets = 2 * (docs/2) = the documents count
+    n_assets = table_row_count(sf_dir, "documents")
+    pairs = (
+        simhash_near_pairs_multitable
+        if n_assets > PHASH_MULTITABLE_MIN_ASSETS
+        else simhash_near_pairs
+    )
+    return pairs(
         fp, "asset_id", max_hamming=PHASH_MAX_HAMMING, n_bits=_PHASH_BITS
     ).withColumn("hamming", F.col("hamming").cast("int"))
 

@@ -717,6 +717,60 @@ FRONTIER_R9M = (
 # shuffle-byte cut is exactly what should bring the probe home.
 FRONTIER_R10 = ("lsh_recall_certification",)
 
+# Round-10c: image_near_dup_phash RE-RUN after the size-adaptive
+# multi-table dispatch (the segment form's 13-bit keys measured 460x
+# at 100x — candidate volume n²/2^13; the Manku C(8,4) tables cut
+# random candidates to 70·n²/2^32) — on a GRID-disjoint fixture: the
+# shared salted-docs scaling appends a copy suffix to every WORD,
+# which leaves the byte-adjacent comparisons a dHash grid is built
+# from almost untouched, so copies i and j of the same document are
+# TRUE near-dups of each other (hamming <= 4) and the planted pair
+# structure is quadratic in copies BY CONSTRUCTION (~25M pairs at
+# 100x — an output-size artifact, not an operator cost). Rotating
+# each copy's text by a copy-dependent offset gives every copy a
+# different 72-byte grid region: within-copy diversity preserved,
+# across-copy grids unrelated, planted structure linear — the same
+# disjointness discipline the salted fixture provides for word-level
+# operators, applied to the byte-grid level this operator reads.
+FRONTIER_R10C = ("image_near_dup_phash",)
+
+
+def main_frontier_r10c() -> None:
+    import tempfile
+
+    spark = get_spark("ddw-scaling-probe-frontier-r10c")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    names = FRONTIER_R10C
+    base = run_heavies_named(spark, SF_DIR, 1, names)
+    with tempfile.TemporaryDirectory(prefix="ddw_probe_r10c_") as tmp:
+        docs = load_table(spark, SF_DIR, "documents")
+        copies = spark.range(SCALE).select(F.col("id").alias("__copy"))
+        # rotation offset: co-prime-ish stride so distinct copies read
+        # distinct grid regions; modulo doc length keeps it valid
+        off = (F.col("__copy") * 131 + 1) % F.greatest(F.length("text"), F.lit(1))
+        rotated = F.concat(
+            F.expr("substr(text, CAST(__off AS INT) + 1)"),
+            F.expr("substr(text, 1, CAST(__off AS INT))"),
+        )
+        docs.crossJoin(F.broadcast(copies)).withColumn("__off", off).select(
+            (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+            rotated.alias("text"),
+            "lang",
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+        ).repartition(_probe_files(spark)).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        scaled = run_heavies_named(spark, tmp, SCALE, names)
+    summary = {
+        "mode": "frontier_r10c",
+        "scale": SCALE,
+        "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None
+                   for k in scaled},
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
 _FRONTIER_MODES = {
     "frontier_r7": (FRONTIER_R7, False),
     "frontier_w5": (FRONTIER_W5, False),
@@ -992,6 +1046,9 @@ def main() -> None:
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r10b":
         main_frontier_r10b()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r10c":
+        main_frontier_r10c()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()

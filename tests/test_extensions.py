@@ -940,6 +940,19 @@ def test_image_near_dup_phash_planted(spark):
     assert banded == brute
     assert (1, 2) in banded and banded[(1, 2)] <= 4  # mutation caught
     assert (1, 3) not in banded and (2, 3) not in banded  # unrelated not
+    # the wide-corpus multi-table form is result-identical (both are
+    # exact generate-and-verify schemes over the same fingerprints)
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        simhash_near_pairs_multitable,
+    )
+
+    multit = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs_multitable(
+            fp, "asset_id", max_hamming=4, n_bits=64, n_blocks=8
+        ).collect()
+    }
+    assert multit == brute
 
 
 def test_video_near_dup_frames_planted(spark, tmp_path):
