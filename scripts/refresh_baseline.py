@@ -93,20 +93,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # single materialization of the quantized scan — semantic_dedup's
 # minimum dropped 4.72 -> 1.76 s). All committed rows now describe
 # current code.
-# Round-10 FRESH set: lsh_recall_certification's truth side rewritten
-# onto 40-bit polynomial shingle fingerprints (performance-class change
-# — the prior minimum describes the raw-string-shuffle plan, and the
-# rewrite also dropped the two sizes join-backs); the four quiet-pass
-# >2x entries VERDICT r9 #6 flagged for re-measure on unchanged code
-# (winsorize_percentile, zipf_law_fit, yoy_growth, triangle_count).
-# Clear after the r10 refresh.
-FRESH: set[str] = {
-    "lsh_recall_certification",
-    "winsorize_percentile",
-    "zipf_law_fit",
-    "yoy_growth",
-    "triangle_count",
-}
+# Round-10 FRESH set (cleared 2026-08-16 after the r10 refresh from
+# two solo quiet passes, totals 221.2/223.0 s): lsh_recall_certification
+# re-measured after the fingerprint truth-side rewrite (new minimum
+# 3.92 s vs the pre-rewrite 4.37); the four VERDICT r9 #6 >2x entries
+# all came back at/near their committed minima on unchanged code
+# (winsorize 0.64 vs 0.56, zipf 0.287 vs 0.25, yoy 0.385 vs 0.33,
+# triangle 1.04 vs 1.06) — the earlier inflation was tail noise, as the
+# loadavg telemetry suggested. All committed rows describe current code.
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 
