@@ -1268,6 +1268,27 @@ SHUFFLE_COUNT_TOP20 = {
     "lsh_recall_certification": 8,
     "knn_label_noise": 4,
     "stupid_backoff_lm": 9,
+    # r11 (VERDICT r10 #2): the round-10 heavies that entered the bench
+    # top-20 unpinned. semantic_dedup_incremental_store's 0 = index
+    # build + batch probe both run EAGERLY (TableStore writes +
+    # localCheckpoint) so the returned keep-set plan is
+    # checkpoint-visible, the iterative-kernel convention above.
+    # image_near_dup_phash's 1 = the single banded-key candidate
+    # aggregate; dHash itself is a no-shuffle Arrow mapInPandas pass
+    # and verification rides the banded equi-join's partitioning.
+    # packed_sequence_roundtrip's 0 = the packed WRITER materializes
+    # through the TableStore before return; the read-back fill
+    # accounting is scan-shaped over the stored table.
+    # semantic_dedup_ivf3's 4 matches its flat/ivf siblings —
+    # coarse/mid/fine assignment runs behind the localCheckpoint, the
+    # pinned tail is the cid prune join + keep aggregate family.
+    # table_restore_roundtrip's 0 = all versioned DML executes eagerly
+    # in the store; the returned post-RESTORE read is a pure scan.
+    "semantic_dedup_incremental_store": 0,
+    "image_near_dup_phash": 1,
+    "packed_sequence_roundtrip": 0,
+    "semantic_dedup_ivf3": 4,
+    "table_restore_roundtrip": 0,
 }
 
 
