@@ -710,6 +710,53 @@ FRONTIER_R9M = (
     "table_restore_roundtrip",
 )
 
+# Round-11 (VERDICT r10 #3): text simhash AFTER the 64-bit + dispatch
+# rewrite, on the same salted 100x corpus (500k docs) that drove the
+# committed 32-bit segment row to 370.45 s. Three timings per scale:
+# the REGISTERED dispatch semantics (64-bit segment form below the
+# ~20M-doc crossover), the Manku multi-table arm at the same width
+# (expected SLOWER here — its 28-row explode is repaid only past the
+# crossover; the row documents the dispatch threshold's direction),
+# and the retired 32-bit segment form at 1x for the A/B anchor.
+# ---------------------------------------------------------------------------
+def main_frontier_r11_simhash() -> None:
+    spark = get_spark("ddw-scaling-probe-r11-simhash")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        simhash_near_pairs_multitable,
+    )
+
+    out = {}
+    for scale in (1, SCALE):
+        docs = salted_docs(spark, scale).localCheckpoint(eager=True)
+
+        def fp64():
+            return simhash_fingerprint(docs, "doc_id", "text", bits=64)
+
+        out[f"seg64_{scale}x"] = timed(
+            "simhash_seg64", scale,
+            lambda: simhash_near_pairs(fp64(), "doc_id", max_hamming=2, n_bits=64),
+        )
+        out[f"multi64_{scale}x"] = timed(
+            "simhash_multi64", scale,
+            lambda: simhash_near_pairs_multitable(
+                fp64(), "doc_id", max_hamming=2, n_bits=64, n_blocks=8
+            ),
+        )
+    summary = {
+        "mode": "frontier_r11_simhash",
+        "scale": SCALE,
+        "ratios": {
+            "seg64": round(out[f"seg64_{SCALE}x"] / out["seg64_1x"], 2),
+            "multi64": round(out[f"multi64_{SCALE}x"] / out["multi64_1x"], 2),
+        },
+        "timings": out,
+    }
+    print(json.dumps(summary), flush=True)
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
 # Round-10: lsh_recall_certification AFTER the truth-side fingerprint
 # rewrite (VERDICT r9 #2): raw string shingles -> 40-bit polynomial
 # BIGINTs in every truth-side shuffle. The r9h run exceeded this host's
@@ -1046,6 +1093,9 @@ def main() -> None:
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r10b":
         main_frontier_r10b()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r11_simhash":
+        main_frontier_r11_simhash()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r10c":
         main_frontier_r10c()

@@ -203,6 +203,41 @@ def test_simhash_banded_agrees_with_allpairs(spark):
         assert banded == brute, f"max_hamming={d}: banded != all-pairs"
 
 
+def test_simhash_text_multitable_dispatch_result_identical(spark, monkeypatch):
+    """r11 (VERDICT r10 #3): the registered text query dispatches on the
+    documents footer count to the Manku multi-table form past
+    SIMHASH_MULTITABLE_MIN_DOCS. Both arms are exact generate-and-verify
+    over the same 64-bit fingerprints, so forcing the dispatch (threshold
+    -> 0) must return the IDENTICAL pair set — and both must equal the
+    all-pairs reference."""
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        simhash_fingerprint,
+        simhash_near_pairs_allpairs,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans import (
+        extensions as X,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        _with_near_copies,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    seg = {tuple(r) for r in X.simhash_near_pairs_query(spark, sf).collect()}
+    monkeypatch.setattr(X, "SIMHASH_MULTITABLE_MIN_DOCS", 0)
+    multi = {tuple(r) for r in X.simhash_near_pairs_query(spark, sf).collect()}
+    assert seg == multi and len(seg) > 0
+    docs = _with_near_copies(load_table(spark, sf, "documents"))
+    fp = simhash_fingerprint(docs, "doc_id", "text", k=3, bits=64).localCheckpoint()
+    brute = {
+        tuple(r)
+        for r in simhash_near_pairs_allpairs(
+            fp, "doc_id", max_hamming=2, n_bits=64
+        ).collect()
+    }
+    assert seg == brute
+
+
 def test_approx_distinct_within_error_bound(spark):
     """The verified-approximate form folds the HLL error bound into the
     query itself: exact counts ride alongside within-bound booleans
@@ -953,6 +988,29 @@ def test_image_near_dup_phash_planted(spark):
         ).collect()
     }
     assert multit == brute
+
+
+def test_multimodal_recall_certifications_s_curve(spark):
+    """r11 (VERDICT r10 #6): the image/video certification queries must
+    report a genuine S-curve at sf0.01 — light tier fully caught, heavy
+    tier fully missed, middle tier strictly between (an all-10000 or
+    all-0 report certifies nothing; the LSH certification learned this
+    the hard way)."""
+    import __spark_entry__ as e  # noqa: F401
+    from designing_data_warehouse_in_sql_server_spark.plans import QUERIES
+
+    for name in (
+        "image_phash_recall_certification",
+        "video_frame_recall_certification",
+    ):
+        rows = {r.tier: r for r in QUERIES[name](spark, "/root/testdata/sf0.01").collect()}
+        tiers = sorted(rows)
+        assert len(tiers) == 3, (name, tiers)
+        light, mid, heavy = (rows[t] for t in tiers)
+        assert light.catch_bp == 10000, (name, light)
+        assert heavy.catch_bp == 0, (name, heavy)
+        assert 0 < mid.catch_bp < 10000, (name, mid)
+        assert all(rows[t].n_pairs > 50 for t in tiers), (name, rows)
 
 
 def test_video_near_dup_frames_planted(spark, tmp_path):
