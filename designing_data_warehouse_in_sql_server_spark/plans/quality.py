@@ -3337,17 +3337,22 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_MERGES = 3
 
 
-def _bpe_chain(n_merges: int, carry_word: bool) -> str:
+def _bpe_chain(
+    n_merges: int, carry_word: bool, source: str = "documents", lead: str = "WITH"
+) -> str:
     """The shared WITH-chain of the BPE oracles: symbolized vocabulary
     v0, then per merge round r the pair counts p{r}, the argmax t{r},
     and the merged vocabulary v{r}. `carry_word` threads the original
     word through every v{r} (the encoder needs the word -> token-count
-    map; the trainer only needs the rules)."""
+    map; the trainer only needs the rules). `source` is the (doc_id,
+    text) relation the vocabulary trains on; `lead=","` splices the
+    chain into an enclosing WITH (the composite pipeline trains on its
+    own survivor CTE)."""
     w_sel = "w, " if carry_word else ""
     pre = rf"""
-WITH vocab AS (
+{lead} vocab AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM {source}
   ) WHERE length(w) >= 1 GROUP BY w
 ),
 v0 AS (
@@ -3701,14 +3706,17 @@ FROM tokens GROUP BY 1"""
 PACKED_ROUNDTRIP_ORACLE = _packed_roundtrip_oracle()
 
 
-def _packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(seq_id, tokens array<string>) — the materialized packed
-    sequences, exactly the manifest's layout over the real BPE symbol
-    stream."""
+def _packed_stream_relations(
+    docs: DataFrame, n_hint: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Trains BPE on the given (doc_id, text) corpus and returns
+    (doctok, g0, tokens): per-doc token counts, each doc's global
+    stream offset, and the globally-positioned token stream
+    (gpos, token) in the manifest's (n_tokens DESC, doc_id) concat
+    order. Shared by the packed writer (full corpus) and the LLM
+    pipeline composite (its curated survivor set)."""
     from ..operators.ids import prefix_sum
 
-    B = SEQ_PACK_BUDGET
-    docs = load_table(spark, sf_dir, "documents")
     _, merged = _bpe_merge_loop(
         _bpe_symbolized_vocab(docs, carry_word=True), BPE_TRAIN_MERGES
     )
@@ -3732,7 +3740,7 @@ def _packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         [F.col("n_tokens").desc(), F.col("doc_id")],
         "cum",
-        n_hint=table_row_count(sf_dir, "documents"),
+        n_hint=n_hint,
     ).select("doc_id", (F.col("cum") - F.col("n_tokens")).alias("g0"))
     # posexplode first, then the closed-form global position
     tokens = (
@@ -3743,6 +3751,14 @@ def _packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
         )
     )
+    return doctok, g0, tokens
+
+
+def _sequences_from_stream(tokens: DataFrame) -> DataFrame:
+    """(gpos, token) -> (seq_id, tokens array<string>): every
+    SEQ_PACK_BUDGET-token window of the global stream becomes one
+    sequence (per-group state budget-bounded)."""
+    B = SEQ_PACK_BUDGET
     return (
         tokens.groupBy(F.expr(f"gpos div {B}").alias("seq_id"))
         .agg(
@@ -3756,6 +3772,17 @@ def _packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens")
         )
     )
+
+
+def _packed_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(seq_id, tokens array<string>) — the materialized packed
+    sequences, exactly the manifest's layout over the real BPE symbol
+    stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, tokens = _packed_stream_relations(
+        docs, table_row_count(sf_dir, "documents")
+    )
+    return _sequences_from_stream(tokens)
 
 
 @register("packed_sequence_roundtrip", PACKED_ROUNDTRIP_ORACLE)
@@ -3791,6 +3818,95 @@ def packed_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Packed-sequence shard manifest (round 11, VERDICT r10 #8): the last
+# hop to the trainer. The packer emits (seq_id, doc pieces); a trainer
+# additionally needs (a) a deterministic SHUFFLED shard assignment over
+# SEQUENCES — dataset_mix_shards' overflow-guarded Knuth multiplicative
+# hash lifted from documents to packed sequences (h = seq_id%2^31 *
+# 2654435761 % 2^32; shard = h % N_SHARDS, sort_key = h orders the
+# training stream within a shard — reproducible across engines, runs
+# and retries, zero RNG), and (b) the boundary-respecting DOC-SPAN
+# column the attention mask is built from: per sequence, the
+# offset-ordered "doc_id:offset:len" spans (block-diagonal attention
+# masks and per-doc loss masking both derive from exactly these
+# triples; a canonical string keeps the column oracle-hashable).
+#
+# Scale: one hash aggregate on seq_id over the manifest (per-group
+# state budget-bounded — a 512-token sequence holds <= 512 pieces);
+# shard/sort_key are per-row projections. The writer realizes the
+# training order with repartition(shard) +
+# sortWithinPartitions(sort_key), exactly the dataset_mix_shards
+# discipline.
+# ---------------------------------------------------------------------------
+def _packed_shard_oracle() -> str:
+    from .training import _KNUTH, _MOD, _PREMOD, N_SHARDS
+
+    return f"""
+WITH manifest AS ({SEQ_PACK_ORACLE}),
+per_seq AS (
+  SELECT seq_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(piece_tokens) AS BIGINT) AS n_tokens,
+         string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(offset_in_seq AS VARCHAR) || ':' ||
+                    CAST(piece_tokens AS VARCHAR),
+                    ';' ORDER BY offset_in_seq) AS doc_spans
+  FROM manifest GROUP BY seq_id
+)
+SELECT CAST(h % {N_SHARDS} AS INT) AS shard, h AS sort_key,
+       seq_id, n_docs, n_tokens, doc_spans
+FROM (SELECT *, seq_id % {_PREMOD} * {_KNUTH} % {_MOD} AS h FROM per_seq)
+"""
+
+
+PACKED_SHARD_ORACLE = _packed_shard_oracle()
+
+
+@register("packed_shard_manifest", PACKED_SHARD_ORACLE)
+def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training import _KNUTH, _MOD, _PREMOD, N_SHARDS
+
+    manifest = sequence_pack_tokens(spark, sf_dir)
+    per_seq = (
+        manifest.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("piece_tokens").cast("long").alias("n_tokens"),
+            # array_sort on (offset, doc, len) structs orders by offset
+            # (unique within a sequence: pieces tile it disjointly)
+            F.array_sort(
+                F.collect_list(
+                    F.struct("offset_in_seq", "doc_id", "piece_tokens")
+                )
+            ).alias("__spans"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_tokens",
+            F.array_join(
+                F.transform(F.col("__spans"), lambda s: F.concat_ws(
+                    ":",
+                    s["doc_id"].cast("string"),
+                    s["offset_in_seq"].cast("string"),
+                    s["piece_tokens"].cast("string"),
+                )),
+                ";",
+            ).alias("doc_spans"),
+        )
+    )
+    h = F.col("seq_id") % _PREMOD * _KNUTH % _MOD
+    return per_seq.select(
+        (h % N_SHARDS).cast("int").alias("shard"),
+        h.alias("sort_key"),
+        "seq_id",
+        "n_docs",
+        "n_tokens",
+        "doc_spans",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4438,11 +4554,13 @@ ORDER BY source
 """
 
 
-@register("corpus_curation_funnel", FUNNEL_ORACLE)
-def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
-    )
+def _funnel_stages(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The four curation stages over a (doc_id, lang, text, ...) corpus
+    — single-sourced so the funnel REPORT and the LLM pipeline
+    COMPOSITE apply byte-identical stage semantics. Extra columns pass
+    through untouched."""
     s1 = docs.filter(F.col("lang") == FUNNEL_LANG)
     s2 = s1.filter(F.size(words_col(F.col("text"))) >= FUNNEL_MIN_WORDS)
     s3 = (
@@ -4466,6 +4584,15 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
+    return s1, s2, s3, s4
+
+
+@register("corpus_curation_funnel", FUNNEL_ORACLE)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    s1, s2, s3, s4 = _funnel_stages(docs)
 
     def per_source(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("source").agg(F.count("*").cast("long").alias(name))
@@ -4490,6 +4617,304 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_bp"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline, end to end (round 11, VERDICT r10 #4):
+# the training-data analog of pipeline_end_to_end — ONE registered
+# composite running the certified stages in production order against a
+# real TableStore, with a stage-by-stage oracle. Stages:
+#   1 curation funnel (the registered _funnel_stages semantics:
+#     lang -> quality floor -> exact dedup -> dup-span gate) over the
+#     corpus + planted near-copies,
+#   2 NEAR dedup: MinHash-LSH candidate pairs -> connected components
+#     -> keep the min-id of each duplicate component,
+#   3 BPE trained ON THE SURVIVOR SET + corpus encode,
+#   4 sequence-packing manifest over the encoded counts,
+#   5 the packed-dataset WRITER through the TableStore, accounting
+#     re-derived from the STORED table.
+# Output: one row per stage (stage, n_rows, checksum) — counts plus an
+# integer checksum pinning the stage's actual content (id-fold for doc
+# sets, token totals for the encode, an assignment-sensitive piece fold
+# for the manifest, the order-sensitive stored-stream fold for the
+# writer). Composition is where stage-order and survivor-set-handoff
+# bugs live (the funnel's "measured among the SURVIVOR set" subtlety;
+# a tokenizer trained pre-dedup sees duplicated vocabulary) — each
+# stage is individually certified, THIS query certifies the handoffs.
+#
+# Planted fixture: a near-copy of every document with every 7th word
+# dropped — runs of 6 consecutive original words keep every shared
+# span under the DUPSPAN_W=8 window (stage 1's dup-span gate must NOT
+# kill the plant; that is stage 2's job), while 2-word-shingle Jaccard
+# stays ~0.6, inside the LSH S-curve where most copies are caught.
+# Both engines compute the identical band hashes, so which copies are
+# caught is deterministic and the oracle replays it exactly.
+#
+# Scale: every stage keeps its certified shape (scan filters, one
+# text-key window, the linear dup-span kernel, banded LSH equi-join,
+# eager bounded CC loop, vocabulary-sized BPE state, ONE doc-level
+# ordered pass for packing, O(tokens) store write); the summary rows
+# are five 1-row global aggregates over checkpointed stage outputs
+# (SinglePartition whitelisted — constant-size by construction).
+# ---------------------------------------------------------------------------
+def _llm_pipeline_oracle() -> str:
+    from .extensions import (
+        BANDS,
+        ID_OFFSET,
+        SQL_SHINGLES,
+        _CERT_FP_SQL,
+        _sql_band_bucket,
+    )
+
+    B = SEQ_PACK_BUDGET
+    M = 1 << 40
+    fp = _CERT_FP_SQL.format(s="w.toks[CAST(ti AS BIGINT)]")
+    sigs = " UNION ALL ".join(_sql_band_bucket(b) for b in range(BANDS))
+    return rf"""
+WITH RECURSIVE all_docs0 AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ID_OFFSET} AS doc_id, lang,
+         array_to_string(list_transform(
+           list_filter(range(1, len(words) + 1), i -> i % 7 <> 1),
+           i -> words[i]), ' ') AS text
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM documents)
+),
+s1 AS (SELECT doc_id, text FROM all_docs0 WHERE lang = '{FUNNEL_LANG}'),
+s2 AS (
+  SELECT doc_id, text FROM s1
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        >= {FUNNEL_MIN_WORDS}
+),
+s3 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY trim(lower(text))
+                              ORDER BY doc_id) AS rn
+    FROM s2) WHERE rn = 1
+),
+{_dupspan_cte("s3")},
+s4 AS (
+  SELECT s3.doc_id, s3.text FROM s3
+  JOIN ws USING (doc_id)
+  LEFT JOIN per_doc USING (doc_id)
+  WHERE COALESCE(per_doc.dup_words, 0) * 10000 // len(ws.w)
+        < {FUNNEL_MAX_DUP_BP}
+),
+all_docs AS MATERIALIZED (SELECT doc_id, text FROM s4),
+sh AS MATERIALIZED ({SQL_SHINGLES}),
+sigs AS MATERIALIZED ({sigs}),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+cc AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+final AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM all_docs d
+  LEFT JOIN cc ON cc.node = d.doc_id
+  WHERE cc.component IS NULL OR cc.component = d.doc_id
+){_bpe_chain(BPE_TRAIN_MERGES, carry_word=True, source="final", lead=",")},
+enc AS (
+  SELECT w, string_split(trim(s), '  ') AS toks,
+         CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tok
+  FROM v{BPE_TRAIN_MERGES}
+),
+docw AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS wpos, words[CAST(p AS BIGINT)] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+        FROM final),
+       UNNEST(generate_series(1, len(words))) AS t(p)
+  WHERE length(words[CAST(p AS BIGINT)]) >= 1
+),
+wtok AS MATERIALIZED (SELECT d.doc_id, d.wpos, e.toks, e.n_tok FROM docw d JOIN enc e USING (w)),
+woff AS (
+  SELECT doc_id, wpos, toks, n_tok,
+         SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY wpos) - n_tok AS woff
+  FROM wtok
+),
+doctok AS MATERIALIZED (SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           FROM wtok GROUP BY doc_id),
+g AS MATERIALIZED (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id)
+              - n_tokens AS BIGINT) AS g0
+  FROM doctok
+),
+man AS (
+  SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         CAST(LEAST((seq_id + 1) * {B}, g0 + n_tokens)
+              - GREATEST(seq_id * {B}, g0) AS BIGINT) AS piece_tokens
+  FROM (SELECT doc_id, n_tokens, g0,
+               UNNEST(generate_series(g0 // {B}, (g0 + n_tokens - 1) // {B}))
+                 AS seq_id
+        FROM g)
+),
+tokens AS (
+  SELECT g.g0 + w.woff + (ti - 1) AS gpos, {fp} AS tfp
+  FROM woff w JOIN g USING (doc_id),
+       UNNEST(generate_series(1, len(w.toks))) AS t(ti)
+),
+seqagg AS (
+  SELECT gpos // {B} AS seq_id,
+         CAST(SUM(((gpos % {B}) + 1) * tfp) AS BIGINT) % {M} AS ck
+  FROM tokens GROUP BY 1
+),
+stages AS (
+  SELECT '1_curated' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(doc_id * 131 % {M}) AS BIGINT) AS checksum FROM s4
+  UNION ALL
+  SELECT '2_near_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(doc_id * 131 % {M}) AS BIGINT) FROM final
+  UNION ALL
+  SELECT '3_bpe_encoded', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM doctok
+  UNION ALL
+  SELECT '4_packed_manifest', CAST(COUNT(DISTINCT seq_id) AS BIGINT),
+         CAST(SUM((seq_id + 1) * piece_tokens % {M}) AS BIGINT) FROM man
+  UNION ALL
+  SELECT '5_stored', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(ck) AS BIGINT) FROM seqagg
+)
+SELECT stage, n_rows, checksum FROM stages ORDER BY stage
+"""
+
+
+LLM_PIPELINE_ORACLE = _llm_pipeline_oracle()
+
+
+@register("llm_pipeline_end_to_end", LLM_PIPELINE_ORACLE)
+def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.dedup_text import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ..sources.table_store import TableStore
+    from .extensions import BANDS, ID_OFFSET, ROWS_PER_BAND, _CERT_FP_SPARK
+
+    B = SEQ_PACK_BUDGET
+    M = 1 << 40
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # the planted near-copy drops every 7th word off the NORMALIZED
+    # word array (runs of 6 < DUPSPAN_W=8 — zero shared spans with the
+    # original; shingle Jaccard ~0.6 — inside the LSH catch curve)
+    planted = (
+        docs.withColumn("__w", words_col(F.col("text")))
+        .select(
+            (F.col("doc_id") + ID_OFFSET).alias("doc_id"),
+            "lang",
+            F.expr(
+                "array_join(transform("
+                "filter(sequence(1, size(__w)), i -> i % 7 != 1), "
+                "i -> element_at(__w, i)), ' ')"
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(planted)
+    # stage 1: the certified curation funnel semantics
+    _, _, _, s4 = _funnel_stages(corpus)
+    curated = s4.select("doc_id", "text").localCheckpoint(eager=True)
+    # stage 2: near dedup — banded LSH pairs -> components -> keep min id
+    sigs = minhash_signatures(
+        curated, "doc_id", "text", k=3, bands=BANDS, rows_per_band=ROWS_PER_BAND
+    )
+    labels = connected_components(lsh_candidate_pairs(sigs, "doc_id"))
+    final = (
+        curated.join(
+            labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        )
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    # stages 3-4: BPE trained on the survivors; encode; manifest
+    doctok, g0, tokens = _packed_stream_relations(
+        final, n_hint=2 * table_row_count(sf_dir, "documents")
+    )
+    pieces = doctok.join(g0, "doc_id").select(
+        "g0",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"g0 div {B}"), F.expr(f"(g0 + n_tokens - 1) div {B}")
+            )
+        ).alias("seq_id"),
+    )
+    piece_tok = F.least(
+        (F.col("seq_id") + 1) * B, F.col("g0") + F.col("n_tokens")
+    ) - F.greatest(F.col("seq_id") * B, F.col("g0"))
+    # stage 5: the packed WRITER through a real TableStore
+    packed = _sequences_from_stream(tokens).withColumn(
+        "n_tokens", F.size("tokens").cast("long")
+    )
+    tmp = tempfile.mkdtemp(prefix="ddw_llm_pipe_")
+    try:
+        store = TableStore(spark, tmp)
+        store.overwrite("llm_packed_sequences", packed)
+        back = store.read("llm_packed_sequences")
+        fp = _CERT_FP_SPARK.format(s="t")
+        seq_ck = (
+            F.expr(
+                "aggregate(zip_with(tokens, sequence(1, size(tokens)), "
+                f"(t, i) -> CAST(i AS BIGINT) * ({fp})), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            % M
+        )
+        id_ck = F.col("doc_id") * 131 % M
+
+        def stage(name: str, df: DataFrame, ck) -> DataFrame:
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(ck).cast("long").alias("checksum"),
+            ).select(F.lit(name).alias("stage"), "n_rows", "checksum")
+
+        st4 = (
+            pieces.select("seq_id", piece_tok.alias("pt"))
+            .agg(
+                F.countDistinct("seq_id").cast("long").alias("n_rows"),
+                F.sum((F.col("seq_id") + 1) * F.col("pt") % M)
+                .cast("long")
+                .alias("checksum"),
+            )
+            .select(
+                F.lit("4_packed_manifest").alias("stage"), "n_rows", "checksum"
+            )
+        )
+        out = (
+            stage("1_curated", curated, id_ck)
+            .unionByName(stage("2_near_dedup", final, id_ck))
+            .unionByName(
+                stage("3_bpe_encoded", doctok, F.col("n_tokens"))
+            )
+            .unionByName(st4)
+            .unionByName(stage("5_stored", back, seq_ck))
+            .orderBy("stage")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

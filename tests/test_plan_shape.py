@@ -1149,6 +1149,12 @@ SINGLE_PARTITION_BOUNDED = {
     "heavy_hitter_users", "js_divergence_sources", "kaplan_meier_churn",
     "kmv_distinct_intersection", "ks_test_two_sample",
     "largest_remainder_allocation", "mannwhitney_u_test",
+    # r11: inherits sequence_pack_tokens' size-adaptive prefix sum —
+    # the doc-level manifest relation plans the window form below
+    # WINDOW_FORM_MAX_ROWS (sf0.001), two-phase above; the composite
+    # llm_pipeline_end_to_end is NOT here (its stage aggregates run
+    # behind the eager checkpoint, so the returned plan is a scan)
+    "packed_shard_manifest",
     "model_lift_deciles", "mutual_information",
     "ols_multi_regression", "pareto_frontier", "peak_concurrency",
     "percent_rank_global", "poisson_bootstrap_ci", "psi_drift_bins",
