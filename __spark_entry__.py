@@ -30,83 +30,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness verifies the registry front-to-back (each
 # round covers the first 50 entries), so ordering decides which queries get
-# the official oracle check each round. Round 10 priorities (VERDICT r9
+# the official oracle check each round. Round 11 priorities (VERDICT r10
 # items 1-8): (a) the queries whose implementation or oracle CHANGED
-# this round — the three brand-new operators
-# (semantic_dedup_incremental_store: store-probing IVF SemDeDup for
-# continuous ingest; packed_sequence_roundtrip: the packed-dataset
-# WRITER materializing sequence_pack_tokens' manifest through the
-# TableStore with an order-sensitive stream checksum;
-# image_near_dup_phash: banded dHash over the multimodal byte grid —
-# the image member of the dedup family; video_near_dup_frames:
-# frame-fingerprint voting over the mapInPandas frame sampler — the
-# video member), the truth-side-fingerprinted
-# lsh_recall_certification (40-bit polynomial prints replace raw
-# shingle strings in every truth shuffle; recall integers unchanged),
-# the symmetric-double-rounding bitext_margin_mining / knn_label_noise
-# (ADVICE r9 #2), and semantic_dedup_ivf after the helper extraction
-# its incremental twin reuses; then (b) the ENTIRE 22-query r4-stale
-# set (the drafted r9 queue — clearing it makes every row <= r5);
-# then (c) 21 slots of r5-stale rotation, alphabetical. The 23
-# remaining r5 rows head the round-11 queue below the boundary. Every
-# query is also oracle-diffed locally in tests/test_oracle_parity.py
-# on every run.
+# this round — simhash_near_pairs (64-bit fingerprints + footer-count
+# Manku multitable dispatch, VERDICT r10 #3), the two new multimodal
+# recall certifications (mutation-tier catch-rate contracts for banded
+# dHash and frame voting, #6), video_near_dup_frames (pair algebra
+# extracted to the shared _video_frame_pairs helper the certification
+# reuses), llm_pipeline_end_to_end (the training-data composite:
+# funnel -> LSH+CC near dedup -> survivor-trained BPE -> packing ->
+# packed WRITER through a TableStore, #4), packed_shard_manifest
+# (deterministic sequence shards + doc-span column, #8),
+# packed_sequence_roundtrip (internals refactored into the shared
+# stream helpers), and corpus_curation_funnel (stages extracted to
+# _funnel_stages, reused by the composite); then (b) the COMPLETE
+# 25-query r5-stale set (the drafted r10 queue — clearing it makes
+# every row <= r6, the first time the standing invariant "every latest
+# green <= 2 rounds old" holds); then (c) 17 slots of r6-stale
+# rotation, alphabetical. The 31 remaining r6 rows head the round-12
+# queue below the boundary. Every query is also oracle-diffed locally
+# in tests/test_oracle_parity.py on every run.
 _CHECK_FIRST = (
     # (a) new / changed this round
-    "semantic_dedup_incremental_store",
-    "packed_sequence_roundtrip",
-    "image_near_dup_phash",
+    "simhash_near_pairs",
+    "image_phash_recall_certification",
+    "video_frame_recall_certification",
     "video_near_dup_frames",
-    "lsh_recall_certification",
-    "bitext_margin_mining",
-    "knn_label_noise",
-    "semantic_dedup_ivf",
-    "semantic_dedup_ivf3",
-    # (b) the complete r4-stale set
-    "q15_top_supplier",
-    "q16_supplier_relationship",
-    "q18_large_orders",
-    "q19_brand_discounts",
-    "q20_promotion_candidates",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "repeat_purchase_interval",
-    "rollup_aggregate",
-    "sessionize_events",
-    "set_operations",
-    "topk_orders",
-    "topk_per_group",
-    "window_first_last",
-    "window_lag_lead_delta",
-    "window_running_sum",
-    # (c) r5-stale rotation, alphabetical
-    "approx_distinct_rollup",
-    "asof_join_attribution",
-    "asof_join_forward",
-    "categorical_label_encode",
-    "chunk_documents",
-    "cohort_retention",
-    "collect_set_sorted",
-    "correlated_subquery",
-    "cube_aggregate",
-    "customer_rfm_segmentation",
-    "dataset_mix_shards",
-    "date_dimension",
-    "date_enrichment",
-    "decontaminate_ngrams",
-    "dedup_connected_components",
-    "dedup_incremental_lsh",
-    "dedup_keep_best",
-    "dedup_row_number",
-    "dedup_segments",
-    # --- 50-query window boundary is here (9 changed/new + 22 r4 + 19
-    # r5). Round-11 queue: the remaining r5-stale rows ---
+    "llm_pipeline_end_to_end",
+    "packed_shard_manifest",
+    "packed_sequence_roundtrip",
+    "corpus_curation_funnel",
+    # (b) the complete r5-stale set
     "distinct_count",
     "distinct_dimension",
     "doc_fingerprint",
@@ -132,6 +86,56 @@ _CHECK_FIRST = (
     "topk_per_group_with_ties",
     "triangle_count",
     "unpivot_event_counts",
+    # (c) r6-stale rotation, alphabetical
+    "abc_classification",
+    "argmax_per_group",
+    "asof_join_nearest",
+    "benford_first_digit",
+    "bitmap_exact_distinct",
+    "contingency_chi_square",
+    "cusum_mean_shift",
+    "decontaminate_bloom",
+    "dedup_incremental_lsh_store",
+    "equi_depth_histogram",
+    "funnel_conversion",
+    "impute_group_mean",
+    "lang_id_ngram",
+    "merge_insert_only",
+    "merge_upsert_full_outer",
+    "minhash_jaccard_estimate",
+    "mode_per_group",
+    # --- 50-query window boundary is here (8 changed/new + 25 r5 +
+    # 17 r6). Round-12 queue: the remaining r6-stale rows ---
+    "multimodal_features",
+    "pack_sequences",
+    "pareto_frontier",
+    "peak_concurrency",
+    "percent_rank_global",
+    "pii_scrub",
+    "prepare_corpus",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q17_small_quantity",
+    "q22_dormant_customers",
+    "q6_revenue_forecast",
+    "quality_repetition",
+    "range_join_event_pairs",
+    "salted_skew_join",
+    "scalar_expressions",
+    "share_of_parent",
+    "stratified_kfold",
+    "stratified_sample",
+    "surrogate_key_join",
+    "systematic_sample",
+    "text_quality_score",
+    "timeseries_gap_fill",
+    "token_count",
+    "train_val_test_split",
+    "unknown_member_join",
+    "watermark_max_date",
+    "window_relative_rank",
+    "yoy_growth",
 )
 
 

@@ -101,7 +101,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (winsorize 0.64 vs 0.56, zipf 0.287 vs 0.25, yoy 0.385 vs 0.33,
 # triangle 1.04 vs 1.06) — the earlier inflation was tail noise, as the
 # loadavg telemetry suggested. All committed rows describe current code.
-FRESH: set[str] = set()
+# Round-11 FRESH set: simhash_near_pairs rewritten to 64-bit
+# fingerprints + the Manku multitable footer dispatch (the 32-bit
+# committed minimum describes the retired kernel). The four new r11
+# queries (llm_pipeline_end_to_end, packed_shard_manifest,
+# image_phash_recall_certification, video_frame_recall_certification)
+# enter with fresh minima automatically as new entries.
+FRESH: set[str] = {"simhash_near_pairs"}
 
 BASELINE = "BASELINE.md"
 

@@ -757,6 +757,36 @@ def main_frontier_r11_simhash() -> None:
 
 
 # ---------------------------------------------------------------------------
+# Round-11b: the round's four new registered queries at the frontier.
+# llm_pipeline_end_to_end is the one with composition risk: funnel
+# filters + text-key window + dup-span kernel (all certified linear),
+# then LSH+CC over the salted corpus (disjoint copies -> planted pairs
+# only within a copy), survivor-trained BPE (the 42.5x encode class),
+# one doc-level ordered pass, and an O(tokens) store write — expect
+# the encode class to dominate. packed_shard_manifest adds one
+# seq-keyed hash aggregate to the certified manifest. The two
+# certifications are fixed-rate samples of the corpus through the
+# certified banded/winnowing pair machinery (image: the Manku
+# dispatch fires above 100k assets at this scale).
+FRONTIER_R11B = (
+    "llm_pipeline_end_to_end",
+    "packed_shard_manifest",
+)
+
+# Round-11c: the two multimodal recall certifications on the
+# GRID-DISJOINT rotated fixture (main_frontier_r10c's builder — word
+# salting leaves byte-adjacent grids nearly identical across copies,
+# so under the salted fixture every copy pair is a true near-dup and
+# the banded join's OUTPUT is quadratic in copies; measured: the
+# image cert ran >20 min at 100x salted before being killed, the
+# documented r10c artifact). Rotation gives each copy a distinct
+# byte-grid/frame region: planted structure stays the per-asset
+# mutation tiers the queries build themselves, linear in the corpus.
+FRONTIER_R11C = (
+    "image_phash_recall_certification",
+    "video_frame_recall_certification",
+)
+
 # Round-10: lsh_recall_certification AFTER the truth-side fingerprint
 # rewrite (VERDICT r9 #2): raw string shingles -> 40-bit polynomial
 # BIGINTs in every truth-side shuffle. The r9h run exceeded this host's
@@ -782,14 +812,13 @@ FRONTIER_R10 = ("lsh_recall_certification",)
 FRONTIER_R10C = ("image_near_dup_phash",)
 
 
-def main_frontier_r10c() -> None:
+def main_frontier_rotated(mode: str, names: tuple[str, ...]) -> None:
     import tempfile
 
-    spark = get_spark("ddw-scaling-probe-frontier-r10c")
+    spark = get_spark(f"ddw-scaling-probe-{mode}")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    names = FRONTIER_R10C
     base = run_heavies_named(spark, SF_DIR, 1, names)
-    with tempfile.TemporaryDirectory(prefix="ddw_probe_r10c_") as tmp:
+    with tempfile.TemporaryDirectory(prefix=f"ddw_probe_{mode}_") as tmp:
         docs = load_table(spark, SF_DIR, "documents")
         copies = spark.range(SCALE).select(F.col("id").alias("__copy"))
         # rotation offset: co-prime-ish stride so distinct copies read
@@ -810,7 +839,7 @@ def main_frontier_r10c() -> None:
         )
         scaled = run_heavies_named(spark, tmp, SCALE, names)
     summary = {
-        "mode": "frontier_r10c",
+        "mode": mode,
         "scale": SCALE,
         "ratios": {k: round(scaled[k] / base[k], 2) if base.get(k) else None
                    for k in scaled},
@@ -844,6 +873,7 @@ _FRONTIER_MODES = {
     "frontier_r9l": (FRONTIER_R9L, True, False),
     "frontier_r9m": (FRONTIER_R9M, False),
     "frontier_r10": (FRONTIER_R10, True, False),
+    "frontier_r11b": (FRONTIER_R11B, True, False),
 }
 
 
@@ -1084,9 +1114,97 @@ def main_ivf3_ab() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# Round-11 fixed-batch increment probe (VERDICT r10 #5): the
+# PRODUCTION claim of semantic_dedup_incremental_store is O(|batch|)
+# per increment against a stored index — the r10 frontier row (13.94x)
+# scaled batch AND corpus together, so the per-increment claim stayed
+# prose. Here the batch is FIXED (the 2000 base vectors, ids shifted
+# above every corpus id) while the stored corpus index grows
+# 1x/10x/100x (dense-id scaling, the seed-rule contract). The honest
+# model is NOT perfectly flat: per batch vector, assignment scores
+# m + p*k/m ~ 3*sqrt(k) centroids (k grows with the corpus at fixed
+# cluster size), and the prune joins cluster-size-bounded members —
+# so expect slow sqrt-ish growth in t_probe, far below the corpus
+# growth, while t_build tracks the corpus. Both are reported.
+# ---------------------------------------------------------------------------
+def main_incr_fixed_batch() -> None:
+    import math
+    import tempfile
+
+    from designing_data_warehouse_in_sql_server_spark.operators.clustering import (
+        ivf_index_build,
+        semantic_dedup_probe,
+    )
+    from designing_data_warehouse_in_sql_server_spark.plans.extensions import (
+        SEMDEDUP_IVF_CLUSTER_SIZE,
+        SEMDEDUP_IVF_NPROBE,
+        SEMDEDUP_THRESHOLD,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.parquet import (
+        table_row_count,
+    )
+    from designing_data_warehouse_in_sql_server_spark.sources.table_store import (
+        TableStore,
+    )
+
+    spark = get_spark("ddw-incr-fixed-batch")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    batch = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(
+            (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_batch = batch.count()
+
+    rows = []
+    for scale in (1, 10, 100):
+        with tempfile.TemporaryDirectory(prefix="ddw_incr_fb_") as tmp:
+            write_dense_scaled_embeddings(spark, tmp, scale)
+            n = table_row_count(tmp, "embeddings")
+            k = max(8, -(-n // SEMDEDUP_IVF_CLUSTER_SIZE))
+            m = max(2, math.isqrt(k))
+            corpus = load_table(spark, tmp, "embeddings")
+            store = TableStore(spark, os.path.join(tmp, "store"))
+            t0 = time.perf_counter()
+            coarse, cells, members = ivf_index_build(
+                corpus, fine_bound=k, coarse_bound=m,
+                n_probe=SEMDEDUP_IVF_NPROBE,
+            )
+            store.overwrite("ivf_coarse", coarse)
+            store.overwrite("ivf_cells", cells)
+            store.overwrite("ivf_members", members, partition_by=["ccid"])
+            t_build = round(time.perf_counter() - t0, 2)
+            t_probe = float("inf")
+            for _ in range(2):  # best-of-2: first run pays codegen
+                t0 = time.perf_counter()
+                semantic_dedup_probe(
+                    batch,
+                    store.read("ivf_coarse"),
+                    store.read("ivf_cells"),
+                    store.read("ivf_members"),
+                    n_probe=SEMDEDUP_IVF_NPROBE,
+                    threshold=SEMDEDUP_THRESHOLD,
+                ).write.format("noop").mode("overwrite").save()
+                t_probe = min(t_probe, round(time.perf_counter() - t0, 2))
+            row = {
+                "scale": scale, "n_corpus": n, "n_batch": n_batch, "k": k,
+                "t_build": t_build, "t_probe": t_probe,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"mode": "incr_fixed_batch", "rows": rows}), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "ivf_crossover":
         main_ivf_crossover()
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "incr_fixed_batch":
+        main_incr_fixed_batch()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "ivf3_ab":
         main_ivf3_ab()
@@ -1098,7 +1216,10 @@ def main() -> None:
         main_frontier_r11_simhash()
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r10c":
-        main_frontier_r10c()
+        main_frontier_rotated("frontier_r10c", FRONTIER_R10C)
+        return
+    if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "frontier_r11c":
+        main_frontier_rotated("frontier_r11c", FRONTIER_R11C)
         return
     if os.environ.get("SPARK_GRAFT_PROBE_MODE") == "heavies":
         main_heavies()
