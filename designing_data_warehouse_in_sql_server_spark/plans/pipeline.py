@@ -127,13 +127,23 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
         update_filter=unprocessed,
         rows_per_group_hint=n_staging,
     )
+    # The cleaned UNPROCESSED slice feeds three consumers below (the
+    # new-city probe, the dim-merge insert source, and the fact-merge
+    # source) — without a materialization the dedup->impute->cap window
+    # chain re-executes per consumer. Checkpoint the filtered slice
+    # only (the stats windows still see every row; the processed branch
+    # is never consumed downstream, so materializing it would be pure
+    # waste). Lazy: the first consumer materializes it once; the
+    # relation is increment-sized. On a cluster swap for reliable
+    # checkpoint where executor loss must be survivable.
+    cleaned_unproc = cleaned.filter(unprocessed).localCheckpoint(eager=False)
 
     # 4. dim upsert, insert-only (J4): unseen cities get a surrogate key;
     #    other attributes stay NULL exactly like the reference MERGE
     #    (transform_load.sql:47, commentary README.md:285-293)
     dim = store.read(DIM)
     new_cities = (
-        cleaned.filter(unprocessed)
+        cleaned_unproc
         .select("city_name")
         .distinct()
         .join(dim.filter(F.col("is_current")).select("city_name"), "city_name", "left_anti")
@@ -159,7 +169,7 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
     fact = store.read(FACT)
     max_wid = fact.agg(F.max("weather_id")).first()[0] or 0
     src = (
-        cleaned.filter(unprocessed)
+        cleaned_unproc
         .join(
             F.broadcast(
                 dim.filter(F.col("is_current")).select("city_id", "city_name")

@@ -1414,6 +1414,17 @@ class TableStore:
             c = F.col(f"t.{k}") == F.col(f"s.{k}")
             cond = c if cond is None else (cond & c)
         joined = t.join(s, cond, "full_outer")
+        if capture_cdc:
+            # The joined relation feeds the staged write AND the change
+            # feed's insert/post/pre branches — without a materialization
+            # the full-outer join re-executes per consumer (up to 4x;
+            # measured on the end-to-end pipeline's fact merge). Delta's
+            # CDF likewise derives change rows and the new snapshot from
+            # ONE join pass. Lazy local checkpoint: the staged write
+            # materializes it; with partition pruning it is bounded by
+            # the touched partitions. On a cluster swap for reliable
+            # checkpoint where executor loss must be survivable.
+            joined = joined.localCheckpoint(eager=False)
 
         data_cols = [c for c in target.columns if c not in on]
         if update_cols is None:
@@ -1531,14 +1542,32 @@ class TableStore:
                 changes = changes.select(*feed_cols)
             v, vdir = self._stage_version(cdc, changes)
             stats = self._staged_append_stats(cdc, vdir)  # before linking
+            staged = self._staged_parquet_files(vdir)  # before linking
             self._link_prev_files(cdc, vdir)
             self._commit(cdc, v, "cdc-append", stats=stats, schema=schema)
         else:
-            self._write_version(cdc, changes, op="cdc-append")
-        # append-only copy for streaming consumers (file source sees only
-        # new files; see streaming/cdc.py)
+            v = self._write_version(cdc, changes, op="cdc-append")
+            staged = self._staged_parquet_files(
+                os.path.join(self._dir(cdc), f"v{v}")
+            )
+        # Append-only copy for streaming consumers (file source sees only
+        # new files; see streaming/cdc.py). The staged feed files ARE this
+        # commit's change rows, so hard-link them instead of re-running the
+        # change-row job as a second Spark write — O(files) syscalls, zero
+        # data motion, byte-identical content (part names embed a per-job
+        # UUID, so they never collide across commits).
         stream_dir = os.path.join(self.root, "_cdc_stream", name)
-        changes.write.mode("append").parquet(stream_dir)
+        os.makedirs(stream_dir, exist_ok=True)
+        for path in staged:
+            dst = os.path.join(stream_dir, os.path.basename(path))
+            if not os.path.exists(dst):
+                os.link(path, dst)
+
+    @staticmethod
+    def _staged_parquet_files(vdir: str) -> list[str]:
+        import glob as _glob
+
+        return _glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
 
     def _log_cdc(
         self,
