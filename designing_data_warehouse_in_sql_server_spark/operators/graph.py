@@ -58,7 +58,18 @@ def pagerank_fixed(
     # static per-iteration build side: edge list with out-degree attached,
     # partitioned by src once and reused by every round's join
     e = sym.join(deg, "src").localCheckpoint(eager=True)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("bigint").alias("rank"))
+    # initial ranks DERIVE FROM THE CHECKPOINT: the node set is e's
+    # distinct src. Deriving it from `deg` instead re-executes the whole
+    # edge derivation (base join + distinct + aggregate) in the final
+    # job, because exchange reuse never crosses the checkpoint boundary
+    # — the one iterative kernel here that had that flaw (bfs/bellman/
+    # kcore all checkpoint their base relation first). Same rows: deg
+    # has exactly one row per src.
+    ranks = (
+        e.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(scale).cast("bigint").alias("rank"))
+    )
     base = (15 * scale) // 100
     for _ in range(iterations):
         contribs = e.join(ranks, e["src"] == ranks["node"]).select(

@@ -3429,6 +3429,11 @@ def _bpe_merge_loop(
     encoder) ride through untouched. Returns (merge rules, the
     vocabulary after all merges)."""
     rules: list[tuple[int, str, int]] = []
+    # Checkpoint the INITIAL vocabulary too: each iteration's argmax job
+    # materializes that iteration's lazily-checkpointed `cur`, but the
+    # seed vocabulary (corpus scan + word aggregate) was outside the
+    # chain, so iterations 1 AND 2 both re-derived it from the corpus.
+    cur = cur.localCheckpoint(eager=False)
     for it in range(1, n_merges + 1):
         sy = F.split(F.trim(F.col("s")), "  ")
         pair = F.concat(

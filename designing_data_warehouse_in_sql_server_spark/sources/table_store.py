@@ -679,6 +679,16 @@ class TableStore:
         os.makedirs(self._dir(name), exist_ok=True)
         vdir = os.path.join(self._dir(name), f"v{v}")
         spec = self.partition_spec(name)
+        if spec:
+            # Cluster rows by the partition columns before a hive-style
+            # write: without this every one of the N upstream tasks opens
+            # a file in every partition dir it sees (up to N x P small
+            # files — the classic small-file problem, guide §6), and the
+            # commit's footer walk pays for each. The AQE-aware rebalance
+            # keeps one-or-few files per partition while still splitting
+            # a skewed partition across tasks (a plain repartition(spec)
+            # would funnel a giant partition through one task at scale).
+            df = df.hint("rebalance", *[F.col(c) for c in spec])
         writer = self._guarded(name, df).write.mode("overwrite")
         if spec:
             writer = writer.partitionBy(*spec)

@@ -1224,7 +1224,12 @@ SHUFFLE_COUNT_TOP20 = {
     "bellman_ford_mincost": 0,
     "dedup_keep_best": 1,
     "dedup_connected_components": 0,
-    "pagerank_fixed": 7,
+    # r11: 7 -> 5. Initial ranks now derive from the checkpointed
+    # degree-attached edge relation instead of re-deriving the base
+    # join + distinct + degree aggregate in the final job (exchange
+    # reuse never crosses the checkpoint boundary); the two exchanges
+    # that vanished were exactly that recomputation.
+    "pagerank_fixed": 5,
     "bfs_khop": 0,
     "incremental_agg_refresh": 0,
     "kcore_decomposition": 1,
