@@ -796,6 +796,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.table_store import TableStore
+    from ..sources.parquet import table_row_count
     from ..operators.ids import assign_sequential_ids
     from .pipeline import DIM, FACT, STG, transform_load
 
@@ -872,7 +873,14 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        seed = assign_sequential_ids(seed, "weather_id", ["city_id", "date"])
+        # orders' footer count bounds the seed rows: size-adaptive form
+        # (window below WINDOW_FORM_MAX_ROWS, two-phase above)
+        seed = assign_sequential_ids(
+            seed,
+            "weather_id",
+            ["city_id", "date"],
+            n_hint=table_row_count(sf_dir, "orders"),
+        )
         store.overwrite(
             FACT,
             seed.select(

@@ -187,10 +187,14 @@ def transform_load(spark: SparkSession, store: TableStore, load_ts: str) -> None
             F.lit(load_ts).cast("timestamp_ntz").alias("load_timestamp"),
         )
     )
-    # two-phase id assignment: the naive row_number() OVER (ORDER BY ...)
-    # is an Exchange SinglePartition over the whole day's increment —
-    # the one task that kills the job at scale (see operators/ids.py)
-    src = assign_sequential_ids(src, "weather_id", ["city_id", "date"], start=max_wid)
+    # size-adaptive id assignment: the staging footer count is a free
+    # upper bound on the increment, so small runs take the single-window
+    # form (no two-phase offsets collect job) and large ones the
+    # range-partitioned form — the one task that kills the job at scale
+    # (see operators/ids.py); both are bit-identical, property-tested
+    src = assign_sequential_ids(
+        src, "weather_id", ["city_id", "date"], start=max_wid, n_hint=n_staging
+    )
     # keep existing surrogate ids for matched rows: weather_id not updated
     store.merge(
         FACT,

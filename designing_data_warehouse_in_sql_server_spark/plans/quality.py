@@ -4579,6 +4579,15 @@ def _funnel_stages(
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
+        # s3 feeds THREE consumers (the dup-span kernel's base, the s4
+        # join, and the funnel report's per-source aggregate) — without
+        # a materialization the text-key window AND its upstream (for
+        # the composite: the planted-copy higher-order projections) run
+        # once per consumer. Lazy: the first consumer materializes it;
+        # survivor-set-sized, the same class as the composite's curated
+        # checkpoint. On a cluster swap for reliable checkpoint / a
+        # staging write where executor loss must be survivable.
+        .localCheckpoint(eager=False)
     )
     span = dup_span_per_doc(
         s3.select("doc_id", words_col(F.col("text")).alias("w"))

@@ -1267,7 +1267,13 @@ SHUFFLE_COUNT_TOP20 = {
     "quantile_cont": 1,
     "range_join_event_pairs": 0,
     "spearman_rank_corr": 5,
-    "corpus_curation_funnel": 14,
+    # r11: 14 -> 9. s3 (the post-dedup survivor set) is now lazily
+    # checkpointed inside _funnel_stages — it feeds three consumers
+    # (dup-span base, s4 join, per-source aggregate) and each used to
+    # replan the text-key window + upstream scan filters; the five
+    # exchanges that vanished were those duplicated subtrees (measured
+    # 2.8 -> 1.8 s at sf0.1, and the LLM composite shares the win).
+    "corpus_curation_funnel": 9,
     # r9 late wave: lsh_recall_certification's 8 = the certified truth
     # pipeline (shingle spread, df/prefix windows, candidate distinct,
     # intersection aggregate) + the banded-LSH side + the 3-row bucket
