@@ -665,7 +665,11 @@ def connected_components(
             )
             .withColumn("changed", F.col("new_component") < F.col("__old"))
             .drop("__old")
-            .localCheckpoint(eager=True)
+            # lazy: the convergence probe right below is the first action
+            # and materializes the checkpoint as part of its own job —
+            # one Spark job per round instead of two (eager checkpoint +
+            # probe); the next round reads the persisted partitions
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("node", F.col("new_component").alias("component"))
         if stepped.filter(F.col("changed")).limit(1).count() == 0:

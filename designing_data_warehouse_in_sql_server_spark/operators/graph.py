@@ -121,7 +121,11 @@ def bfs_min_dist(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("int"))
-            .localCheckpoint(eager=True)
+            # lazy: no action runs inside this bounded loop, so the
+            # frontier materializes inside the consumer's job while the
+            # checkpoint still truncates the per-hop plan at build time
+            # — one job instead of one per hop
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
@@ -183,12 +187,13 @@ def bellman_ford_min_cost(
             cand.join(best.select("node", F.col("cost").alias("old")), "node", "left")
             .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
             .select("node", "cost")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         best = (
             best.join(improved.select("node"), "node", "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            # lazy, same rationale as the frontier above
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return best
@@ -226,7 +231,9 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             alive.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            # lazy: the per-round plan still truncates at build time;
+            # materialization folds into the final job
+            .localCheckpoint(eager=False)
         )
     return (
         alive.groupBy("src")
