@@ -5,6 +5,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced with a noop-format write (full computation, no
 driver-side collect) after a warm-up of the session on a trivial job.
+
+End-of-round bookkeeping: the driver's bounded stdout tail only captures
+the short summary line, so the per-query map survives a round ONLY if the
+final snapshot pass's bench_queries.json is committed as
+BENCH_DETAIL_r<NN>.json (VERDICT r11 #4) — do that before the end-of-round
+commit so the next round can diff per-query.
 """
 
 from __future__ import annotations

@@ -1565,13 +1565,19 @@ class TableStore:
         # commit's change rows, so hard-link them instead of re-running the
         # change-row job as a second Spark write — O(files) syscalls, zero
         # data motion, byte-identical content (part names embed a per-job
-        # UUID, so they never collide across commits).
+        # UUID, so they never collide across commits). Hard links are a
+        # local-POSIX-filesystem fast path; if the stream dir ever lands on
+        # a different device (or a store without link support) fall back to
+        # a plain copy — same bytes, one extra read+write per file.
         stream_dir = os.path.join(self.root, "_cdc_stream", name)
         os.makedirs(stream_dir, exist_ok=True)
         for path in staged:
             dst = os.path.join(stream_dir, os.path.basename(path))
             if not os.path.exists(dst):
-                os.link(path, dst)
+                try:
+                    os.link(path, dst)
+                except OSError:
+                    shutil.copy2(path, dst)
 
     @staticmethod
     def _staged_parquet_files(vdir: str) -> list[str]:

@@ -111,6 +111,30 @@ def test_cdc_stream_matches_batch_feed(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_cdc_stream_copy_fallback_when_link_fails(spark, tmp_path, monkeypatch):
+    """A cross-device stream dir makes os.link raise EXDEV; the CDC stream
+    copy must fall back to a plain copy with identical content."""
+    import errno
+    import os as _os
+
+    real_link = _os.link
+
+    def exdev_for_stream(src, dst, *a, **kw):
+        if "_cdc_stream" in dst:
+            raise OSError(errno.EXDEV, "Invalid cross-device link")
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "link", exdev_for_stream)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    store.merge("t", spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), on=["k"])
+
+    _run_to_memory(stream_changes(spark, store, "t"), "t_cdc_fallback", "append")
+    got = {(r.k, r._change_type) for r in spark.table("t_cdc_fallback").collect()}
+    want = {(r.k, r._change_type) for r in store.read_changes("t").collect()}
+    assert got == want and len(got) > 0
+
+
 def test_stateful_running_user_stats(spark):
     """applyInPandasWithState accumulates across micro-batches; the final
     state per user must equal the batch aggregate (integer cents make
