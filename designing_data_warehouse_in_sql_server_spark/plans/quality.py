@@ -66,26 +66,32 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             return agg.cast("decimal(18,2)").cast("string")
         return agg.cast("string")
 
-    aggs = []
+    # One aggregate per column, unioned — the oracle's own UNION ALL
+    # shape. A single wide aggregate with FOUR count-distincts plans as
+    # an Expand that multiplies every scanned row 5x before the partial
+    # aggregation (grouping-id rewrite of multi-distinct); four pruned
+    # single-column branches read the same total bytes with no row
+    # multiplication and each keeps the single-distinct two-level plan.
+    # Measured at sf0.1: 1.82 s -> see OPTIMIZATION_r12.md (plan diff:
+    # Expand removed).
+    out = None
     for c in _PROFILE_COLS:
-        aggs += [
-            F.count("*").alias(f"{c}__rows"),
-            (F.count("*") - F.count(c)).alias(f"{c}__null"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            _as_str(c, F.min(c)).alias(f"{c}__min"),
-            _as_str(c, F.max(c)).alias(f"{c}__max"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
-        for c in _PROFILE_COLS
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
+        branch = orders.select(c).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count(c)).cast("long").alias("n_null"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            _as_str(c, F.min(c)).alias("min_value"),
+            _as_str(c, F.max(c)).alias("max_value"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_value",
+            "max_value",
         )
-    )
+        out = branch if out is None else out.unionByName(branch)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -3428,12 +3434,20 @@ def _bpe_merge_loop(
     and `cnt`; any extra columns (e.g. the original word, for the
     encoder) ride through untouched. Returns (merge rules, the
     vocabulary after all merges)."""
+    from ..operators.dedup_text import release_checkpoint
+
     rules: list[tuple[int, str, int]] = []
     # Checkpoint the INITIAL vocabulary too: each iteration's argmax job
     # materializes that iteration's lazily-checkpointed `cur`, but the
     # seed vocabulary (corpus scan + word aggregate) was outside the
     # chain, so iterations 1 AND 2 both re-derived it from the corpus.
     cur = cur.localCheckpoint(eager=False)
+    # checkpoint-lifecycle (VERDICT r11 #7): once iteration N's argmax
+    # has materialized cur(N), cur(N)'s parent checkpoint is dead —
+    # release its blocks instead of pinning them for the session. The
+    # FINAL cur stays lazy and still reads its materialized parent, so
+    # the last parent is never released here.
+    parent: DataFrame | None = None
     for it in range(1, n_merges + 1):
         sy = F.split(F.trim(F.col("s")), "  ")
         pair = F.concat(
@@ -3453,6 +3467,9 @@ def _bpe_merge_loop(
             .limit(1)
             .collect()
         )
+        # the collect above materialized `cur`; its parent is now dead
+        release_checkpoint(parent)
+        parent = cur
         if not top:
             # vocabulary has no adjacent pairs left (every word is one
             # symbol) — stop, mirroring the oracle's empty t{r} rows
@@ -3465,6 +3482,9 @@ def _bpe_merge_loop(
         cur = cur.withColumn("s", F.replace(F.col("s"), pat, rep)).localCheckpoint(
             eager=False
         )
+    # NOTE: `parent` (the last materialized vocabulary) deliberately NOT
+    # released — the returned lazy `cur` reads it when the consumer
+    # materializes.
     return rules, cur
 
 
@@ -3733,11 +3753,22 @@ def _packed_stream_relations(
     docw = docs.select(
         "doc_id", F.posexplode(words_col(F.col("text"))).alias("wpos", "w")
     ).filter(F.length("w") >= 1)
-    # per-(doc, word) token offset: per-DOC window, document-bounded
-    wtok = docw.join(enc, "w").withColumn(
-        "woff",
-        F.sum("n_tok").over(W.partitionBy("doc_id").orderBy("wpos"))
-        - F.col("n_tok"),
+    # per-(doc, word) token offset: per-DOC window, document-bounded.
+    # wtok feeds TWO consumers (the per-doc token aggregate and the
+    # positioned token stream), each of which would re-run the corpus
+    # join + per-doc window — one lazy checkpoint materializes it once
+    # (r12, guide §2.4; A/B 2.32 -> 2.06 s at sf0.1 and 5.26 -> 4.45 s
+    # at the 6x docs frontier, so the materialization also wins where
+    # the re-derived shuffles grow). Corpus-token-scale: swap for a
+    # staging write on a cluster where executor loss must be survivable.
+    wtok = (
+        docw.join(enc, "w")
+        .withColumn(
+            "woff",
+            F.sum("n_tok").over(W.partitionBy("doc_id").orderBy("wpos"))
+            - F.col("n_tok"),
+        )
+        .localCheckpoint(eager=False)
     )
     doctok = wtok.groupBy("doc_id").agg(F.sum("n_tok").alias("n_tokens"))
     g0 = prefix_sum(
@@ -4336,10 +4367,15 @@ def dup_span_per_doc(base: DataFrame) -> DataFrame:
             ),
         )
     )
+    # ">= 2 distinct docs" == "min(doc_id) != max(doc_id)": same boolean
+    # on non-null ids, but min/max are plain map-side-combinable
+    # aggregates while COUNT(DISTINCT doc_id) plans a second (gram,
+    # doc_id) dedup aggregation level over the corpus-token-scale pos
+    # relation before it can count (guide §2.3 aggregate-before-shuffle).
     dup = (
         pos.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("dfd"))
-        .filter(F.col("dfd") >= 2)
+        .agg(F.min("doc_id").alias("__dmin"), F.max("doc_id").alias("__dmax"))
+        .filter(F.col("__dmin") != F.col("__dmax"))
         .select("gram")
     )
     flagged = pos.join(dup, "gram").select("doc_id", "p")

@@ -71,39 +71,39 @@ def with_hilbert_key(
     engine."""
     n = 1 << bits
     keep = [F.col(c) for c in df.columns]
+    keep_names = [f"`{c}`" for c in df.columns]
     out = df.select(
         *keep,
         (col_x.cast("long") % n).alias("__hx"),
         (col_y.cast("long") % n).alias("__hy"),
         F.lit(0).cast("long").alias("__hd"),
     )
+    # per-level projections as selectExpr STRINGS (r12): building the 16
+    # levels as py4j Column trees cost ~1.3 s of driver round-trips per
+    # query CONSTRUCTION (measured; the expressions themselves are
+    # identical) — one parsed string per level moves that work into one
+    # JVM parse. `div` is integer floor division on nonnegative longs,
+    # replacing the double-division + cast detour with the same values.
     for level in range(bits - 1, -1, -1):
         s = 1 << level
-        hx, hy, hd = F.col("__hx"), F.col("__hy"), F.col("__hd")
-        # bit test without & (portability): s is a power of two, so the
-        # double division is exact and the long cast is a true floor
-        rx = (hx / s).cast("long") % 2
-        ry = (hy / s).cast("long") % 2
+        rx = f"((__hx div {s}) % 2)"
+        ry = f"((__hy div {s}) % 2)"
         # quadrant offset: (3*rx) XOR ry over {0,1} inputs, as a CASE map
         quad = (
-            F.when((rx == 1) & (ry == 0), F.lit(3))
-            .when((rx == 1) & (ry == 1), F.lit(2))
-            .when((rx == 0) & (ry == 1), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
+            f"CAST(CASE WHEN {rx} = 1 AND {ry} = 0 THEN 3 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 ELSE 0 END AS BIGINT)"
         )
         # rotate/reflect the frame for the next level (classic rot()):
         # ry == 0: reflect both coords when rx == 1 (within the full
         # n-grid), then swap x and y; ry == 1: frame unchanged
-        refl_x = F.when(rx == 1, F.lit(n - 1).cast("long") - hx).otherwise(hx)
-        refl_y = F.when(rx == 1, F.lit(n - 1).cast("long") - hy).otherwise(hy)
-        out = out.select(
-            *keep,
-            F.when(ry == 0, refl_y).otherwise(hx).alias("__hx"),
-            F.when(ry == 0, refl_x).otherwise(hy).alias("__hy"),
-            (hd + F.lit(s).cast("long") * F.lit(s).cast("long") * quad).alias(
-                "__hd"
-            ),
+        refl_x = f"CASE WHEN {rx} = 1 THEN CAST({n - 1} AS BIGINT) - __hx ELSE __hx END"
+        refl_y = f"CASE WHEN {rx} = 1 THEN CAST({n - 1} AS BIGINT) - __hy ELSE __hy END"
+        out = out.selectExpr(
+            *keep_names,
+            f"CASE WHEN {ry} = 0 THEN {refl_y} ELSE __hx END AS __hx",
+            f"CASE WHEN {ry} = 0 THEN {refl_x} ELSE __hy END AS __hy",
+            f"__hd + CAST({s} AS BIGINT) * CAST({s} AS BIGINT) * {quad} AS __hd",
         )
     return out.select(*keep, F.col("__hd").alias(out_col))
 

@@ -149,6 +149,33 @@ def test_connected_components_convergence_guard(spark):
         connected_components(pairs, max_iterations=1)
 
 
+def test_connected_components_releases_loop_checkpoints(spark):
+    """Checkpoint lifecycle (VERDICT r11 #7): superseded per-round
+    checkpoint blocks are unpersisted inside the loop, so block-manager
+    storage stays bounded — after the loop, only the final labels
+    checkpoint (plus anything persisted before the call) remains, and
+    the result is still fully readable (twice)."""
+    from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import (
+        connected_components,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # 50-node path: multiple pointer-jump rounds, so several superseded
+    # per-round checkpoints exist to release
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a bigint, id_b bigint"
+    )
+    labels = connected_components(pairs)
+    after = jsc.getPersistentRDDs().size()
+    # edges + init + every superseded round released: at most the final
+    # round's checkpoint survives the loop
+    assert after - before <= 1, f"leaked checkpoints: {after - before}"
+    # the released predecessors are genuinely dead: the result reads fine
+    assert {r.component for r in labels.collect()} == {0}
+    assert labels.count() == 51
+
+
 def test_segment_dedup_first_wins_and_vanishing_doc(spark):
     from designing_data_warehouse_in_sql_server_spark.operators.dedup_text import segment_dedup
 

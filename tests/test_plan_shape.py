@@ -426,12 +426,20 @@ def test_zorder_key_is_pure_projection(spark):
     assert "Join" not in plan and "Window" not in plan
 
 
-def test_profile_is_single_scan(spark):
-    """The column profile computes every per-column stat in ONE pass:
-    exactly one parquet scan of orders, never a scan per column."""
+def test_profile_prunes_columns_no_expand(spark):
+    """r12 shape: one single-COLUMN pruned scan per profiled column (4
+    total), never an Expand. The old one-scan wide aggregate planned its
+    four COUNT(DISTINCT ...) via the grouping-id Expand that multiplies
+    every scanned row 5x before partial aggregation (measured 1.8 s ->
+    0.5 s at sf0.1); four pruned branches read the same total bytes with
+    no row multiplication. Guarded both ways: no Expand may return, and
+    every scan must read exactly one column (pruning intact)."""
     plan = _plan(QS["data_quality_profile"](spark, SF_DIR))
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
-    assert len(scan_ids) == 1, plan[:2000]
+    assert len(scan_ids) == 4, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(s.count(":") == 1 for s in schemas), schemas
 
 
 def test_interval_coalesce_no_self_join(spark):
@@ -1220,7 +1228,13 @@ BNLJ_CONSTANT_SIDE = {
 SHUFFLE_COUNT_TOP20 = {
     "pipeline_end_to_end": 0,
     "prepare_corpus": 5,
-    "set_similarity_prefix_join": 14,
+    # r12: 14 -> 4. The verify stage joins candidate pairs against the
+    # checkpointed per-order basket ARRAYS (array_intersect) instead of
+    # re-exploding the (order, part) relation through two corpus-sized
+    # shuffle joins + a pair-count aggregate + two basket-size joins;
+    # basket sizes ride the arrays (n = size). Measured 3.32 -> 2.2 s at
+    # sf0.1 and 2.25x at the 10x frontier (linear: 10x/3x = 3.36).
+    "set_similarity_prefix_join": 4,
     "bellman_ford_mincost": 0,
     "dedup_keep_best": 1,
     "dedup_connected_components": 0,
@@ -1234,7 +1248,13 @@ SHUFFLE_COUNT_TOP20 = {
     "incremental_agg_refresh": 0,
     "kcore_decomposition": 1,
     "simhash_near_pairs": 1,
-    "data_quality_profile": 2,
+    # r12: 2 -> 8. The one-scan wide aggregate (whose four
+    # COUNT(DISTINCT) planned an Expand multiplying every scanned row
+    # 5x) became four pruned single-column branches, each the standard
+    # two-exchange single-distinct shape over ~kB of distinct values.
+    # More exchanges of tiny aggregates, 5x fewer rows through the
+    # scan stage: measured 1.8 -> 0.5 s at sf0.1.
+    "data_quality_profile": 8,
     "dedup_ngram_jaccard": 1,
     "dedup_incremental_lsh_store": 0,
     "decontaminate_bloom": 1,
@@ -1273,7 +1293,12 @@ SHUFFLE_COUNT_TOP20 = {
     # replan the text-key window + upstream scan filters; the five
     # exchanges that vanished were those duplicated subtrees (measured
     # 2.8 -> 1.8 s at sf0.1, and the LLM composite shares the win).
-    "corpus_curation_funnel": 9,
+    # r12: 9 -> 8. The dup-span gram gate ">= 2 distinct docs" became
+    # min(doc_id) != max(doc_id) — same boolean, but plain map-side
+    # combinable aggregates instead of COUNT(DISTINCT)'s second
+    # (gram, doc_id) dedup aggregation level; one exchange of the
+    # corpus-token-scale pos relation vanished with it.
+    "corpus_curation_funnel": 8,
     # r9 late wave: lsh_recall_certification's 8 = the certified truth
     # pipeline (shingle spread, df/prefix windows, candidate distinct,
     # intersection aggregate) + the banded-LSH side + the 3-row bucket
