@@ -101,13 +101,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (winsorize 0.64 vs 0.56, zipf 0.287 vs 0.25, yoy 0.385 vs 0.33,
 # triangle 1.04 vs 1.06) — the earlier inflation was tail noise, as the
 # loadavg telemetry suggested. All committed rows describe current code.
-# Round-11 FRESH set: simhash_near_pairs rewritten to 64-bit
-# fingerprints + the Manku multitable footer dispatch (the 32-bit
-# committed minimum describes the retired kernel). The four new r11
-# queries (llm_pipeline_end_to_end, packed_shard_manifest,
-# image_phash_recall_certification, video_frame_recall_certification)
-# enter with fresh minima automatically as new entries.
-FRESH: set[str] = {"simhash_near_pairs"}
+# Round-11 FRESH set (cleared 2026-08-18 after the r12 refresh):
+# simhash_near_pairs' row now describes the 64-bit kernel.
+# Round-12 FRESH set (cleared 2026-08-18 after the r12 refresh from the
+# two end-of-round solo passes, totals 198.8/190.7 s): the queries whose
+# implementation changed performance class this round —
+# set_similarity_prefix_join (basket-array verify), data_quality_profile
+# (Expand-free per-column branches), hilbert_layout_key (selectExpr
+# construction), kcore_decomposition / pagerank_fixed / bfs_khop /
+# bellman_ford_mincost (redundant edge dedup/pre-agg removed),
+# dedup_connected_components (CC round-1 specialization),
+# corpus_curation_funnel + dup_span_fraction (min!=max gram gate),
+# packed_* / sequence_pack_tokens (wtok checkpoint),
+# llm_pipeline_end_to_end (composition of the above) — were re-measured
+# from those passes; every committed row now describes current code.
+FRESH: set[str] = set()
 
 BASELINE = "BASELINE.md"
 
