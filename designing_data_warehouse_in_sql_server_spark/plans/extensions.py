@@ -1351,11 +1351,16 @@ def prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_near_copies(load_table(spark, sf_dir, "documents"))
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     quality = docs.filter(F.size(words) >= PREP_MIN_TOKENS)
-    w_exact = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    # exact dedup as min_by over the content hash instead of the
+    # row_number window — identical keep-lowest-doc_id rows, but the
+    # hash aggregate's map-side partial dedups co-located copies before
+    # the exchange and the per-key sort disappears (r12; see
+    # _funnel_stages for the frontier A/B)
+    q_cols = quality.columns
     deduped = (
-        quality.withColumn("__rn", F.row_number().over(w_exact))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        quality.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min_by(F.struct(*q_cols), F.col("doc_id")).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in q_cols])
         # one materialization feeds signatures, retention scoring, and
         # the survivor joins (three consumers, one computation)
         .localCheckpoint(eager=False)

@@ -4604,17 +4604,18 @@ def _funnel_stages(
     through untouched."""
     s1 = docs.filter(F.col("lang") == FUNNEL_LANG)
     s2 = s1.filter(F.size(words_col(F.col("text"))) >= FUNNEL_MIN_WORDS)
+    # exact dedup as min_by over the text key instead of the
+    # row_number window (r12, guide §2.3 aggregate-before-shuffle):
+    # identical keep-lowest-doc_id semantics (doc_id is unique), but the
+    # hash aggregate gets a map-side partial that dedups co-located
+    # copies BEFORE the exchange where the window ships every row, and
+    # the per-key sort disappears. Flat at sf0.1 (0.28 vs 0.27 s on the
+    # stage alone), 1.26x at a 6x duplicate-heavy frontier probe.
+    s2_cols = s2.columns
     s3 = (
-        s2.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy(F.trim(F.lower(F.col("text")))).orderBy(
-                    "doc_id"
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        s2.groupBy(F.trim(F.lower(F.col("text"))).alias("__k"))
+        .agg(F.min_by(F.struct(*s2_cols), F.col("doc_id")).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in s2_cols])
         # s3 feeds THREE consumers (the dup-span kernel's base, the s4
         # join, and the funnel report's per-source aggregate) — without
         # a materialization the text-key window AND its upstream (for
